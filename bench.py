@@ -1,0 +1,81 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the queries that exercise every engine subsystem (scan-agg,
+star join, window, CDC kernels, sessionization, dedup/LSH, ANN, text) —
+one run each after a shared warmup of the JVM + parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from m4i_flink_tasks_spark.queries import all_queries
+from m4i_flink_tasks_spark.session import get_spark
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "top_orders_per_customer",
+    "asof_previous_version",
+    "latest_version_per_key",
+    "attribute_diff",
+    "session_windows",
+    "tumbling_window_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed",
+    "quality_scores",
+    "document_fingerprints",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("m4i_spark_bench")
+    queries = all_queries()
+
+    # Warmup: touch every table once so footer reads / JVM JIT don't
+    # pollute the first timed query.
+    from m4i_flink_tasks_spark.sources import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Type-hierarchy / containment-graph functions (SURVEY §2.5, G1-G4, G9).
+
+The reference resolves an entity type's supertype chain by recursive REST
+calls per record (get_super_types, synchronize_app_search/synchronize_app_search.py:27-48)
+and hard-codes the parent-containment map (HierarchyMapping.py:3-9). The
+Spark design precomputes the **transitive closure** of the (tiny) type DAG
+once with an iterative self-join in the driver, then broadcasts it — every
+per-row recursive lookup becomes a broadcast-hash join.
+
+Scale: the type DAG is O(100) rows regardless of data volume, so the
+closure loop costs milliseconds and the broadcast is trivially small; the
+100 TB fact stream never shuffles for type resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Direct supertype edges (child -> supertype). Mirrors the reference's
+# Atlas EntityDef.super_types graph: the m4i base types and the
+# m4i_kafka_field chain whose closure the reference's one live test pins
+# to 4 entries (test__synchronize_app_search.py:22-29).
+TYPE_EDGES: tuple[tuple[str, str], ...] = (
+    ("m4i_kafka_field", "m4i_field"),
+    ("m4i_field", "m4i_referenceable"),
+    ("m4i_dataset", "m4i_referenceable"),
+    ("m4i_collection", "m4i_referenceable"),
+    ("m4i_system", "m4i_referenceable"),
+    ("m4i_data_domain", "m4i_referenceable"),
+    ("m4i_data_entity", "m4i_referenceable"),
+    ("m4i_data_attribute", "m4i_referenceable"),
+    ("m4i_person", "m4i_referenceable"),
+    ("m4i_referenceable", "Referenceable"),
+)
+
+# Parent-containment map — HierarchyMapping.py:3-9 verbatim semantics:
+# two parallel hierarchies (Business: domain/entity/attribute; Technical:
+# system/collection/dataset/field).
+HIERARCHY_MAPPING: dict[str, str] = {
+    "m4i_data_entity": "m4i_data_domain",
+    "m4i_data_attribute": "m4i_data_entity",
+    "m4i_collection": "m4i_system",
+    "m4i_dataset": "m4i_collection",
+    "m4i_field": "m4i_dataset",
+}
+
+# The 7 base types (parameters.py:15-25) and the Business subset
+# (get_source_type, synchronize_app_search.py:55-60).
+M4I_BASE_TYPES: tuple[str, ...] = (
+    "m4i_data_domain",
+    "m4i_data_entity",
+    "m4i_data_attribute",
+    "m4i_field",
+    "m4i_dataset",
+    "m4i_collection",
+    "m4i_system",
+)
+BUSINESS_SOURCE_TYPES: tuple[str, ...] = (
+    "m4i_data_domain",
+    "m4i_data_entity",
+    "m4i_data_attribute",
+)
+
+
+def type_edges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(TYPE_EDGES), "typename string, supertype string"
+    )
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """G1 as an iterative self-join to fixpoint.
+
+    Semi-naive iteration: frontier(i+1) = frontier(i) ⋈ edges, stop when
+    the frontier is empty. Depth ≤ DAG height, so the loop runs a handful
+    of times; each iteration is a broadcast join on a tiny table.
+
+    Returns distinct (typename, supertype) pairs — the strict closure
+    (no reflexive rows).
+    """
+    closure = edges.select("typename", "supertype").distinct().localCheckpoint()
+    frontier = closure
+    for _ in range(max_iterations):
+        step = (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"),
+                F.col("f.supertype") == F.col("e.typename"),
+            )
+            .select(
+                F.col("f.typename").alias("typename"),
+                F.col("e.supertype").alias("supertype"),
+            )
+            .distinct()
+        )
+        new = step.join(closure, ["typename", "supertype"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.union(new).distinct().localCheckpoint()
+        frontier = new
+    else:
+        raise RuntimeError("type DAG deeper than max_iterations (cycle?)")
+    return closure
+
+
+def supertype_closure_df(spark: SparkSession) -> DataFrame:
+    """(typename, supertypes array<string> sorted) for every type that
+    appears as a child in TYPE_EDGES. Broadcast this."""
+    closure = transitive_closure(type_edges_df(spark))
+    return closure.groupBy("typename").agg(
+        F.array_sort(F.collect_set("supertype")).alias("supertypes")
+    )
+
+
+def breadcrumb_paths_df(spark: SparkSession) -> DataFrame:
+    """G9 over the static containment map: for each type, the ancestor
+    type path root→parent (the shape of ``breadcrumbtype`` arrays,
+    synchronize_app_search.py:467-482).
+
+    Ordering: an ancestor closer to the root has fewer ancestors of its
+    own, so sorting each type's ancestors by their own ancestor-count
+    (ascending) yields the root→parent path.
+    """
+    edges = spark.createDataFrame(
+        [(child, parent) for child, parent in HIERARCHY_MAPPING.items()],
+        "typename string, supertype string",
+    )
+    closure = transitive_closure(edges)
+    own_depth = closure.groupBy("typename").agg(
+        F.count(F.lit(1)).alias("n_own_ancestors")
+    )
+    ranked = closure.alias("c").join(
+        own_depth.alias("d"),
+        F.col("c.supertype") == F.col("d.typename"),
+        "left",
+    ).select(
+        F.col("c.typename").alias("typename"),
+        F.col("c.supertype").alias("ancestor"),
+        F.coalesce(F.col("d.n_own_ancestors"), F.lit(0)).alias("depth"),
+    )
+    return ranked.groupBy("typename").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("depth", "ancestor"))),
+            lambda s: s.ancestor,
+        ).alias("breadcrumbtype")
+    )

@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB of documents):
+- exact dedup is a hash-aggregate on a fingerprint column — one shuffle
+  on the fingerprint, no text comparison;
+- near-dup never goes O(n²): MinHash signatures → LSH band buckets →
+  self-join *within buckets only* → exact Jaccard verify on candidates.
+  Band-bucket join keys are small longs, so the shuffle is narrow;
+- all hashing is the cross-engine polynomial hash (operators/text.py) so
+  the DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_MOD, poly_hash, tokens
+
+# Fixed affine MinHash coefficients: h_j(x) = (A_j * x + B_j) mod P.
+# Deterministic small-prime progressions (public-textbook construction,
+# e.g. Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3) so
+# the oracle can embed the same literals.
+MINHASH_K = 16
+MINHASH_A = tuple(2 * j + 3 for j in range(MINHASH_K))  # odd, coprime-ish
+MINHASH_B = tuple(7 * j + 1 for j in range(MINHASH_K))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings; distinct set."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    return F.transform(shingles(text, n), poly_hash)
+
+
+def minhash_signature(shingle_hash_col: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash signature over a shingle-hash array."""
+
+    def perm_min(j: int) -> Column:
+        # NB: single-arg lambda — a two-arg lambda would make F.transform
+        # pass the element index as the second argument.
+        return F.array_min(
+            F.transform(
+                shingle_hash_col,
+                lambda h: (MINHASH_A[j] * h + MINHASH_B[j]) % HASH_MOD,
+            )
+        )
+
+    return F.array(*[perm_min(j) for j in range(k)])
+
+
+def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 4) -> Column:
+    """Fold each band of the signature into one bucket key; a pair of
+    docs is an LSH candidate iff they share any (band_idx, key)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(signature, b * rows + 1, rows),
+                F.lit(0).cast("long"),
+                lambda acc, v: (acc * 31 + v) % HASH_MOD,
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keyed on normalized text; survivor = min id.
+
+    At scale, group on a fingerprint hash instead of the raw text so the
+    shuffle key is 8 bytes; collision-check inside the group is free
+    because we also carry the text through ``min_by``.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    return (
+        df.groupBy(norm.alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("norm_text")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs near-dup by n-gram Jaccard, LSH-accelerated.
+
+    Candidates come from MinHash band buckets (no O(n²) cross join);
+    each candidate pair is verified with exact Jaccard. At 100 TB the
+    band-bucket shuffle is the only wide operation.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            lsh_band_keys(minhash_signature(F.col("sh")))
+        ).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 30) -> Column:
+    """SimHash over token polynomial hashes: bit i of the result is the
+    sign of sum over tokens of ±1 per token-hash bit i.
+
+    Bit extraction uses power-of-two arithmetic (hash < 2^30, exact in
+    doubles) rather than shift builtins so the identical expression runs
+    in the DuckDB oracle.
+    """
+    token_hashes = F.transform(tokens(text), poly_hash)
+
+    def bit_of(h: Column, i: Column) -> Column:
+        return F.floor(h / F.pow(F.lit(2.0), i)).cast("long") % 2
+
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            token_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(bit_of(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda vote, i: F.when(
+                vote > 0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

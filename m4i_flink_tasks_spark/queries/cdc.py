@@ -1,0 +1,347 @@
+"""CDC / change-detection operator queries — the reference's analytical
+core (SURVEY §2.2-§2.3) re-expressed over the ``events`` table.
+
+Mapping of testdata onto the reference's domain: ``user_id`` plays the
+entity ``guid``, ``ts`` plays ``updateTime``, ``props`` (a JSON object)
+plays the dynamic ``attributes`` payload, ``event_type`` plays the
+operation type. Each query exercises one operator family:
+
+- P2/P3/P4: null filter, op-type predicate, envelope validation
+  (reference: get_entity_job.py:40,117; publish_state_job.py:56-69)
+- P5: flat_map/explode (determine_change_job.py:429-433)
+- P12: doc-id synthesis (publish_state_job.py:77)
+- D1-D4: attribute diff old-vs-new (determine_change_job.py:110-191)
+- D8: previous-version as-of lookup (determine_change_job.py:194-226)
+- D9: last-writer-wins collapse (synchronize_app_search.py:335...)
+- S3: dead-letter split (get_entity_job.py:60-82)
+
+All are pure column expressions — no Python UDFs — so they stay inside
+whole-stage codegen and scale linearly with partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+
+def op_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: keep only create/update/delete-analog event types, count each.
+    Reference: EntityAuditAction check, get_entity_job.py:40."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+OP_TYPE_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events
+WHERE event_type IN ('signup', 'purchase', 'error')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def envelope_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P4: parse the JSON payload, reject rows missing the required
+    key ('k' here; 'kafka_notification'/'atlas_entity' in the reference,
+    publish_state_job.py:56-69). Valid rows keep the extracted value."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.filter(F.col("props").isNotNull() & k.isNotNull())
+        .select("event_id", k.alias("payload_k"))
+        .orderBy("event_id")
+    )
+
+
+ENVELOPE_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS payload_k
+FROM events
+WHERE props IS NOT NULL
+  AND json_extract(props, '$.k') IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def doc_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: deterministic versioned doc id ``{guid}_{updateTime}``.
+    Reference: publish_state_job.py:77. Millis epoch keeps the id stable
+    across engines and sortable as the reference relies on."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.concat_ws(
+                "_", F.col("user_id"), F.unix_millis(F.col("ts"))
+            ).alias("doc_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+DOC_ID_SQL = """
+SELECT event_id,
+       user_id || '_' || epoch_ms(ts) AS doc_id
+FROM events
+ORDER BY event_id
+"""
+
+
+def asof_previous_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: for every event, the latest strictly-earlier event of the same
+    key — the reference's ES top-1 query (determine_change_job.py:194-226)
+    expressed as a lag window over guid-partitioned, time-ordered data.
+
+    Scale: one shuffle on user_id; at 100 TB the state-backed streaming
+    variant (streaming/determine_change.py) replaces the window with
+    per-key state so no reshuffle of history is ever needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round(F.lag("value").over(w), 6).alias("prev_value"),
+            F.unix_millis(F.lag("ts").over(w)).alias("prev_ts_ms"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id,
+       user_id,
+       round(value, 6) AS value,
+       round(lag(value) OVER w, 6) AS prev_value,
+       epoch_ms(lag(ts) OVER w)    AS prev_ts_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def latest_version_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8/D9: last-writer-wins — latest event per key via max_by, the
+    collapse the reference does with its ``updated_docs`` dict
+    (synchronize_app_search.py:335). One partial-aggregatable shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
+                "last_event_id"
+            ),
+            F.round(
+                F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 6
+            ).alias("last_value"),
+            F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           max(ts) OVER (PARTITION BY user_id) AS mx
+    FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       round(value, 6) AS last_value,
+       epoch_ms(mx) AS last_ts_ms
+FROM ranked
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def attribute_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D4: key-set diff between an old and a new attribute set.
+
+    Per user: old = distinct event types seen in the first half of its
+    history, new = distinct types in the second half (split by median
+    event_id). inserted = new∖old, deleted = old∖new, unchanged = ∩ —
+    the clean key-set semantics SURVEY §7.4 chooses over the reference's
+    `or`-bugged guards (determine_change_job.py:169-191). Arrays are
+    sorted and joined so the result hashes stably.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    halves = events.withColumn(
+        "half",
+        F.when(
+            F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(
+                Window.partitionBy("user_id")
+            ),
+            F.lit("old"),
+        ).otherwise(F.lit("new")),
+    )
+    sets = (
+        halves.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("half") == "old", F.col("event_type")))
+            ).alias("old_set"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("half") == "new", F.col("event_type")))
+            ).alias("new_set"),
+        )
+    )
+    return (
+        sets.select(
+            "user_id",
+            F.array_join(
+                F.array_sort(F.array_except("new_set", "old_set")), ","
+            ).alias("inserted_attributes"),
+            F.array_join(
+                F.array_sort(F.array_except("old_set", "new_set")), ","
+            ).alias("deleted_attributes"),
+            F.array_join(
+                F.array_sort(F.array_intersect("old_set", "new_set")), ","
+            ).alias("unchanged_attributes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ATTR_DIFF_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+           count(*)    OVER (PARTITION BY user_id)                    AS n
+    FROM events
+), sets AS (
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type) FILTER (rn * 2 <= n))  AS old_set,
+           list_sort(list(DISTINCT event_type) FILTER (rn * 2 > n))   AS new_set
+    FROM ranked
+    GROUP BY user_id
+)
+SELECT user_id,
+       coalesce(array_to_string(list_sort(list_filter(new_set, x -> NOT list_contains(coalesce(old_set, []), x))), ','), '') AS inserted_attributes,
+       coalesce(array_to_string(list_sort(list_filter(old_set, x -> NOT list_contains(coalesce(new_set, []), x))), ','), '') AS deleted_attributes,
+       coalesce(array_to_string(list_sort(list_filter(old_set, x -> list_contains(coalesce(new_set, []), x))), ','), '')     AS unchanged_attributes
+FROM sets
+ORDER BY user_id
+"""
+
+
+def diff_event_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7+P5: build 0..2 audit events per diff and explode — the
+    reference emits EntityAttributeAudit / EntityRelationshipAudit
+    messages (determine_change_job.py:254-400) then flat_maps them
+    (GetResult, :429-433). Here: per user, an 'AttributeAudit' row iff
+    the attribute diff is non-empty and a 'ValueAudit' row iff the value
+    moved between halves; users with neither emit nothing."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+    msgs = per_user.select(
+        "user_id",
+        F.array_compact(
+            F.array(
+                F.when(F.col("n_types") > 1, F.lit("EntityAttributeAudit")),
+                F.when(F.col("min_v") < F.col("max_v"), F.lit("EntityValueAudit")),
+            )
+        ).alias("messages"),
+    )
+    return (
+        msgs.select("user_id", F.explode("messages").alias("event_kind"))
+        .orderBy("user_id", "event_kind")
+    )
+
+
+DIFF_EVENT_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events
+    GROUP BY user_id
+), msgs AS (
+    SELECT user_id,
+           list_filter([
+               CASE WHEN n_types > 1 THEN 'EntityAttributeAudit' END,
+               CASE WHEN min_v < max_v THEN 'EntityValueAudit' END
+           ], x -> x IS NOT NULL) AS messages
+    FROM per_user
+)
+SELECT user_id, unnest(messages) AS event_kind
+FROM msgs
+ORDER BY user_id, event_kind
+"""
+
+
+def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: classify each record ok / dead-letter by a validation rule and
+    count both sides — the reference's per-failure Kafka side channel
+    (get_entity_job.py:60-82) as a single split plan. 'error'-type events
+    with negative value play the poison records."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") < 0),
+                F.lit("dead_letter"),
+            )
+            .otherwise(F.lit("ok"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("channel")
+    )
+
+
+DEAD_LETTER_SQL = """
+SELECT CASE WHEN event_type = 'error' AND value < 0
+            THEN 'dead_letter' ELSE 'ok' END AS channel,
+       count(*) AS n_records
+FROM events
+GROUP BY 1
+ORDER BY channel
+"""
+
+
+QUERIES = {
+    "op_type_filter": op_type_filter,
+    "envelope_validation": envelope_validation,
+    "doc_id_synthesis": doc_id_synthesis,
+    "asof_previous_version": asof_previous_version,
+    "latest_version_per_key": latest_version_per_key,
+    "attribute_diff": attribute_diff,
+    "diff_event_materialization": diff_event_materialization,
+    "dead_letter_split": dead_letter_split,
+}
+
+ORACLES = {
+    "op_type_filter": OP_TYPE_SQL,
+    "envelope_validation": ENVELOPE_SQL,
+    "doc_id_synthesis": DOC_ID_SQL,
+    "asof_previous_version": ASOF_SQL,
+    "latest_version_per_key": LATEST_SQL,
+    "attribute_diff": ATTR_DIFF_SQL,
+    "diff_event_materialization": DIFF_EVENT_SQL,
+    "dead_letter_split": DEAD_LETTER_SQL,
+}

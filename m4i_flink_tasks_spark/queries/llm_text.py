@@ -1,0 +1,159 @@
+"""Text-analysis gate queries over ``documents`` (north-star extension:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Every oracle reproduces the Spark column expressions with DuckDB list
+lambdas in the same evaluation order, so integer hashes match exactly and
+double scores match after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..sources import load_table
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.size(T.regex_tokens(F.col("text"))).alias("n_regex_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '(\w+|[^\w\s])')) AS n_regex_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def _stopword_list_sql(code: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[code]) + "]"
+
+
+_LANG_SCORE_SQL = ", ".join(
+    f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    f"t -> list_contains({_stopword_list_sql(code)}, t))) AS score_{code}"
+    for code in sorted(T.STOPWORDS)
+)
+
+LANGUAGE_ID_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang, {_LANG_SCORE_SQL}
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE
+           WHEN greatest(score_de, score_en, score_es) = 0 THEN 'und'
+           WHEN score_de >= score_en AND score_de >= score_es THEN 'de'
+           WHEN score_en >= score_es THEN 'en'
+           ELSE 'es'
+       END AS predicted_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length/diversity/stopword/punct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(T.distinct_token_ratio(F.col("text")), 6).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+_ALL_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in T.DEFAULT_STOPWORDS) + "]"
+
+QUALITY_SQL = rf"""
+WITH feat AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\s+')        AS toks,
+           string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+           length(text)                                  AS n_chars,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+), ratios AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(ltoks, t -> list_contains({_ALL_STOPWORDS_SQL}, t)))::DOUBLE
+               / greatest(len(ltoks), 1) AS sw_ratio,
+           len(list_distinct(ltoks))::DOUBLE / greatest(len(ltoks), 1) AS d_ratio,
+           n_punct::DOUBLE / greatest(n_chars, 1) AS p_ratio
+    FROM feat
+)
+SELECT doc_id,
+       round(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.3 * d_ratio
+           + 0.3 * least(sw_ratio * 5, 1.0)
+           - 0.2 * least(p_ratio * 10, 1.0), 6) AS quality,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round(d_ratio, 6)  AS distinct_ratio
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint per document + dup-group count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return fp.orderBy("doc_id")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(
+               0::BIGINT,
+               list_transform(
+                   string_split_regex(trim(text), '\s+'),
+                   w -> list_reduce(
+                            list_prepend(0::BIGINT,
+                                list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                            (acc, ch) -> (acc * 31 + ch) % 1000000007)
+               )
+           ),
+           (acc, h) -> (acc * 31 + h) % 1000000007
+       ) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "language_id": language_id,
+    "quality_scores": quality_scores,
+    "document_fingerprints": document_fingerprints,
+}
+
+ORACLES = {
+    "token_stats": TOKEN_STATS_SQL,
+    "language_id": LANGUAGE_ID_SQL,
+    "quality_scores": QUALITY_SQL,
+    "document_fingerprints": FINGERPRINT_SQL,
+}

@@ -1,0 +1,163 @@
+"""Event-time windowing queries — batch-verifiable analogues of the
+Structured Streaming plans in ``streaming/``.
+
+The reference has **no** windowing (SURVEY §2.6); Flink watermarks appear
+only in its didactic example (examples/stream_processing_example.py:42).
+The Spark engine adds real event-time operators: tumbling/sliding windows
+and gap-based sessionization, which in streaming mode run with watermarks
+(see streaming/pipelines.py). The batch forms below are what the DuckDB
+gate verifies — the streaming forms reuse the identical column logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time window per event_type. In streaming this
+    is ``F.window(ts, '1 hour')`` + watermark; date_trunc gives the same
+    bucketing batch-side and in the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+TUMBLING_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_ms, event_type
+"""
+
+
+def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window as hourly buckets + a 3-bucket trailing frame per
+    user — the batch shape of a '3h window sliding 1h'."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ms")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        hourly.select(
+            "user_id",
+            "bucket_ms",
+            F.sum("n").over(w).alias("trailing_3bucket_events"),
+        )
+        .orderBy("user_id", "bucket_ms")
+    )
+
+
+SLIDING_SQL = """
+WITH hourly AS (
+    SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+           user_id,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT user_id,
+       bucket_ms,
+       sum(n) OVER (PARTITION BY user_id ORDER BY bucket_ms
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing_3bucket_events
+FROM hourly
+ORDER BY user_id, bucket_ms
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) per user —
+    gaps-and-islands: new-session flag via lag, session id via running
+    sum. Streaming equivalent: ``F.session_window(ts, '30 minutes')``."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > gap_ms,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_millis(F.min("ts")).alias("session_start_ms"),
+            F.unix_millis(F.max("ts")).alias("session_end_ms"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30 * 60 * 1000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts)) AS session_end_ms
+FROM sessions
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "tumbling_window_counts": tumbling_window_counts,
+    "sliding_window_activity": sliding_window_activity,
+    "session_windows": session_windows,
+}
+
+ORACLES = {
+    "tumbling_window_counts": TUMBLING_SQL,
+    "sliding_window_activity": SLIDING_SQL,
+    "session_windows": SESSION_SQL,
+}

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the local[32] test rig while keeping
+settings that translate to a real multi-executor cluster.
+
+Scale posture (100 TB): everything here is either cluster-neutral (AQE,
+Arrow, UTC) or an explicit local override (driver memory, shuffle
+partitions sized to local cores). On a 1000-executor cluster the same
+plans run unchanged — AQE re-sizes shuffle partitions at runtime and
+handles skew joins, so the hard-coded ``shuffle.partitions`` is only a
+starting hint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "m4i_flink_tasks_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # this is what keeps a static partition count from being wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Start shuffles at the local core count; AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / applyInPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

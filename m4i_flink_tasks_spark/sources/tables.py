@@ -1,0 +1,56 @@
+"""Parquet table loading for the driver-generated TPC-H-ish testdata.
+
+Reference parity: the reference's sources are Kafka topics of JSON strings
+(S1, get_entity_job.py:105-111) plus Elasticsearch / App Search state stores
+(S4-S8). In the Spark engine batch inputs are parquet scans (full predicate
+pushdown + column pruning via Catalyst), and streaming inputs come from
+``streaming.sources`` (rate / file / kafka readStream behind one interface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Plain ``spark.read.parquet`` so Catalyst
+    keeps pushdown/pruning; no caching here — callers decide lifetime.
+
+    ``events.ts`` is a nanosecond parquet timestamp, which Spark rejects
+    by default (PARQUET_TYPE_ILLEGAL). We read it as a long via the
+    runtime-settable legacy conf and floor-convert ns→µs, matching
+    DuckDB's own ns→µs truncation when it scans the same file.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-form queries can run."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,84 @@
+"""Local replica of the driver's DuckDB correctness gate.
+
+Runs a Spark query and its DuckDB oracle on the same sf dir, normalizes
+both result sets (column order by name, row order by all columns, float
+rounding), and diffs them. Used by test_oracle_parity.py so mismatches
+surface locally before the driver's CORRECTNESS_r{N}.json does.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # defensive: collapse sub-round-off noise
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(row[i]) for i in order) for row in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return out
+
+
+def compare(spark, query_fn, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    sdf = query_fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    res = con.execute(oracle_sql)
+    d_cols = [d[0].lower() for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+
+    sn = normalize(s_cols, s_rows)
+    dn = normalize(d_cols, d_rows)
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        if a != b:
+            return False, (
+                f"first diff at normalized row {i}:\n  spark={a}\n  duck ={b}"
+            )
+    return True, "ok"
