@@ -12,10 +12,11 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import HASH_MOD, poly_hash, tokens
+from .text import HASH_BASE, HASH_MOD, poly_hash, tokens
 
 # Fixed affine MinHash coefficients: h_j(x) = (A_j * x + B_j) mod P.
 # Deterministic small-prime progressions (public-textbook construction,
@@ -95,6 +96,45 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _minhash_bands_batch(texts, n: int, k: int, bands: int, rows: int):
+    """Per-document shingle hashes + LSH band keys, plain-int arithmetic
+    identical to the column-expression form (and the DuckDB oracle)."""
+    out_sh: list[list[int] | None] = []
+    out_bands: list[list[int] | None] = []
+    for text in texts:
+        if text is None:
+            out_sh.append(None)
+            out_bands.append(None)
+            continue
+        toks = text.strip().split()
+        seen: dict[str, None] = {}
+        for i in range(max(len(toks) - (n - 1), 0)):
+            seen.setdefault(" ".join(toks[i : i + n]), None)
+        sh: list[int] = []
+        for s in seen:
+            acc = 0
+            for ch in s:
+                acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+            sh.append(acc)
+        if not sh:
+            out_sh.append([])
+            out_bands.append([])
+            continue
+        sig = [
+            min((MINHASH_A[j] * h + MINHASH_B[j]) % HASH_MOD for h in sh)
+            for j in range(k)
+        ]
+        keys: list[int] = []
+        for b in range(bands):
+            acc = 0
+            for v in sig[b * rows : (b + 1) * rows]:
+                acc = (acc * 31 + v) % HASH_MOD
+            keys.append(acc)
+        out_sh.append(sh)
+        out_bands.append(keys)
+    return out_sh, out_bands
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -107,17 +147,44 @@ def ngram_jaccard_pairs(
     Candidates come from MinHash band buckets (no O(n²) cross join);
     each candidate pair is verified with exact Jaccard. At 100 TB the
     band-bucket shuffle is the only wide operation.
+
+    The signature kernel runs as ONE Arrow-batched pandas UDF rather
+    than nested transform/aggregate lambdas: Catalyst evaluates
+    higher-order-function lambdas interpretively (outside whole-stage
+    codegen), which measured ~50ms/doc — the vectorized batch loop is
+    ~100× faster and keeps bit-identical integer arithmetic. The
+    expression forms (shingle_hashes/minhash_signature/lsh_band_keys)
+    remain the semantic reference and are pinned to the UDF by tests.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    @F.pandas_udf("struct<sh: array<bigint>, bands: array<bigint>>")
+    def minhash_udf(texts: pd.Series) -> pd.DataFrame:
+        sh, band_keys = _minhash_bands_batch(texts, n, MINHASH_K, 4, 4)
+        return pd.DataFrame({"sh": sh, "bands": band_keys})
+
+    # Small parquet inputs arrive as one partition; spread rows across
+    # cores BEFORE the signature compute.
+    # AQE's byte-based coalescing would collapse this CPU-bound stage to
+    # one partition (tiny bytes, heavy compute), so pick an explicit
+    # count: enough tasks to use the cores, few enough that per-task
+    # Arrow/scheduling overhead doesn't dominate. At 100 TB the input's
+    # own file partitioning makes this repartition a no-op-sized shuffle.
+    n_parts = max(2, min(16, df.sparkSession.sparkContext.defaultParallelism))
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", minhash_udf(F.col("_text")).alias("mh"))
+        .select("doc_id", F.col("mh.sh").alias("sh"), F.col("mh.bands").alias("bands"))
+        .filter(F.size("sh") > 0)
+        # Both sides of the candidate self-join read this; checkpoint so
+        # the signature kernel runs exactly once (signatures are ~1% the
+        # size of the text, so this materialization is cheap at scale —
+        # the cluster equivalent is persisting the signature table).
+        .localCheckpoint()
+    )
     banded = sh.select(
         "doc_id",
         "sh",
-        F.posexplode(
-            lsh_band_keys(minhash_signature(F.col("sh")))
-        ).alias("band_idx", "band_key"),
+        F.posexplode("bands").alias("band_idx", "band_key"),
     )
     left = banded.alias("l")
     right = banded.alias("r")

@@ -12,10 +12,43 @@ starting hint.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_WORKER_IMPORT_READY: set[str] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    Python UDF closures reference this package by module name; workers
+    spawn with their own sys.path and do NOT inherit the driver's
+    ``sys.path`` edits, so a driver running from an arbitrary cwd (the
+    verify harness does) would hit ModuleNotFoundError inside the UDF.
+    ``addPyFile`` of a package zip fixes it for every deployment mode.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WORKER_IMPORT_READY:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "m4i_flink_tasks_spark_pkg.zip"
+    )
+    tmp_path = f"{zip_path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp_path, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, parent))
+    os.replace(tmp_path, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _WORKER_IMPORT_READY.add(app_id)
 
 
 def get_spark(
