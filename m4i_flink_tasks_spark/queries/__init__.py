@@ -13,7 +13,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import cdc, graph, llm_dedup, llm_similarity, llm_text, relational, state_store, streaming_like
+from . import (
+    cdc,
+    graph,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    pipelines,
+    relational,
+    state_store,
+    streaming_like,
+)
 
 
 _MODULES = (
@@ -22,6 +32,7 @@ _MODULES = (
     state_store,
     graph,
     streaming_like,
+    pipelines,
     llm_dedup,
     llm_similarity,
     llm_text,

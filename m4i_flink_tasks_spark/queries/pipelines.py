@@ -1,0 +1,135 @@
+"""End-to-end Structured Streaming pipeline queries (SURVEY §0, §3).
+
+Each entry replays the ``events`` table as a bounded, time-ordered file
+stream (micro-batched via ``maxFilesPerTrigger``) through one of the
+reference's four jobs re-expressed in ``streaming/``, and returns the
+**final materialized state** — which the DuckDB oracle recomputes as one
+batch SQL statement over the same input. A hash match therefore proves
+the incremental path (keyed state + ``foreachBatch`` merges across
+micro-batches) converges to exactly the batch answer: the streaming/batch
+duality the reference never had (its state lives in Elasticsearch and is
+only eyeballed via stdout, README.md:19-25).
+
+These run real streaming machinery (checkpoints, state store,
+``applyInPandasWithState``), so they are slower than the batch queries —
+they are correctness probes for the pipeline layer, not bench headliners.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _workdir(prefix: str) -> str:
+    # Deliberately not cleaned up here: the returned DataFrame lazily
+    # reads these files when the caller collects it.
+    return tempfile.mkdtemp(prefix=f"m4i_spark_{prefix}_")
+
+
+def stream_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job 2: versioned entity-state store built by keyed upsert per
+    micro-batch (publish_state_job.py:49-104)."""
+    from ..streaming.publish_state import run_publish_state
+
+    final = run_publish_state(spark, sf_dir, _workdir("publish_state"))
+    return final.orderBy("doc_id")
+
+
+PUBLISH_STATE_SQL = """
+WITH ranked AS (
+    SELECT user_id || '_' || epoch_ms(ts) AS doc_id,
+           user_id AS guid,
+           epoch_ms(ts) AS update_time_ms,
+           event_id,
+           event_type,
+           round(value, 6) AS value,
+           props,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+    WHERE props IS NOT NULL
+)
+SELECT doc_id, guid, update_time_ms, event_id, event_type, value, props
+FROM ranked
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def stream_determine_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job 3: per-key stateful CDC — previous version from streaming
+    state, not a per-record store query (determine_change_job.py:194-226)."""
+    from ..streaming.determine_change import run_determine_change
+
+    final = run_determine_change(spark, sf_dir, _workdir("determine_change"))
+    return final.orderBy("event_id")
+
+
+DETERMINE_CHANGE_SQL = """
+SELECT event_id,
+       user_id,
+       round(value, 6) AS value,
+       round(lag(value) OVER w, 6) AS prev_value,
+       epoch_ms(lag(ts) OVER w) AS prev_ts_ms,
+       CASE WHEN lag(ts) OVER w IS NULL THEN 'EntityCreated'
+            WHEN value <> lag(value) OVER w THEN 'EntityValueAudit'
+            ELSE 'EntityUnchanged' END AS change_kind
+FROM events
+WHERE props IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def stream_synchronize_docstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job 4: incrementally maintained denormalized doc store —
+    associative per-batch combine (synchronize_elastic_job.py:55-142)."""
+    from ..streaming.synchronize import run_synchronize
+
+    final = run_synchronize(spark, sf_dir, _workdir("synchronize"))
+    return final.orderBy("guid")
+
+
+SYNCHRONIZE_SQL = """
+WITH ranked AS (
+    SELECT user_id, value, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE props IS NOT NULL
+), agg AS (
+    SELECT user_id AS guid,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+           epoch_ms(max(ts)) AS last_ts_ms
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY user_id
+)
+SELECT agg.guid, agg.n_events, agg.sum_value, agg.min_value, agg.max_value,
+       agg.event_types, agg.last_ts_ms,
+       round(ranked.value, 6) AS last_value,
+       ranked.event_type AS last_event_type
+FROM agg
+JOIN ranked ON ranked.user_id = agg.guid AND ranked.rn = 1
+ORDER BY agg.guid
+"""
+
+
+QUERIES = {
+    "stream_publish_state": stream_publish_state,
+    "stream_determine_change": stream_determine_change,
+    "stream_synchronize_docstore": stream_synchronize_docstore,
+}
+
+ORACLES = {
+    "stream_publish_state": PUBLISH_STATE_SQL,
+    "stream_determine_change": DETERMINE_CHANGE_SQL,
+    "stream_synchronize_docstore": SYNCHRONIZE_SQL,
+}

@@ -1,0 +1,33 @@
+"""Structured Streaming pipelines — the Spark-native re-expression of the
+reference's four PyFlink DataStream jobs (SURVEY §0).
+
+| Reference job (file in /root/reference/)            | Here |
+|-----------------------------------------------------|------|
+| get_entity  (scripts/get_entity_job.py:86-126)      | validated/enriched stream feeding publish_state |
+| publish_state (scripts/publish_state_job.py:107-141)| ``publish_state.run_publish_state`` |
+| determine_change (scripts/determine_change_job.py)  | ``determine_change.run_determine_change`` |
+| synchronize_app_search (scripts/synchronize_elastic_job.py) | ``synchronize.run_synchronize`` |
+
+Design: file-source streams (Kafka swaps in with one reader change),
+``foreachBatch`` sinks with idempotent upsert semantics, and keyed state
+via ``applyInPandasWithState`` replacing the reference's per-record
+Elasticsearch round-trips. Every pipeline runs bounded with
+``trigger(availableNow=True)`` so the DuckDB gate can hash-match the
+final state against batch SQL.
+"""
+
+from .sources import EVENT_STREAM_SCHEMA, events_file_stream, stage_events
+from .store import ParquetUpsertStore
+from .publish_state import run_publish_state
+from .determine_change import run_determine_change
+from .synchronize import run_synchronize
+
+__all__ = [
+    "EVENT_STREAM_SCHEMA",
+    "events_file_stream",
+    "stage_events",
+    "ParquetUpsertStore",
+    "run_publish_state",
+    "run_determine_change",
+    "run_synchronize",
+]

@@ -1,0 +1,71 @@
+"""Streaming sources (SURVEY §2.1 S1/S10/S11).
+
+The reference consumes Kafka topics of JSON strings
+(FlinkKafkaConsumer, get_entity_job.py:105-111). Here the pluggable
+source is a file stream over parquet — the same DataFrame flows from
+``spark.readStream.format("kafka")`` by swapping the reader, because all
+downstream logic operates on typed columns, not on the transport.
+
+``stage_events`` converts the driver's ``events`` table into a staging
+directory of N parquet files ordered by event time, so a test can
+replay it as N micro-batches (``maxFilesPerTrigger=1``) in
+deterministic time order — the bounded stand-in for a time-ordered
+Kafka partition. File modification times are set strictly increasing in
+ts order because FileStreamSource discovers files oldest-first.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# The transport schema: events.ts carried as epoch millis (bigint) so the
+# staging files round-trip without nanosecond-parquet handling.
+EVENT_STREAM_SCHEMA = (
+    "event_id bigint, ts_ms bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stage_events(
+    spark: SparkSession, sf_dir: str, staging_dir: str, n_files: int = 4
+) -> str:
+    """Write the events table as ``n_files`` ts-ordered parquet files."""
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        # Range partitioning on ts puts each contiguous time slice in its
+        # own part file, so part-00000 < part-00001 < ... in event time.
+        .repartitionByRange(n_files, "ts_ms", "event_id")
+        .write.mode("overwrite")
+        .parquet(staging_dir)
+    )
+    parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
+    t0 = time.time() - len(parts) - 1
+    for i, path in enumerate(parts):
+        os.utime(path, (t0 + i, t0 + i))
+    return staging_dir
+
+
+def events_file_stream(
+    spark: SparkSession, staging_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1 stand-in: unbounded read of the staged event files."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    return reader.parquet(staging_dir)
