@@ -44,23 +44,29 @@ def changed_keys(old: Column, new: Column) -> Column:
     return F.array_sort(
         F.filter(
             common,
-            lambda k: ~old.getItem(k).eqNullSafe(new.getItem(k)),
+            lambda k: ~F.element_at(old, k).eqNullSafe(F.element_at(new, k)),
         )
     )
 
 
-def _empty_rel_map(like: Column) -> Column:
-    return F.coalesce(like, F.map_from_entries(F.array()))
+def _emptied(like: Column) -> Column:
+    """Same map type as ``like`` with every value -> [] — a typed 'empty'
+    stand-in for a NULL side (an untyped empty-map literal fails
+    analysis, and map_zip_with over a NULL map yields NULL)."""
+    return F.transform_values(like, lambda _, v: F.slice(v, 1, 0))
 
 
 def inserted_relationships(old: Column, new: Column) -> Column:
     """D5 get_added_relationships: per relationship key, elements of the
     new list not in the old list (set semantics); keys with no additions
-    are dropped."""
+    are dropped. A NULL old side (CREATE path) counts every element as
+    added; a NULL new side (DELETE path) yields no additions."""
+    old2 = F.coalesce(old, _emptied(new))
+    new2 = F.coalesce(new, _emptied(old))
     return F.map_filter(
         F.map_zip_with(
-            _empty_rel_map(new),
-            _empty_rel_map(old),
+            new2,
+            old2,
             lambda _, n, o: F.array_except(
                 F.coalesce(n, F.array()), F.coalesce(o, F.array())
             ),

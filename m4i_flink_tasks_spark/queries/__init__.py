@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     cdc,
+    doc_maintenance,
     graph,
     llm_dedup,
     llm_similarity,
@@ -31,6 +32,7 @@ _MODULES = (
     cdc,
     state_store,
     graph,
+    doc_maintenance,
     streaming_like,
     pipelines,
     llm_dedup,
