@@ -1,0 +1,263 @@
+"""G26-G28 — the synchronize_app_search event dispatcher as one
+set-at-a-time micro-batch plan (SURVEY §2.5, §3.3).
+
+Reference: ``SynchronizeAppsearch.map`` (synchronize_elastic_job.py:66-121)
+dispatches each EntityMessage to handlers that issue dozens of per-doc
+store reads and writes (handle_inserted_relationships
+synchronize_app_search.py:334-398, handle_deleted_relationships
+:401-464, handle_updated/deleted_attributes :491-562, create_doc
+:565-592, delete :111-113), collapsing repeated doc updates through the
+``updated_docs`` dict (D9).
+
+Here the whole micro-batch is **one dataflow**: events are split by
+type into branch plans, every per-doc point read becomes a join against
+the pre-batch store snapshot, descendant walks become ``array_contains``
+joins, and all branch outputs union into a single last-writer-wins
+collapse feeding one keyed merge (the Delta-MERGE contract of
+``streaming.store``).
+
+Batch semantics (SURVEY §7.5 choice, documented): every branch reads
+the PRE-BATCH snapshot; effects of one event on another event's docs
+within the same batch resolve via the D9 collapse (branch priority =
+create < attribute < rel-insert < rel-delete), and multi-level cascades
+land on the following batch. This matches the reference's behavior for
+distinct target docs and makes intra-batch collisions deterministic —
+the reference's outcome depends on event arrival order.
+
+Parity notes: the ``direct_change`` gate (:74-76) is applied first;
+``EntityDeleted`` produces store deletes (Q7, :111-113).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.docstore import (
+    apply_attribute_updates,
+    classify_relationship,
+    clear_breadcrumb,
+    collapse_last_writer_wins,
+    create_docs,
+    define_breadcrumb,
+    delete_breadcrumb_prefix,
+    inherit_derived_fields,
+    insert_breadcrumb_prefix,
+    orient_parent_child,
+    rename_in_breadcrumbs,
+    rename_in_derived_fields,
+    uninherit_derived_fields,
+)
+from ..schemas import APP_SEARCH_DOC, UPDATE_ATTRIBUTES
+
+_DOC_COLS = [f.name for f in APP_SEARCH_DOC.fields]
+
+
+def _as_doc_rows(df: DataFrame, priority: int) -> DataFrame:
+    return df.select(*_DOC_COLS).withColumn("_prio", F.lit(priority))
+
+
+def _exploded_relationships(msgs: DataFrame, field: str) -> DataFrame:
+    """Explode one relationship-diff map into classified, oriented edge
+    rows: (self_guid, self_type, rel_key, target guid/type, class, orientation)."""
+    exploded = (
+        msgs.select(
+            F.col("guid").alias("self_guid"),
+            F.col("type_name").alias("self_type"),
+            F.explode(field).alias("rel_key", "targets"),
+        )
+        .select(
+            "self_guid",
+            "self_type",
+            "rel_key",
+            F.explode("targets").alias("t"),
+        )
+        .select(
+            "self_guid",
+            "self_type",
+            "rel_key",
+            F.col("t.guid").alias("target_guid"),
+            F.col("t.type_name").alias("target_type"),
+        )
+    )
+    return exploded.withColumn(
+        "cls",
+        classify_relationship(
+            F.col("rel_key"), F.col("self_type"), F.col("target_type")
+        ),
+    ).withColumn(
+        "pc",
+        orient_parent_child(
+            F.col("rel_key"),
+            F.col("self_guid"),
+            F.col("self_type"),
+            F.col("target_guid"),
+            F.col("target_type"),
+        ),
+    )
+
+
+def _parent_child_links(edges: DataFrame) -> DataFrame:
+    """Distinct (child_guid, parent_guid) pairs from classified edges."""
+    return (
+        edges.filter(F.col("cls.parent_child"))
+        .select(
+            F.col("pc.child_guid").alias("child_guid"),
+            F.col("pc.parent_guid").alias("new_parentguid"),
+        )
+        .distinct()
+    )
+
+
+def synchronize_batch(
+    messages: DataFrame, docs: DataFrame, type_closure: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of EntityMessages against the doc store snapshot.
+
+    Returns ``(upserts, delete_keys)`` for the store merge: upserts are
+    full doc rows (D9-collapsed), delete_keys is a one-column ``guid``
+    frame.
+    """
+    msgs = messages.filter(F.col("direct_change"))  # gate, :74-76
+
+    # --- deletes (Q7) -----------------------------------------------------
+    delete_keys = (
+        msgs.filter(F.col("event_type") == "EntityDeleted").select("guid").distinct()
+    )
+
+    # --- creates (G23 + G9/G15 against existing parents) ------------------
+    created = create_docs(
+        msgs.filter(F.col("event_type") == "EntityCreated"), type_closure
+    )
+    created = define_breadcrumb(created, docs)
+    created = inherit_derived_fields(created, docs)
+    branches = [_as_doc_rows(created, 0)]
+
+    # --- attribute updates/deletes (G24/G25 + rename cascade G20/G21) -----
+    attr_msgs = msgs.filter(F.col("event_type") == "EntityAttributeAudit")
+    touched = F.array_union(
+        F.col("inserted_attributes"), F.col("changed_attributes")
+    )
+    updates = attr_msgs.select(
+        "guid",
+        *[
+            F.when(
+                F.array_contains(touched, attr), F.col("new_value.attributes")[attr]
+            ).alias(attr)
+            for attr in ("name", *UPDATE_ATTRIBUTES)
+        ],
+        F.array_contains(F.col("deleted_attributes"), "name").alias("name_deleted"),
+    )
+    attr_docs = docs.join(
+        F.broadcast(updates.select("guid")).distinct(), "guid", "left_semi"
+    )
+    branches.append(_as_doc_rows(apply_attribute_updates(attr_docs, updates), 1))
+
+    # Rename cascade: docs referencing a renamed guid get the new name
+    # spliced into breadcrumbname / derived name arrays (G20/G21) — an
+    # array_contains join instead of the reference's per-doc Q3/Q4 queries.
+    renames = updates.filter(F.col("name").isNotNull()).select(
+        F.col("guid").alias("renamed_guid"), F.col("name").alias("new_name")
+    )
+    bc_referrers = docs.join(
+        F.broadcast(renames),
+        F.array_contains(F.col("breadcrumbguid"), F.col("renamed_guid")),
+    )
+    bc_renamed = rename_in_breadcrumbs(
+        bc_referrers, F.col("renamed_guid"), F.col("new_name")
+    )
+    bc_renamed = rename_in_derived_fields(
+        bc_renamed, F.col("renamed_guid"), F.col("new_name")
+    )
+    branches.append(_as_doc_rows(bc_renamed, 2))
+
+    # --- inserted relationships (G26) -------------------------------------
+    rel_ins = _exploded_relationships(
+        msgs.filter(
+            F.col("event_type").isin(
+                "EntityRelationshipAudit", "EntityCreated"
+            )
+        ),
+        "inserted_relationships",
+    )
+    links = _parent_child_links(rel_ins)
+    children = (
+        docs.join(F.broadcast(links), docs["guid"] == links["child_guid"])
+        .drop("child_guid")
+        .withColumn("parentguid", F.col("new_parentguid"))
+        .drop("new_parentguid")
+    )
+    children = define_breadcrumb(children, docs)
+    children = inherit_derived_fields(children, docs)
+    branches.append(_as_doc_rows(children, 3))
+
+    # Descendant propagation (Q2 -> G12): every doc whose breadcrumb
+    # contains a newly-linked child gets that child's new parent
+    # prefix-inserted.
+    new_ancestors = links.join(
+        docs.select(
+            F.col("guid").alias("new_parentguid"),
+            F.col("name").alias("anc_name"),
+            F.col("typename").alias("anc_type"),
+        ),
+        "new_parentguid",
+    )
+    desc_ins = docs.join(
+        F.broadcast(new_ancestors),
+        F.array_contains(F.col("breadcrumbguid"), F.col("child_guid")),
+    )
+    desc_ins = insert_breadcrumb_prefix(
+        desc_ins, F.col("new_parentguid"), F.col("anc_name"), F.col("anc_type")
+    )
+    branches.append(_as_doc_rows(desc_ins, 4))
+
+    # Governance roles (G8 -> G17).
+    gov = rel_ins.filter(F.col("cls.governance_role")).select(
+        F.col("self_guid").alias("guid"),
+        F.col("rel_key").alias("role_key"),
+        F.col("target_guid").alias("person_guid"),
+    )
+    gov_docs = docs.join(F.broadcast(gov), "guid")
+    from ..operators.docstore import apply_governance_role
+
+    gov_applied = apply_governance_role(
+        gov_docs, F.col("role_key"), F.col("person_guid")
+    )
+    branches.append(_as_doc_rows(gov_applied, 5))
+
+    # --- deleted relationships (G27, the path the reference's missing
+    # awaits never ran) -----------------------------------------------------
+    rel_del = _exploded_relationships(
+        msgs.filter(F.col("event_type") == "EntityRelationshipAudit"),
+        "deleted_relationships",
+    )
+    del_links = _parent_child_links(rel_del)
+    orphaned = docs.join(
+        F.broadcast(del_links), docs["guid"] == del_links["child_guid"]
+    ).drop("child_guid")
+    orphaned = uninherit_derived_fields(
+        orphaned.withColumn("parentguid", F.col("new_parentguid")).drop(
+            "new_parentguid"
+        ),
+        docs,
+    )
+    orphaned = clear_breadcrumb(orphaned)
+    branches.append(_as_doc_rows(orphaned, 6))
+
+    # Descendants of an orphaned child lose the removed ancestor prefix
+    # (Q2 -> G13).
+    desc_del = docs.join(
+        F.broadcast(del_links.select("child_guid", "new_parentguid")),
+        F.array_contains(F.col("breadcrumbguid"), F.col("child_guid")),
+    )
+    desc_del = delete_breadcrumb_prefix(desc_del, F.col("new_parentguid"))
+    branches.append(_as_doc_rows(desc_del, 7))
+
+    # --- D9 collapse ------------------------------------------------------
+    all_updates = branches[0]
+    for b in branches[1:]:
+        all_updates = all_updates.unionByName(b)
+    upserts = collapse_last_writer_wins(all_updates, "_prio")
+    # drop docs that are also deleted in this batch
+    upserts = upserts.join(F.broadcast(delete_keys), "guid", "left_anti")
+    return upserts, delete_keys

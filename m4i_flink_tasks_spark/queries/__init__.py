@@ -18,6 +18,7 @@ from . import (
     doc_maintenance,
     graph,
     llm_dedup,
+    llm_multimodal,
     llm_similarity,
     llm_text,
     pipelines,
@@ -38,6 +39,7 @@ _MODULES = (
     llm_dedup,
     llm_similarity,
     llm_text,
+    llm_multimodal,
 )
 
 

@@ -1,0 +1,215 @@
+"""End-to-end test of the G26-G28 micro-batch dispatcher — the hermetic
+version of the reference's commented-out golden tests
+(test__synchronize_app_search.py:31-224, :227-420): one batch of mixed
+EntityMessages against a seeded doc store must produce exactly the
+expected doc upserts and deletes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m4i_flink_tasks_spark.functions.hierarchy import supertype_closure_df
+from m4i_flink_tasks_spark.plans import synchronize_batch
+from m4i_flink_tasks_spark.schemas import ENTITY_MESSAGE
+
+from .test_docstore import make_docs
+
+_MSG_DEFAULTS = dict(
+    type_name="m4i_data_entity",
+    qualified_name=None,
+    guid=None,
+    original_event_type=None,
+    event_type=None,
+    direct_change=True,
+    inserted_attributes=[],
+    changed_attributes=[],
+    deleted_attributes=[],
+    inserted_relationships={},
+    changed_relationships={},
+    deleted_relationships={},
+    old_value=None,
+    new_value=None,
+)
+
+
+def _entity(guid, type_name, attributes, relationships=None):
+    return (
+        guid, type_name, f"qn://{guid}", attributes, relationships or {},
+        1000, 2000, "u", "u", "ACTIVE", False, 0, 1, [], [], [], None, None,
+    )
+
+
+def _rel(guid, type_name):
+    return (guid, type_name, "ACTIVE", guid, None, f"r_{guid}", "ACTIVE", {}, {})
+
+
+def make_messages(spark, *rows: dict):
+    full = []
+    for row in rows:
+        d = dict(_MSG_DEFAULTS)
+        d.update(row)
+        d.setdefault("qualified_name", f"qn://{d['guid']}")
+        full.append(tuple(d[f.name] for f in ENTITY_MESSAGE.fields))
+    return spark.createDataFrame(full, ENTITY_MESSAGE)
+
+
+@pytest.fixture()
+def seeded_store(spark):
+    return make_docs(
+        spark,
+        dict(guid="d1", typename="m4i_data_domain", name="Domain1",
+             referenceablequalifiedname="qn://d1", sourcetype="Business",
+             deriveddomainleadguid="lead0"),
+        dict(guid="e1", typename="m4i_data_entity", name="Entity1",
+             referenceablequalifiedname="qn://e1", parentguid="d1",
+             breadcrumbguid=["d1"], breadcrumbname=["Domain1"],
+             breadcrumbtype=["m4i_data_domain"]),
+        dict(guid="e3", typename="m4i_data_entity", name="Entity3",
+             referenceablequalifiedname="qn://e3", parentguid="d1",
+             breadcrumbguid=["d1"], breadcrumbname=["Domain1"],
+             breadcrumbtype=["m4i_data_domain"]),
+        dict(guid="e9", typename="m4i_data_entity", name="Entity9",
+             referenceablequalifiedname="qn://e9"),
+        dict(guid="a9", typename="m4i_data_attribute", name="Attr9",
+             referenceablequalifiedname="qn://a9", parentguid="e9",
+             breadcrumbguid=["e9"], breadcrumbname=["Entity9"],
+             breadcrumbtype=["m4i_data_entity"]),
+        dict(guid="x9", typename="m4i_dataset", name="Gone",
+             referenceablequalifiedname="qn://x9"),
+    )
+
+
+def _run(spark, store, *rows):
+    closure = supertype_closure_df(spark)
+    upserts, deletes = synchronize_batch(
+        make_messages(spark, *rows), store, closure
+    )
+    return (
+        {r.guid: r for r in upserts.collect()},
+        {r.guid for r in deletes.collect()},
+    )
+
+
+def test_create_event_builds_doc_under_parent(spark, seeded_store):
+    ups, dels = _run(
+        spark,
+        seeded_store,
+        dict(
+            guid="a1",
+            type_name="m4i_data_attribute",
+            event_type="EntityCreated",
+            inserted_attributes=["name"],
+            new_value=_entity(
+                "a1", "m4i_data_attribute", {"name": "NewAttr"},
+                {"parentEntity": [_rel("e1", "m4i_data_entity")]},
+            ),
+        ),
+    )
+    assert dels == set()
+    doc = ups["a1"]
+    assert doc.name == "NewAttr"
+    assert doc.parentguid == "e1"
+    # breadcrumb extends the parent's path (G9)
+    assert doc.breadcrumbguid == ["d1", "e1"]
+    assert doc.breadcrumbname == ["Domain1", "Entity1"]
+    assert doc.sourcetype == "Business"
+    assert doc.m4isourcetype == ["m4i_data_attribute"]
+
+
+def test_rename_cascades_to_descendants(spark, seeded_store):
+    ups, _ = _run(
+        spark,
+        seeded_store,
+        dict(
+            guid="d1",
+            type_name="m4i_data_domain",
+            event_type="EntityAttributeAudit",
+            changed_attributes=["name"],
+            new_value=_entity("d1", "m4i_data_domain", {"name": "DomainX"}),
+        ),
+    )
+    # own doc renamed + the 2 descendants' breadcrumbname slots rewritten
+    assert ups["d1"].name == "DomainX"
+    assert ups["e1"].breadcrumbname == ["DomainX"]
+    assert ups["e3"].breadcrumbname == ["DomainX"]
+    assert set(ups) == {"d1", "e1", "e3"}
+
+
+def test_inserted_parent_link_rebases_child_and_descendants(spark, seeded_store):
+    ups, _ = _run(
+        spark,
+        seeded_store,
+        dict(
+            guid="d1",
+            type_name="m4i_data_domain",
+            event_type="EntityRelationshipAudit",
+            inserted_relationships={
+                "childEntities": [_rel("e9", "m4i_data_entity")]
+            },
+        ),
+    )
+    # the child is rebased under d1 (G9/G10/G15)...
+    assert ups["e9"].parentguid == "d1"
+    assert ups["e9"].breadcrumbguid == ["d1"]
+    # ...and its descendant gains the new ancestor prefix (Q2 -> G12)
+    assert ups["a9"].breadcrumbguid == ["d1", "e9"]
+    assert set(ups) == {"e9", "a9"}
+
+
+def test_deleted_parent_link_clears_child_and_descendants(spark, seeded_store):
+    ups, _ = _run(
+        spark,
+        seeded_store,
+        dict(
+            guid="e9",
+            type_name="m4i_data_entity",
+            event_type="EntityRelationshipAudit",
+            deleted_relationships={
+                "parentDomain": [_rel("d1", "m4i_data_domain")]
+            },
+        ),
+    )
+    # G27: the orphaned child loses parent + breadcrumbs... (the path the
+    # reference's missing awaits never executed)
+    assert ups["e9"].parentguid is None
+    assert ups["e9"].breadcrumbguid == []
+    # a9's breadcrumb [e9] does not contain d1's child guid... wait: the
+    # descendant walk keys on docs whose breadcrumb contains e9 — a9
+    # keeps e9 but drops nothing since d1 wasn't in its path.
+    assert "a9" not in ups or ups["a9"].breadcrumbguid == ["e9"]
+
+
+def test_governance_role_and_delete_in_one_batch(spark, seeded_store):
+    ups, dels = _run(
+        spark,
+        seeded_store,
+        dict(
+            guid="d1",
+            type_name="m4i_data_domain",
+            event_type="EntityRelationshipAudit",
+            inserted_relationships={"domainLead": [_rel("p7", "m4i_person")]},
+        ),
+        dict(guid="x9", type_name="m4i_dataset", event_type="EntityDeleted"),
+    )
+    assert dels == {"x9"}
+    assert "x9" not in ups
+    assert ups["d1"].deriveddomainleadguid == "p7"
+    assert ups["d1"].derivedpersonguid == ["p7"]
+
+
+def test_indirect_changes_are_gated_out(spark, seeded_store):
+    ups, dels = _run(
+        spark,
+        seeded_store,
+        dict(
+            guid="d1",
+            type_name="m4i_data_domain",
+            event_type="EntityAttributeAudit",
+            direct_change=False,
+            changed_attributes=["name"],
+            new_value=_entity("d1", "m4i_data_domain", {"name": "Nope"}),
+        ),
+    )
+    assert ups == {} and dels == set()
