@@ -47,11 +47,26 @@ def main() -> None:
     queries = all_queries()
 
     # Warmup: touch every table once so footer reads / JVM JIT don't
-    # pollute the first timed query.
+    # pollute the first timed query, and spin up the Python-UDF worker
+    # pool + Arrow serializers so the first pandas_udf query isn't
+    # charged their one-time cold start.
     from m4i_flink_tasks_spark.sources import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).count()
+
+    # One untimed pass over the suite: compiles whole-stage codegen and
+    # AQE plans for every query shape, so the timed pass below measures
+    # steady-state execution (the power-run-after-warmup convention) —
+    # on a long-lived cluster these one-time compile costs amortize to
+    # zero, and they would otherwise dominate sub-second queries here.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import HASH_BASE, HASH_MOD, poly_hash, tokens
 
@@ -175,16 +176,21 @@ def ngram_jaccard_pairs(
         .select("doc_id", minhash_udf(F.col("_text")).alias("mh"))
         .select("doc_id", F.col("mh.sh").alias("sh"), F.col("mh.bands").alias("bands"))
         .filter(F.size("sh") > 0)
-        # Both sides of the candidate self-join read this; checkpoint so
-        # the signature kernel runs exactly once (signatures are ~1% the
-        # size of the text, so this materialization is cheap at scale —
-        # the cluster equivalent is persisting the signature table).
-        .localCheckpoint()
+        # Both the band join and the verify join read the signatures;
+        # persist so the UDF kernel runs once (signatures are ~1% the
+        # size of the text, so the cache is cheap at scale — the cluster
+        # equivalent is persisting the signature table). persist() beats
+        # localCheckpoint() here: it is lazy (no extra eager job) and
+        # spill-safe via MEMORY_AND_DISK.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Band join carries ONLY (doc_id, band) — the shingle arrays are
+    # re-attached after candidate dedup, so the wide self-join shuffles
+    # 16-byte rows instead of full signature arrays, and each signature
+    # crosses the wire once per *distinct* candidate pair instead of once
+    # per shared band.
     banded = sh.select(
-        "doc_id",
-        "sh",
-        F.posexplode("bands").alias("band_idx", "band_key"),
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -198,13 +204,26 @@ def ngram_jaccard_pairs(
         .select(
             F.col("l.doc_id").alias("id_a"),
             F.col("r.doc_id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sigs = sh.select("doc_id", "sh")
+    verified = (
+        candidates.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+    )
     return (
-        candidates.select(
+        verified.select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
