@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     cdc,
     doc_maintenance,
+    extended_relational,
     graph,
     llm_dedup,
     llm_multimodal,
@@ -30,6 +31,7 @@ from . import (
 
 _MODULES = (
     relational,
+    extended_relational,
     cdc,
     state_store,
     graph,

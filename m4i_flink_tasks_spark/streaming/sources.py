@@ -36,7 +36,15 @@ EVENT_STREAM_SCHEMA = (
 def stage_events(
     spark: SparkSession, sf_dir: str, staging_dir: str, n_files: int = 4
 ) -> str:
-    """Write the events table as ``n_files`` ts-ordered parquet files."""
+    """Write the events table as ``n_files`` ts-ordered parquet files.
+
+    Idempotent: an already-staged directory is returned untouched — the
+    staging dir models an immutable Kafka topic, so a restarted job must
+    see the SAME files (re-staging would mint new file names that the
+    checkpointed FileStreamSource would re-ingest as new data).
+    """
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        return staging_dir
     events = load_table(spark, sf_dir, "events")
     (
         events.select(

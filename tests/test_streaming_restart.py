@@ -1,0 +1,51 @@
+"""Hardening tests (SURVEY §7.1 step 7): checkpoint restart and
+idempotent re-delivery.
+
+The reference is at-least-once with idempotency only where the doc id
+happens to be deterministic (publish_state_job.py:77); a crashed job
+re-reads from the last committed Kafka offset and re-applies effects.
+Here: re-running a completed pipeline against its existing checkpoint
+must be a no-op, and replaying a batch into the store must converge
+(effectively-once end to end).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from m4i_flink_tasks_spark.streaming.publish_state import run_publish_state
+from m4i_flink_tasks_spark.streaming.store import ParquetUpsertStore
+
+
+def test_publish_state_restart_is_noop(spark, sf_dir):
+    workdir = tempfile.mkdtemp(prefix="m4i_restart_")
+    first = run_publish_state(spark, sf_dir, workdir)
+    rows_first = first.count()
+    store_root = os.path.join(workdir, "entity_state")
+    versions_first = len(
+        [d for d in os.listdir(store_root) if d.startswith("v")]
+    )
+
+    # "Restart" the job with the same checkpoint: the file source finds
+    # no new files, so no batch runs and no store version is written.
+    second = run_publish_state(spark, sf_dir, workdir)
+    assert second.count() == rows_first
+    versions_second = len(
+        [d for d in os.listdir(store_root) if d.startswith("v")]
+    )
+    assert versions_second == versions_first
+
+
+def test_store_replay_converges(spark):
+    # At-least-once delivery: applying the same micro-batch merge twice
+    # must leave the store byte-identical (the keyed-merge idempotency
+    # the reference only gets from deterministic ES doc ids).
+    root = tempfile.mkdtemp(prefix="m4i_replay_")
+    store = ParquetUpsertStore(spark, root, key_cols=["k"])
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.merge(batch)
+    once = sorted(map(tuple, store.current().collect()))
+    store.merge(batch)  # redelivery
+    twice = sorted(map(tuple, store.current().collect()))
+    assert once == twice
