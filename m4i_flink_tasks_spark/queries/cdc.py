@@ -296,13 +296,14 @@ ORDER BY user_id, event_kind
 def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: classify each record ok / dead-letter by a validation rule and
     count both sides — the reference's per-failure Kafka side channel
-    (get_entity_job.py:60-82) as a single split plan. 'error'-type events
-    with negative value play the poison records."""
+    (get_entity_job.py:60-82) as a single split plan. Sub-threshold
+    'error' events play the poison records (same rule as the streaming
+    pipeline's dead-letter channel, streaming/publish_state.py)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.select(
             F.when(
-                (F.col("event_type") == "error") & (F.col("value") < 0),
+                (F.col("event_type") == "error") & (F.col("value") < 1.0),
                 F.lit("dead_letter"),
             )
             .otherwise(F.lit("ok"))
@@ -315,7 +316,7 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEAD_LETTER_SQL = """
-SELECT CASE WHEN event_type = 'error' AND value < 0
+SELECT CASE WHEN event_type = 'error' AND value < 1.0
             THEN 'dead_letter' ELSE 'ok' END AS channel,
        count(*) AS n_records
 FROM events

@@ -31,14 +31,17 @@ def _workdir(prefix: str) -> str:
 
 def stream_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job 2: versioned entity-state store built by keyed upsert per
-    micro-batch (publish_state_job.py:49-104)."""
+    micro-batch (publish_state_job.py:49-104); poison records divert to
+    the dead-letter channel (see stream_dead_letter_box)."""
     from ..streaming.publish_state import run_publish_state
 
-    final = run_publish_state(spark, sf_dir, _workdir("publish_state"))
+    final, _dead = run_publish_state(spark, sf_dir, _workdir("publish_state"))
     return final.orderBy("doc_id")
 
 
-PUBLISH_STATE_SQL = """
+_POISON_SQL = "(props IS NULL OR (event_type = 'error' AND value < 1.0))"
+
+PUBLISH_STATE_SQL = f"""
 WITH ranked AS (
     SELECT user_id || '_' || epoch_ms(ts) AS doc_id,
            user_id AS guid,
@@ -50,12 +53,36 @@ WITH ranked AS (
            row_number() OVER (PARTITION BY user_id, ts
                               ORDER BY event_id DESC) AS rn
     FROM events
-    WHERE props IS NOT NULL
+    WHERE NOT {_POISON_SQL}
 )
 SELECT doc_id, guid, update_time_ms, event_id, event_type, value, props
 FROM ranked
 WHERE rn = 1
 ORDER BY doc_id
+"""
+
+
+def stream_dead_letter_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the dead-letter side channel of the publish_state run — one
+    DeadLetterBox record per poison input (get_entity_job.py:60-82,
+    DeadLetterBoxMessage.py:12-18)."""
+    from ..streaming.publish_state import run_publish_state
+
+    _final, dead = run_publish_state(spark, sf_dir, _workdir("dead_letter"))
+    return dead.orderBy("event_id")
+
+
+DEAD_LETTER_BOX_SQL = f"""
+SELECT epoch_ms(ts) AS timestamp_ms,
+       '{{"event_id":' || event_id || ',"user_id":' || user_id
+           || ',"event_type":"' || event_type || '"}}' AS original_notification,
+       'publish_state' AS job,
+       CASE WHEN props IS NULL THEN 'missing payload'
+            ELSE 'sub-threshold error value' END AS description,
+       event_id
+FROM events
+WHERE {_POISON_SQL}
+ORDER BY event_id
 """
 
 
@@ -122,14 +149,39 @@ ORDER BY agg.guid
 """
 
 
+def stream_windowed_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows, update-mode merged — the
+    final store must equal the one-shot batch aggregation
+    (streaming/windowed.py)."""
+    from ..streaming.windowed import run_windowed_counts
+
+    final = run_windowed_counts(spark, sf_dir, _workdir("windowed"))
+    return final.orderBy("window_start_ms", "event_type")
+
+
+WINDOWED_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start_ms, event_type
+"""
+
+
 QUERIES = {
     "stream_publish_state": stream_publish_state,
+    "stream_dead_letter_box": stream_dead_letter_box,
     "stream_determine_change": stream_determine_change,
     "stream_synchronize_docstore": stream_synchronize_docstore,
+    "stream_windowed_aggregation": stream_windowed_aggregation,
 }
 
 ORACLES = {
     "stream_publish_state": PUBLISH_STATE_SQL,
+    "stream_dead_letter_box": DEAD_LETTER_BOX_SQL,
     "stream_determine_change": DETERMINE_CHANGE_SQL,
     "stream_synchronize_docstore": SYNCHRONIZE_SQL,
+    "stream_windowed_aggregation": WINDOWED_SQL,
 }

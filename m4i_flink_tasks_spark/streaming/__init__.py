@@ -21,6 +21,7 @@ from .store import ParquetUpsertStore
 from .publish_state import run_publish_state
 from .determine_change import run_determine_change
 from .synchronize import run_synchronize
+from .windowed import run_windowed_counts
 
 __all__ = [
     "EVENT_STREAM_SCHEMA",
@@ -30,4 +31,5 @@ __all__ = [
     "run_publish_state",
     "run_determine_change",
     "run_synchronize",
+    "run_windowed_counts",
 ]

@@ -42,11 +42,43 @@ from .sources import events_file_stream, stage_events
 from .store import ParquetUpsertStore
 
 
+def is_poison(stream: DataFrame) -> F.Column:
+    """S3 dead-letter classification (the reference raises inside the
+    operator and ships the failure to DEAD_LETTER_BOX,
+    publish_state_job.py:88-104 / get_entity_job.py:60-82). Poison =
+    missing payload (P4) or a sub-threshold error event (the rule is
+    chosen so the channel is non-empty at every test scale)."""
+    return F.col("props").isNull() | (
+        (F.col("event_type") == "error") & (F.col("value") < 1.0)
+    )
+
+
+def dead_letter_rows(stream: DataFrame) -> DataFrame:
+    """DeadLetterBox-shaped records (DeadLetterBoxMessage.py:12-18):
+    the original notification plus job name and failure description.
+    The reference's wall-clock ``timestamp`` is replaced by the event's
+    own time so replays are deterministic."""
+    # Int/string fields only in the serialized notification: float
+    # rendering differs across engines, which would break the oracle
+    # hash for no semantic gain.
+    return stream.filter(is_poison(stream)).select(
+        F.col("ts_ms").alias("timestamp_ms"),
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias(
+            "original_notification"
+        ),
+        F.lit("publish_state").alias("job"),
+        F.when(F.col("props").isNull(), F.lit("missing payload"))
+        .otherwise(F.lit("sub-threshold error value"))
+        .alias("description"),
+        F.col("event_id"),
+    )
+
+
 def entity_state_rows(stream: DataFrame) -> DataFrame:
     """The validated, doc-id-keyed projection (P4 + P12 + D9 collapse)."""
     return (
-        # P4 envelope validation: drop records missing the payload.
-        stream.filter(F.col("props").isNotNull())
+        # P4 envelope validation + poison split (the dead-letter side).
+        stream.filter(~is_poison(stream))
         # P12 doc-id synthesis (publish_state_job.py:77).
         .select(
             F.concat_ws("_", F.col("user_id"), F.col("ts_ms")).alias("doc_id"),
@@ -66,13 +98,23 @@ def run_publish_state(
     workdir: str,
     n_files: int = 4,
     max_files_per_trigger: int | None = 2,
-) -> DataFrame:
-    """Run the bounded stream to completion; return the final state table."""
+) -> tuple[DataFrame, DataFrame]:
+    """Run the bounded stream to completion.
+
+    Returns ``(entity_state, dead_letters)`` — one input stream split
+    into the success sink and the dead-letter side channel inside the
+    same ``foreachBatch`` transaction scope (two filters over one batch,
+    not a second consumer; the Spark shape of the reference's in-operator
+    KafkaProducer side channel, S3).
+    """
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
     store = ParquetUpsertStore(
         spark, os.path.join(workdir, "entity_state"), key_cols=["doc_id"]
+    )
+    dead_store = ParquetUpsertStore(
+        spark, os.path.join(workdir, "dead_letter_box"), key_cols=["event_id"]
     )
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
@@ -90,6 +132,7 @@ def run_publish_state(
             .drop("_rn")
         )
         store.merge(collapsed)
+        dead_store.merge(dead_letter_rows(batch))
 
     query = (
         events_file_stream(spark, staging, max_files_per_trigger)
@@ -102,4 +145,11 @@ def run_publish_state(
 
     final = store.current()
     assert final is not None
-    return final
+    dead = dead_store.current()
+    if dead is None:
+        dead = spark.createDataFrame(
+            [],
+            "timestamp_ms bigint, original_notification string, job string, "
+            "description string, event_id bigint",
+        )
+    return final, dead

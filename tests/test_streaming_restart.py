@@ -20,7 +20,7 @@ from m4i_flink_tasks_spark.streaming.store import ParquetUpsertStore
 
 def test_publish_state_restart_is_noop(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="m4i_restart_")
-    first = run_publish_state(spark, sf_dir, workdir)
+    first, _dead = run_publish_state(spark, sf_dir, workdir)
     rows_first = first.count()
     store_root = os.path.join(workdir, "entity_state")
     versions_first = len(
@@ -29,7 +29,7 @@ def test_publish_state_restart_is_noop(spark, sf_dir):
 
     # "Restart" the job with the same checkpoint: the file source finds
     # no new files, so no batch runs and no store version is written.
-    second = run_publish_state(spark, sf_dir, workdir)
+    second, _dead2 = run_publish_state(spark, sf_dir, workdir)
     assert second.count() == rows_first
     versions_second = len(
         [d for d in os.listdir(store_root) if d.startswith("v")]
