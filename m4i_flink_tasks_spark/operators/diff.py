@@ -27,6 +27,22 @@ def _keys(m: Column) -> Column:
     return F.map_keys(F.coalesce(m, F.map_from_arrays(F.array(), F.array())))
 
 
+def drop_null_values(m: Column) -> Column:
+    """P8 delete_null_values_from_dict (determine_change_job.py:60-65):
+    strip entries whose value is NULL before diffing/keying."""
+    return F.map_filter(m, lambda _, v: v.isNotNull())
+
+
+def drop_list_values(m: Column) -> Column:
+    """P7 delete_list_values_from_dict (determine_change_job.py:53-58):
+    strip entries whose (JSON-encoded) value is a list — list-valued
+    attributes are relationship-like and diff separately (D5/D6).
+    NULL values are kept (they are not lists; P8 handles them)."""
+    return F.map_filter(
+        m, lambda _, v: v.isNull() | ~F.ltrim(v).startswith("[")
+    )
+
+
 def inserted_keys(old: Column, new: Column) -> Column:
     """D2 get_added_fields: keys present in new, absent in old."""
     return F.array_sort(F.array_except(_keys(new), _keys(old)))

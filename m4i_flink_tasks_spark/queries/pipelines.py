@@ -149,6 +149,31 @@ ORDER BY agg.guid
 """
 
 
+def stream_get_entity_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job 1: op-type filter + broadcast enrichment join + enveloped
+    output — the per-record REST enrichment re-expressed as a
+    stream-static join (get_entity_job.py:27-82)."""
+    from ..streaming.get_entity import run_get_entity
+
+    final, _dead = run_get_entity(spark, sf_dir, _workdir("get_entity"))
+    return final.orderBy("event_id")
+
+
+GET_ENTITY_SQL = """
+SELECT event_id,
+       user_id,
+       '{"kafka_notification":{"event_id":' || event_id
+           || ',"user_id":' || user_id
+           || ',"event_type":"' || event_type
+           || '"},"atlas_entity":{"entity_name":"' || c_name
+           || '","entity_nation":' || c_nationkey || '}}' AS envelope
+FROM events
+JOIN customer ON user_id = c_custkey
+WHERE event_type IN ('signup', 'purchase', 'error')
+ORDER BY event_id
+"""
+
+
 def stream_windowed_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling windows, update-mode merged — the
     final store must equal the one-shot batch aggregation
@@ -171,6 +196,7 @@ ORDER BY window_start_ms, event_type
 
 
 QUERIES = {
+    "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
     "stream_determine_change": stream_determine_change,
@@ -179,6 +205,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_get_entity_enrichment": GET_ENTITY_SQL,
     "stream_publish_state": PUBLISH_STATE_SQL,
     "stream_dead_letter_box": DEAD_LETTER_BOX_SQL,
     "stream_determine_change": DETERMINE_CHANGE_SQL,

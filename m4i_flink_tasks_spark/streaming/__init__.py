@@ -18,6 +18,7 @@ final state against batch SQL.
 
 from .sources import EVENT_STREAM_SCHEMA, events_file_stream, stage_events
 from .store import ParquetUpsertStore
+from .get_entity import run_get_entity
 from .publish_state import run_publish_state
 from .determine_change import run_determine_change
 from .synchronize import run_synchronize
@@ -28,6 +29,7 @@ __all__ = [
     "events_file_stream",
     "stage_events",
     "ParquetUpsertStore",
+    "run_get_entity",
     "run_publish_state",
     "run_determine_change",
     "run_synchronize",

@@ -11,6 +11,8 @@ from m4i_flink_tasks_spark.operators.diff import (
     changed_keys,
     deleted_keys,
     deleted_relationships,
+    drop_list_values,
+    drop_null_values,
     has_attribute_diff,
     inserted_keys,
     inserted_relationships,
@@ -69,6 +71,20 @@ def test_changed_keys_is_null_safe(spark):
         .collect()[0]
     )
     assert row.chg == ["k"]
+
+
+def test_map_cleanup_p7_p8(spark):
+    # P7/P8 (determine_change_job.py:53-65): strip list-valued and
+    # null-valued entries before the attribute diff.
+    df = _attr_pair(
+        spark, {"a": "1", "b": None, "c": '["x","y"]', "d": " [1]"}, None
+    ).select(
+        F.map_keys(drop_null_values(F.col("old"))).alias("no_nulls"),
+        F.map_keys(drop_list_values(F.col("old"))).alias("no_lists"),
+    )
+    row = df.collect()[0]
+    assert sorted(row.no_nulls) == ["a", "c", "d"]
+    assert sorted(row.no_lists) == ["a", "b"]
 
 
 def test_attribute_diff_struct_and_gate(spark):
