@@ -142,3 +142,63 @@ def cosine_pairs_above(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize (centroid per cluster), probe the
+    ``n_probe`` nearest clusters, exact cosine rerank within them.
+
+    The cluster assignment is the given ``label`` column (the k-means
+    build step's output); centroid components are sum/count per
+    dimension so the oracle reproduces them. At 100 TB the table is
+    partitioned by cluster id, so a probe scans n_probe/n_clusters of
+    the data — the IVF pruning contract — while the centroid table is
+    tiny and broadcast.
+    """
+    query = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(emb_col).alias("query_emb")
+    )
+    base = embeddings.filter(F.col(id_col) != query_vec_id)
+
+    cents = base.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.element_at(emb_col, i + 1).cast("double")).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    centroid = F.array(*[F.col(f"_s{i}") / F.col("_n") for i in range(dim)])
+    probed = (
+        cents.select(cluster_col, centroid.alias("centroid"))
+        .crossJoin(F.broadcast(query))
+        .select(
+            cluster_col,
+            F.round(cosine(F.col("centroid"), F.col("query_emb")), 6).alias(
+                "centroid_sim"
+            ),
+        )
+        .orderBy(F.desc("centroid_sim"), cluster_col)
+        .limit(n_probe)
+    )
+    return (
+        base.join(F.broadcast(probed.select(cluster_col)), cluster_col, "left_semi")
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            cluster_col,
+            F.round(cosine(F.col(emb_col), F.col("query_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )

@@ -151,9 +151,50 @@ ORDER BY label
 """
 
 
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 nearest coarse clusters (label = k-means
+    assignment), exact cosine rerank within them — the partition-pruned
+    scale path beside the LSH variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_probe_topk(emb, _QUERY_VEC_ID, _TOPK, n_probe=2)
+
+
+_C_TERM = "sum(embedding[{i}]::DOUBLE) / count(*)"
+_CENT_COLS = ", ".join(
+    f"{_C_TERM.format(i=i + 1)} AS c{i}" for i in range(64)
+)
+_DOT_QC = " + ".join(f"c{i} * qe[{i + 1}]::DOUBLE" for i in range(64))
+_NORM_C = " + ".join(f"c{i} * c{i}" for i in range(64))
+_NORM_Q = " + ".join(f"qe[{i + 1}]::DOUBLE * qe[{i + 1}]::DOUBLE" for i in range(64))
+
+ANN_IVF_SQL = f"""
+WITH q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+), cent AS (
+    SELECT label, {_CENT_COLS}
+    FROM embeddings WHERE vec_id != {_QUERY_VEC_ID}
+    GROUP BY label
+), probe AS (
+    SELECT label,
+           round(({_DOT_QC}) / (sqrt({_NORM_C}) * sqrt({_NORM_Q})), 6) AS centroid_sim
+    FROM cent, q
+    ORDER BY centroid_sim DESC, label
+    LIMIT 2
+)
+SELECT vec_id,
+       label,
+       round({_cosine_sql('embedding', 'qe')}, 6) AS cosine_sim
+FROM embeddings, q
+WHERE vec_id != {_QUERY_VEC_ID} AND label IN (SELECT label FROM probe)
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
 QUERIES = {
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_probe": ann_ivf_probe,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroids": embedding_centroids,
 }
@@ -161,6 +202,7 @@ QUERIES = {
 ORACLES = {
     "ann_brute_force_topk": ANN_BRUTE_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
+    "ann_ivf_probe": ANN_IVF_SQL,
     "embedding_neardup_pairs": PAIRS_SQL,
     "embedding_centroids": CENTROIDS_SQL,
 }
