@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     cdc,
+    doc_lifecycle,
     doc_maintenance,
     extended_relational,
     graph,
@@ -36,6 +37,7 @@ _MODULES = (
     state_store,
     graph,
     doc_maintenance,
+    doc_lifecycle,
     streaming_like,
     pipelines,
     llm_dedup,
