@@ -266,6 +266,75 @@ def uninherit_derived_fields(children: DataFrame, parent_docs: DataFrame) -> Dat
     return out
 
 
+def apply_attribute_field_linkage(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """G18/G19 define/delete_derived_entity_attribute_field_fields
+    (synchronize_app_search.py:154-197): each (attribute, field) pair
+    updates TWO docs — the attribute doc's ``derivedfieldguid`` /
+    ``derivedfield`` and the field doc's ``deriveddataattributeguid`` /
+    ``deriveddataattribute`` — set on link (``linked`` true), nulled on
+    unlink (G19, :177-197).
+
+    ``pairs`` columns: ``attribute_guid``, ``field_guid``, ``linked``.
+    The reference resolves the counterpart doc with a point read per
+    event (get_document, elastic.py:43-51); here both name lookups are
+    one pass over the store with the (small) pair batch broadcast, and
+    the two-sided update is a union of two projections applied through a
+    single broadcast left join — the store is never shuffled. Pairs are
+    assumed pre-collapsed per doc (D9 runs upstream); attribute and
+    field guids are disjoint sets because they are distinct entity
+    types.
+
+    Deviation (SURVEY §7.4): the reference's field-side branch writes
+    ``[field_guid]`` into ``deriveddataattributeguid`` (:169) — the
+    intended ``[attribute_guid]`` is implemented.
+    """
+    names = docs.select("guid", "name")
+    enriched = (
+        names.select(
+            F.col("guid").alias("attribute_guid"), F.col("name").alias("_attr_name")
+        )
+        .join(F.broadcast(pairs), "attribute_guid")
+        .join(
+            names.select(
+                F.col("guid").alias("field_guid"), F.col("name").alias("_field_name")
+            ),
+            "field_guid",
+        )
+    )
+    linked = F.col("linked")
+    attr_updates = enriched.select(
+        F.col("attribute_guid").alias("guid"),
+        F.lit("attr").alias("_side"),
+        F.when(linked, F.array(F.col("field_guid"))).alias("_u_derivedfieldguid"),
+        F.when(linked, F.col("_field_name")).alias("_u_derivedfield"),
+        F.lit(None).cast("array<string>").alias("_u_deriveddataattributeguid"),
+        F.lit(None).cast("string").alias("_u_deriveddataattribute"),
+    )
+    field_updates = enriched.select(
+        F.col("field_guid").alias("guid"),
+        F.lit("field").alias("_side"),
+        F.lit(None).cast("array<string>").alias("_u_derivedfieldguid"),
+        F.lit(None).cast("string").alias("_u_derivedfield"),
+        F.when(linked, F.array(F.col("attribute_guid"))).alias(
+            "_u_deriveddataattributeguid"
+        ),
+        F.when(linked, F.col("_attr_name")).alias("_u_deriveddataattribute"),
+    )
+    updates = attr_updates.unionByName(field_updates)
+    out = docs.join(F.broadcast(updates), "guid", "left")
+    for c in ("derivedfieldguid", "derivedfield"):
+        out = out.withColumn(
+            c,
+            F.when(F.col("_side") == "attr", F.col(f"_u_{c}")).otherwise(F.col(c)),
+        ).drop(f"_u_{c}")
+    for c in ("deriveddataattributeguid", "deriveddataattribute"):
+        out = out.withColumn(
+            c,
+            F.when(F.col("_side") == "field", F.col(f"_u_{c}")).otherwise(F.col(c)),
+        ).drop(f"_u_{c}")
+    return out.drop("_side")
+
+
 def apply_governance_role(
     docs: DataFrame, role_key: Column, person_guid: Column
 ) -> DataFrame:

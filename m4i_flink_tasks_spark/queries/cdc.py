@@ -9,7 +9,12 @@ operation type. Each query exercises one operator family:
 - P2/P3/P4: null filter, op-type predicate, envelope validation
   (reference: get_entity_job.py:40,117; publish_state_job.py:56-69)
 - P5: flat_map/explode (determine_change_job.py:429-433)
+- P9/P10/P11: json_normalize flatten, prefixed-column drop, prefix
+  strip (determine_change_job.py:41-51,67-83,96-108)
 - P12: doc-id synthesis (publish_state_job.py:77)
+- P13/P14: the didactic example row transforms
+  (examples/batch_processing_example.py:19-24,
+  examples/stream_processing_example.py:24-27)
 - D1-D4: attribute diff old-vs-new (determine_change_job.py:110-191)
 - D8: previous-version as-of lookup (determine_change_job.py:194-226)
 - D9: last-writer-wins collapse (synchronize_app_search.py:335...)
@@ -293,6 +298,81 @@ ORDER BY user_id, event_kind
 """
 
 
+def attribute_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 get_flat_df / get_attributes_df (determine_change_job.py:67-83;
+    pandas prototype determine_change_old.py:94-117), P10 drop_columns
+    (determine_change_job.py:41-51), P11 remove_prefix_from_attributes
+    (:96-108): the reference's per-record ``json_normalize`` flatten
+    becomes one plan-native map pipeline — namespace the dynamic payload
+    under ``attributes.``, drop a prefixed namespace wholesale, strip
+    the prefix back off, and project wide. ``map_filter`` /
+    ``transform_keys`` are codegen'd expressions; no Python runs and no
+    per-record frame is built."""
+    events = load_table(spark, sf_dir, "events")
+    flat = events.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(
+                F.lit("attributes.event_type"),
+                F.lit("attributes.k"),
+                F.lit("relationshipAttributes.user"),
+            ),
+            F.array(
+                F.col("event_type"),
+                F.get_json_object("props", "$.k"),
+                F.col("user_id").cast("string"),
+            ),
+        ).alias("flat"),
+    )
+    pruned = flat.withColumn(
+        "flat",
+        F.map_filter("flat", lambda k, _: ~k.startswith("relationshipAttributes")),
+    )
+    stripped = pruned.withColumn(
+        "flat",
+        F.transform_keys("flat", lambda k, _: F.regexp_replace(k, r"^attributes\.", "")),
+    )
+    return stripped.select(
+        "event_id",
+        F.element_at("flat", F.lit("event_type")).alias("event_type"),
+        F.element_at("flat", F.lit("k")).cast("int").alias("k"),
+        F.array_sort(F.map_keys("flat")).alias("attr_keys"),
+    ).orderBy("event_id")
+
+
+ATTRIBUTE_FLATTENING_SQL = """
+SELECT event_id,
+       event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       ['event_type', 'k'] AS attr_keys
+FROM events
+ORDER BY event_id
+"""
+
+
+def scalar_row_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/P14: the reference's two didactic row transforms — the Table
+    API row UDF ``Row(id, data*2)`` (examples/batch_processing_example.py:19-24)
+    and the DataStream scalar map ``value -> (value, value+2)``
+    (examples/stream_processing_example.py:24-27,46) — as native column
+    expressions over ``events`` (no UDF needed; both stay in codegen)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id").alias("id"),
+        F.repeat(F.col("event_type"), 2).alias("data"),
+        (F.col("event_id") + 2).alias("plus_two"),
+    ).orderBy("id")
+
+
+SCALAR_ROW_TRANSFORMS_SQL = """
+SELECT event_id AS id,
+       repeat(event_type, 2) AS data,
+       event_id + 2 AS plus_two
+FROM events
+ORDER BY id
+"""
+
+
 def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: classify each record ok / dead-letter by a validation rule and
     count both sides — the reference's per-failure Kafka side channel
@@ -333,6 +413,8 @@ QUERIES = {
     "latest_version_per_key": latest_version_per_key,
     "attribute_diff": attribute_diff,
     "diff_event_materialization": diff_event_materialization,
+    "attribute_flattening": attribute_flattening,
+    "scalar_row_transforms": scalar_row_transforms,
     "dead_letter_split": dead_letter_split,
 }
 
@@ -344,5 +426,7 @@ ORACLES = {
     "latest_version_per_key": LATEST_SQL,
     "attribute_diff": ATTR_DIFF_SQL,
     "diff_event_materialization": DIFF_EVENT_SQL,
+    "attribute_flattening": ATTRIBUTE_FLATTENING_SQL,
+    "scalar_row_transforms": SCALAR_ROW_TRANSFORMS_SQL,
     "dead_letter_split": DEAD_LETTER_SQL,
 }

@@ -1,4 +1,4 @@
-"""Doc-lifecycle queries (SURVEY §2.5 G5-G6, G13, G15-G17, G22-G25 +
+"""Doc-lifecycle queries (SURVEY §2.5 G5-G6, G13, G15-G19, G22-G25 +
 §2.3 D9) run at data scale: each drives one ``operators.docstore``
 kernel over synthetic doc/update tables derived from the TPC-H-ish
 testdata, with a plain-SQL DuckDB oracle.
@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hierarchy import supertype_closure_df
 from ..operators.docstore import (
+    apply_attribute_field_linkage,
     apply_attribute_updates,
     apply_governance_role,
     classify_relationship,
@@ -513,6 +514,73 @@ ORDER BY guid
 
 
 # --------------------------------------------------------------------------
+# G18/G19: attribute <-> field derived linkage
+# --------------------------------------------------------------------------
+
+def attribute_field_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18/G19 define/delete_derived_entity_attribute_field_fields
+    (synchronize_app_search.py:154-197): one attribute doc and one field
+    doc per customer; every ck%3==0 pair links (both sides gain the
+    counterpart guid+name), ck%3==1 unlinks (both sides nulled), ck%3==2
+    is untouched and keeps its pre-existing values."""
+    customer = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    attr_docs = customer.select(
+        F.concat(F.lit("A"), ck).alias("guid"),
+        F.col("c_name").alias("name"),
+        F.when(ck % 3 != 0, F.array(F.lit("OLD"))).alias("derivedfieldguid"),
+        F.when(ck % 3 != 0, F.concat(F.lit("old_a"), ck)).alias("derivedfield"),
+        F.lit(None).cast("array<string>").alias("deriveddataattributeguid"),
+        F.lit(None).cast("string").alias("deriveddataattribute"),
+    )
+    field_docs = customer.select(
+        F.concat(F.lit("F"), ck).alias("guid"),
+        F.concat(F.lit("f_"), F.col("c_name")).alias("name"),
+        F.lit(None).cast("array<string>").alias("derivedfieldguid"),
+        F.lit(None).cast("string").alias("derivedfield"),
+        F.when(ck % 3 != 0, F.array(F.lit("OLD"))).alias("deriveddataattributeguid"),
+        F.when(ck % 3 != 0, F.concat(F.lit("old_f"), ck)).alias("deriveddataattribute"),
+    )
+    docs = attr_docs.unionByName(field_docs)
+    pairs = customer.filter(ck % 3 < 2).select(
+        F.concat(F.lit("A"), ck).alias("attribute_guid"),
+        F.concat(F.lit("F"), ck).alias("field_guid"),
+        (ck % 3 == 0).alias("linked"),
+    )
+    out = apply_attribute_field_linkage(docs, pairs)
+    return out.select(
+        "guid",
+        "derivedfieldguid",
+        "derivedfield",
+        "deriveddataattributeguid",
+        "deriveddataattribute",
+    ).orderBy("guid")
+
+
+ATTRIBUTE_FIELD_LINKAGE_SQL = """
+WITH c AS (SELECT c_custkey AS ck, c_name FROM customer)
+SELECT 'A' || ck AS guid,
+       CASE WHEN ck % 3 = 0 THEN ['F' || ck]
+            WHEN ck % 3 = 2 THEN ['OLD'] END AS derivedfieldguid,
+       CASE WHEN ck % 3 = 0 THEN 'f_' || c_name
+            WHEN ck % 3 = 2 THEN 'old_a' || ck END AS derivedfield,
+       CAST(NULL AS VARCHAR[]) AS deriveddataattributeguid,
+       CAST(NULL AS VARCHAR) AS deriveddataattribute
+FROM c
+UNION ALL
+SELECT 'F' || ck,
+       CAST(NULL AS VARCHAR[]),
+       CAST(NULL AS VARCHAR),
+       CASE WHEN ck % 3 = 0 THEN ['A' || ck]
+            WHEN ck % 3 = 2 THEN ['OLD'] END,
+       CASE WHEN ck % 3 = 0 THEN c_name
+            WHEN ck % 3 = 2 THEN 'old_f' || ck END
+FROM c
+ORDER BY guid
+"""
+
+
+# --------------------------------------------------------------------------
 # D9: last-writer-wins collapse
 # --------------------------------------------------------------------------
 
@@ -550,6 +618,7 @@ QUERIES = {
     "parent_guid_extraction": parent_guid_extraction,
     "doc_creation": doc_creation,
     "attribute_update_application": attribute_update_application,
+    "attribute_field_linkage": attribute_field_linkage,
     "doc_update_collapse": doc_update_collapse,
 }
 
@@ -562,5 +631,6 @@ ORACLES = {
     "parent_guid_extraction": PARENT_GUID_EXTRACTION_SQL,
     "doc_creation": DOC_CREATION_SQL,
     "attribute_update_application": ATTRIBUTE_UPDATE_APPLICATION_SQL,
+    "attribute_field_linkage": ATTRIBUTE_FIELD_LINKAGE_SQL,
     "doc_update_collapse": DOC_UPDATE_COLLAPSE_SQL,
 }

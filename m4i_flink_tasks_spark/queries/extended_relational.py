@@ -119,6 +119,8 @@ ORDER BY l_returnflag, l_linestatus
 
 def direct_change_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 is_direct_change (determine_change_job.py:85-93): per entity,
+    the per-record audit-log REST fetch (S13, get_entity_audit,
+    determine_change_job.py:88) becomes a join against the audit table;
     regex-extract the first JSON object from the latest audit 'details'
     payload, probe one key, default True when no audit exists.
 

@@ -33,7 +33,9 @@ def _hierarchy_values_sql(alias: str = "h") -> str:
 def supertype_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: transitive supertype closure of the type DAG.
     Reference: get_super_types (synchronize_app_search.py:27-48) —
-    per-record recursive REST; here a one-time fixpoint join."""
+    per-record recursive REST over the type-def lookup (S14,
+    get_type_def, synchronize_app_search.py:30); here a one-time
+    fixpoint join producing a broadcast dimension."""
     return supertype_closure_df(spark).select(
         "typename",
         F.array_join("supertypes", ",").alias("supertypes"),

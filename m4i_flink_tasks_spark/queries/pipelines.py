@@ -151,8 +151,11 @@ ORDER BY agg.guid
 
 def stream_get_entity_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job 1: op-type filter + broadcast enrichment join + enveloped
-    output — the per-record REST enrichment re-expressed as a
-    stream-static join (get_entity_job.py:27-82)."""
+    output — the per-record REST enrichment (S12 get_entity_by_guid,
+    get_entity_job.py:42-43) re-expressed as a stream-static join
+    (get_entity_job.py:27-82). The per-record Keycloak token fetch (S15,
+    get_entity_job.py:37) has no analogue: auth is connector-level
+    config resolved once per micro-batch, never per row."""
     from ..streaming.get_entity import run_get_entity
 
     final, _dead = run_get_entity(spark, sf_dir, _workdir("get_entity"))

@@ -22,7 +22,10 @@ _LOOKUP_IDS = (3, 7, 42, 99, 123)
 
 
 def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: doc where id == key (elastic.py:43-51)."""
+    """Q1/S6: doc where id == key — the App Search point get
+    (get_document, elastic.py:43-51) and the same-shaped Elasticsearch
+    term-query source (S5, determine_change_job.py:223) as one pushed
+    parquet filter."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(F.col("doc_id") == 42).select(
         "doc_id", "lang", "source", "n_chars"
@@ -37,7 +40,8 @@ WHERE doc_id = 42
 
 
 def batched_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: docs for a list of ids (elastic.py:88-93) — an IN-list that
+    """Q5/S6: docs for a list of ids (get_documents, elastic.py:88-93) —
+    an IN-list that
     Catalyst turns into a pushed filter; at scale, a broadcast semi-join."""
     docs = load_table(spark, sf_dir, "documents")
     return (

@@ -1,4 +1,13 @@
-"""Streaming sources (SURVEY §2.1 S1/S10/S11).
+"""Streaming sources and sinks (SURVEY §2.1 S1/S2/S9/S10/S11).
+
+The Kafka sink (S2, FlinkKafkaProducer, get_entity_job.py:121-123,
+determine_change_job.py:472-474) maps to
+``df.writeStream.format("kafka").option("topic", ...)`` with
+``kafka.max.request.size`` for the reference's 14999999-byte cap; in
+this container the staged-file stream plus ``ParquetUpsertStore`` plays
+both broker and sink, and the debug ``data_stream.print()`` (S9, every
+job, e.g. get_entity_job.py:119) is ``writeStream.format("console")`` —
+both swap in without touching pipeline logic.
 
 The reference consumes Kafka topics of JSON strings
 (FlinkKafkaConsumer, get_entity_job.py:105-111). Here the pluggable
