@@ -1,0 +1,123 @@
+"""Physical-plan regression tests — the 100 TB scale posture, enforced.
+
+Correctness tests prove the answers match; these prove the *plans* are
+the ones that survive a 1000-executor cluster: dimension joins broadcast
+instead of shuffling the fact side, filters and projections reach the
+parquet scan, and no query falls back to row-at-a-time Python
+(``BatchEvalPython``) — the only sanctioned Python path is Arrow-batched
+(``ArrowEvalPython`` / ``FlatMapGroupsInPandas`` /
+``FlatMapGroupsInPandasWithState`` / ``MapInPandas``).
+
+Plan construction is analysis-only (nothing executes), so this suite is
+cheap at any scale factor. Streaming pipeline queries are excluded: they
+run a full micro-batch job on invocation and their batch-side plans are
+covered by the kernels they share with the batch inventory.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from m4i_flink_tasks_spark.queries import all_queries
+
+# Queries whose invocation executes a streaming job rather than just
+# building a plan — plan-shape is asserted on their batch kernels above.
+_STREAMING = tuple(
+    n for n in all_queries() if n.startswith("stream_")
+)
+
+
+def plan_of(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = all_queries()
+    return {
+        name: plan_of(fn(spark, sf_dir))
+        for name, fn in qs.items()
+        if name not in _STREAMING
+    }
+
+
+def test_no_row_at_a_time_python(plans):
+    """Every Python escape hatch must be Arrow-batched; a BatchEvalPython
+    node means a per-row pickle round-trip that is ~10-100x slower and
+    breaks whole-stage codegen around it."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "min_cost_supplier",
+        "order_priority_counts",
+    ],
+)
+def test_star_joins_broadcast(plans, name):
+    """TPC-H-shaped star joins must broadcast every dimension; a
+    SortMergeJoin here would shuffle the lineitem/orders fact side on
+    the join key — the classic 100 TB bottleneck."""
+    plan = plans[name]
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
+
+
+@pytest.mark.parametrize(
+    ("name", "fragment"),
+    [
+        # Point lookup pushes the key equality into the parquet reader.
+        ("point_lookup", "EqualTo(doc_id,42)"),
+        # Q6's date-range + discount/quantity predicates reach the scan.
+        ("q6_forecast_revenue", "GreaterThanOrEqual(l_discount"),
+        # The IN-list multiget pushes membership down.
+        ("batched_multiget", "In(doc_id"),
+    ],
+)
+def test_filters_pushed_to_scan(plans, name, fragment):
+    plan = plans[name]
+    assert "PushedFilters: [" in plan, f"{name}: no pushdown section"
+    assert fragment in plan, f"{name}: expected pushed filter {fragment!r}"
+
+
+def test_column_pruning_reaches_scan(plans):
+    """q1 aggregates 7 lineitem columns; the 44-char l_comment column
+    must not be read — a scan without pruning reads ~2x the bytes."""
+    plan = plans["q1_pricing_summary"]
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas, "no ReadSchema in plan"
+    assert all("l_comment" not in line for line in read_schemas)
+
+
+def test_whole_stage_codegen_on_hot_aggregates(spark, sf_dir):
+    """The scan->filter->project->partial-agg pipeline of q1/q6 must fuse
+    into WholeStageCodegen spans (SURVEY §4.2: keep expressions
+    JVM-side). AQE's pre-execution formatted plan hides codegen
+    boundaries, so probe the codegen explain mode instead."""
+    qs = all_queries()
+    for name in ("q1_pricing_summary", "q6_forecast_revenue"):
+        df = qs[name](spark, sf_dir)
+        df.collect()  # AQE finalizes (and codegen-compiles) on execution
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, name
+        # '*(n)' prefixes mark operators fused into a WholeStageCodegen
+        # stage; the scan->agg pipeline must carry at least one.
+        assert "*(" in final, f"{name}: no WholeStageCodegen stage:\n{final}"
+
+
+def test_exactly_one_aggregate_exchange_for_q1(plans):
+    """q1 needs one shuffle (partial->final agg) plus the final
+    single-partition sort; any additional Exchange is a regression."""
+    plan = plans["q1_pricing_summary"].split("\n\n")[0]
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"q1 has {n_exchanges} exchanges:\n{plan}"
