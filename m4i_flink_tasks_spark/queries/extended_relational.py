@@ -232,12 +232,51 @@ ORDER BY o_orderkey
 """
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.skew.salted_join): ``events`` is the
+    pathological hot-key fact — every row carries one of a handful of
+    ``event_type`` values, so an unsalted shuffle join lands each type
+    on a single reducer. Salting spreads each type over 8 reducers; the
+    per-type dimension rides along replicated. Semantics are identical
+    to the plain join, which is exactly what the oracle checks."""
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    joined = salted_join(events, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("type_weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value * length(event_type)), 2) AS weighted_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "set_operations": set_operations,
     "rollup_order_totals": rollup_order_totals,
     "cube_lineitem_stats": cube_lineitem_stats,
     "direct_change_classifier": direct_change_classifier,
     "asof_join_orders_events": asof_join_orders_events,
+    "skew_salted_join": skew_salted_join,
 }
 
 ORACLES = {
@@ -246,4 +285,5 @@ ORACLES = {
     "cube_lineitem_stats": CUBE_SQL,
     "direct_change_classifier": DIRECT_CHANGE_SQL,
     "asof_join_orders_events": ASOF_JOIN_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_SQL,
 }
