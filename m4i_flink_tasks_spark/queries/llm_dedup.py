@@ -54,7 +54,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A_LIST = "[" + ", ".join(str(a) for a in D.MINHASH_A) + "]"
 _B_LIST = "[" + ", ".join(str(b) for b in D.MINHASH_B) + "]"
 
-DEDUP_JACCARD_SQL = rf"""
+_PAIRS_SQL = rf"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
     FROM documents
@@ -105,7 +105,55 @@ SELECT id_a, id_b,
 FROM cand
 WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
              / greatest(len(list_distinct(sh_a || sh_b)), 1), 6) >= {_JACCARD_THRESHOLD}
-ORDER BY id_a, id_b
+"""
+
+DEDUP_JACCARD_SQL = _PAIRS_SQL + "ORDER BY id_a, id_b\n"
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the LSH pair graph collapsed into connected
+    components (operators/components.py) — component_id = min doc_id of
+    the group, the survivor a dedup pass would keep; n_members = group
+    size. The oracle recomputes the same pairs in SQL and labels them
+    with a recursive transitive-closure CTE."""
+    from pyspark.sql.window import Window
+
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), "component_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+labeled AS (
+    SELECT a AS doc_id, min(b) AS component_id
+    FROM reach
+    GROUP BY a
+)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS n_members
+FROM labeled
+ORDER BY doc_id
 """
 
 
@@ -200,6 +248,7 @@ ORDER BY doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "neardup_components": neardup_components,
     "dedup_simhash": dedup_simhash,
     "dedup_minhash_signatures": dedup_minhash_signatures,
 }
@@ -207,6 +256,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "neardup_components": NEARDUP_COMPONENTS_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_minhash_signatures": MINHASH_SIG_SQL,
 }

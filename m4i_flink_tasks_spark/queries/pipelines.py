@@ -198,6 +198,24 @@ ORDER BY window_start_ms, event_type
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (streaming/stream_dedup.py): every 10th event is re-delivered 30
+    minutes later inside the stream; the final store must equal the
+    plain distinct input."""
+    from ..streaming.stream_dedup import run_stream_dedup
+
+    final = run_stream_dedup(spark, sf_dir, _workdir("stream_dedup"))
+    return final.orderBy("event_id")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
@@ -205,6 +223,7 @@ QUERIES = {
     "stream_determine_change": stream_determine_change,
     "stream_synchronize_docstore": stream_synchronize_docstore,
     "stream_windowed_aggregation": stream_windowed_aggregation,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
 ORACLES = {
@@ -214,4 +233,5 @@ ORACLES = {
     "stream_determine_change": DETERMINE_CHANGE_SQL,
     "stream_synchronize_docstore": SYNCHRONIZE_SQL,
     "stream_windowed_aggregation": WINDOWED_SQL,
+    "stream_dedup_within_watermark": STREAM_DEDUP_SQL,
 }

@@ -76,3 +76,50 @@ def test_synchronize_stream_matches_batch(spark, sf_dir):
         sf_dir,
     )
     assert ok, msg
+
+
+def test_stream_dedup_drops_redelivery_before_the_store(spark, sf_dir):
+    """The keyed store would mask a broken dedup (merge collapses by
+    event_id anyway), so count the operator's *emitted* rows: with
+    synthetic re-delivery of every 10th event, emissions must equal the
+    distinct event count, not the inflated stream."""
+    import os
+
+    from m4i_flink_tasks_spark.streaming.sources import (
+        events_file_stream,
+        stage_events,
+    )
+    from m4i_flink_tasks_spark.streaming.stream_dedup import (
+        dedup_within_watermark,
+        with_synthetic_redelivery,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="m4i_spark_dedup_count_")
+    staging = stage_events(
+        spark, sf_dir, os.path.join(workdir, "staging_events"), 4
+    )
+    emitted = {"n": 0, "dup_keys": 0}
+
+    def count_sink(batch, _batch_id):
+        emitted["n"] += batch.count()
+        emitted["dup_keys"] += (
+            batch.groupBy("event_id").count().filter(F.col("count") > 1).count()
+        )
+
+    q = (
+        dedup_within_watermark(
+            with_synthetic_redelivery(events_file_stream(spark, staging, 2))
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(count_sink)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert emitted["n"] == n_events, (
+        f"dedup emitted {emitted['n']} rows for {n_events} distinct events"
+    )
+    assert emitted["dup_keys"] == 0
