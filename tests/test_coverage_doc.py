@@ -1,0 +1,64 @@
+"""COVERAGE.md must stay in sync with the live query inventory."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from m4i_flink_tasks_spark.queries import all_oracles, all_queries
+
+_DOC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+
+
+def test_every_query_is_documented():
+    text = open(_DOC).read()
+    missing = [n for n in all_queries() if n not in text]
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_documented_query_names_exist():
+    """Any snake_case backticked token that looks like a query name and
+    ends up stale (renamed/removed query) should fail here."""
+    text = open(_DOC).read()
+    known = set(all_queries())
+    candidates = set(re.findall(r"`([a-z][a-z0-9_]{3,})`", text))
+    # names that collide with the query naming style but are files/dirs
+    lexicon = {c for c in candidates if "/" not in c and "." not in c}
+    stale = {
+        c
+        for c in lexicon
+        if c not in known
+        # non-query identifiers legitimately mentioned in the doc
+        and not c.startswith(("spark", "read", "write", "max", "merge"))
+        and c
+        not in {
+            "queries",
+            "oracle_sql",
+            "descendants_of",
+            "classify_relationship",
+            "orient_parent_child",
+            "define_breadcrumb",
+            "clear_breadcrumb",
+            "inherit_derived_fields",
+            "apply_attribute_field_linkage",
+            "apply_attribute_updates",
+            "extract_parent_guid",
+            "create_docs",
+            "rename_in_derived_fields",
+            "map_filter",
+            "transform_keys",
+            "concat_ws",
+            "from_json",
+            "to_json",
+            "map_zip_with",
+            "array_except",
+            "array_intersect",
+            "max_by",
+            "schema",
+        }
+    }
+    assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"
+
+
+def test_all_queries_have_oracles():
+    assert set(all_queries()) == set(all_oracles())
