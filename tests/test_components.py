@@ -36,3 +36,41 @@ def test_non_convergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Randomized cross-check: min-label propagation must agree with a
+    driver-side union-find on arbitrary small graphs (multiple
+    components, cycles, self-loops, duplicate edges)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 60))
+        ]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min member id of each component
+        members: dict[int, list[int]] = {}
+        for x in set(v for e in edges for v in e):
+            members.setdefault(find(x), []).append(x)
+        expected = {
+            x: min(group) for group in members.values() for x in group
+        }
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = _labels(connected_components(df))
+        assert got == expected, f"trial {trial} (n={n}, edges={edges})"

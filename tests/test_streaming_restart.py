@@ -49,3 +49,25 @@ def test_store_replay_converges(spark):
     store.merge(batch)  # redelivery
     twice = sorted(map(tuple, store.current().collect()))
     assert once == twice
+
+
+def test_stream_dedup_restart_is_noop(spark, sf_dir):
+    """Restarting the watermark-dedup pipeline against its checkpoint
+    must neither re-emit already-seen events nor write a store version:
+    the dedup state and source offsets both live in the checkpoint."""
+    from m4i_flink_tasks_spark.streaming.stream_dedup import run_stream_dedup
+
+    workdir = tempfile.mkdtemp(prefix="m4i_dedup_restart_")
+    first = run_stream_dedup(spark, sf_dir, workdir)
+    rows_first = first.count()
+    store_root = os.path.join(workdir, "deduped_events")
+    versions_first = len(
+        [d for d in os.listdir(store_root) if d.startswith("v")]
+    )
+
+    second = run_stream_dedup(spark, sf_dir, workdir)
+    assert second.count() == rows_first
+    versions_second = len(
+        [d for d in os.listdir(store_root) if d.startswith("v")]
+    )
+    assert versions_second == versions_first
