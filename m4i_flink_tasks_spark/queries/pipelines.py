@@ -216,6 +216,33 @@ ORDER BY event_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join
+    (streaming/interval_join.py): each signup matched to the same
+    user's purchases within the following hour; state bounded by the
+    watermark + interval, not stream length."""
+    from ..streaming.interval_join import run_interval_join
+
+    final = run_interval_join(spark, sf_dir, _workdir("interval_join"))
+    return final.orderBy("signup_event_id", "purchase_event_id")
+
+
+INTERVAL_JOIN_SQL = """
+SELECT s.event_id AS signup_event_id,
+       p.event_id AS purchase_event_id,
+       s.user_id,
+       epoch_ms(p.ts) - epoch_ms(s.ts) AS delay_ms
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup'
+ AND p.event_type = 'purchase'
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+ORDER BY signup_event_id, purchase_event_id
+"""
+
+
 QUERIES = {
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
@@ -224,6 +251,7 @@ QUERIES = {
     "stream_synchronize_docstore": stream_synchronize_docstore,
     "stream_windowed_aggregation": stream_windowed_aggregation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLES = {
@@ -234,4 +262,5 @@ ORACLES = {
     "stream_synchronize_docstore": SYNCHRONIZE_SQL,
     "stream_windowed_aggregation": WINDOWED_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_SQL,
+    "stream_interval_join": INTERVAL_JOIN_SQL,
 }
