@@ -332,11 +332,13 @@ def attribute_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flat",
         F.transform_keys("flat", lambda k, _: F.regexp_replace(k, r"^attributes\.", "")),
     )
+    # attr_keys serialized with array_join at the query boundary (driver
+    # canonicalizer hashes scalars only).
     return stripped.select(
         "event_id",
         F.element_at("flat", F.lit("event_type")).alias("event_type"),
         F.element_at("flat", F.lit("k")).cast("int").alias("k"),
-        F.array_sort(F.map_keys("flat")).alias("attr_keys"),
+        F.array_join(F.array_sort(F.map_keys("flat")), "|").alias("attr_keys"),
     ).orderBy("event_id")
 
 
@@ -344,7 +346,7 @@ ATTRIBUTE_FLATTENING_SQL = """
 SELECT event_id,
        event_type,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-       ['event_type', 'k'] AS attr_keys
+       'event_type|k' AS attr_keys
 FROM events
 ORDER BY event_id
 """

@@ -150,16 +150,21 @@ def breadcrumb_prefix_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation) the removed ancestor."""
     docs = _customer_docs(spark, sf_dir)
     out = delete_breadcrumb_prefix(descendants_of(docs, "R2"), F.lit("R2"))
+    # Arrays serialized at the query boundary (driver canonicalizer hashes
+    # scalars only); the kernel stays array-typed.
     return out.select(
-        "guid", "breadcrumbguid", "breadcrumbname", "breadcrumbtype"
+        "guid",
+        F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
     ).orderBy("guid")
 
 
 BREADCRUMB_PREFIX_DELETE_SQL = """
 SELECT 'C' || c_custkey AS guid,
-       ['N' || n_nationkey] AS breadcrumbguid,
-       [n_name] AS breadcrumbname,
-       ['nation'] AS breadcrumbtype
+       'N' || n_nationkey AS breadcrumbguid,
+       n_name AS breadcrumbname,
+       'nation' AS breadcrumbtype
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE n_regionkey = 2
@@ -230,8 +235,8 @@ def derived_field_inherit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deriveddataownerguid",
         "deriveddatastewardguid",
         "deriveddomainleadguid",
-        "derivedentityguids",
-        "derivedentitynames",
+        F.array_join("derivedentityguids", "|").alias("derivedentityguids"),
+        F.array_join("derivedentitynames", "|").alias("derivedentitynames"),
     ).orderBy("guid")
 
 
@@ -242,10 +247,10 @@ SELECT 'C' || c_custkey AS guid,
            AS deriveddataownerguid,
        'NS' || c_nationkey AS deriveddatastewardguid,
        'CL' || c_custkey AS deriveddomainleadguid,
-       CASE WHEN c_nationkey % 3 = 0 THEN ['NE' || c_nationkey]
-            ELSE ['CE' || c_custkey] END AS derivedentityguids,
-       CASE WHEN c_nationkey % 3 = 0 THEN ['NN' || c_nationkey]
-            ELSE [c_name] END AS derivedentitynames
+       CASE WHEN c_nationkey % 3 = 0 THEN 'NE' || c_nationkey
+            ELSE 'CE' || c_custkey END AS derivedentityguids,
+       CASE WHEN c_nationkey % 3 = 0 THEN 'NN' || c_nationkey
+            ELSE c_name END AS derivedentitynames
 FROM customer
 ORDER BY guid
 """
@@ -257,13 +262,15 @@ def derived_field_uninherit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reset (scalars -> NULL, arrays -> []); differing values survive."""
     children = _derived_children(spark, sf_dir, equal_to_parent=True)
     out = uninherit_derived_fields(children, _derived_parents(spark, sf_dir))
+    # array_join([]) = '' distinguishes the reset-to-empty case from kept
+    # values; the oracle CASE emits the same exact strings.
     return out.select(
         "guid",
         "deriveddataownerguid",
         "deriveddatastewardguid",
         "deriveddomainleadguid",
-        "derivedentityguids",
-        "derivedentitynames",
+        F.array_join("derivedentityguids", "|").alias("derivedentityguids"),
+        F.array_join("derivedentitynames", "|").alias("derivedentitynames"),
     ).orderBy("guid")
 
 
@@ -275,13 +282,13 @@ SELECT 'C' || c_custkey AS guid,
        NULL AS deriveddatastewardguid,
        'CL' || c_custkey AS deriveddomainleadguid,
        CASE WHEN c_custkey % 2 = 0 AND c_nationkey % 3 = 0
-            THEN []::VARCHAR[]
-            WHEN c_custkey % 2 = 0 THEN ['NE' || c_nationkey]
-            ELSE ['CE' || c_custkey] END AS derivedentityguids,
+            THEN ''
+            WHEN c_custkey % 2 = 0 THEN 'NE' || c_nationkey
+            ELSE 'CE' || c_custkey END AS derivedentityguids,
        CASE WHEN c_custkey % 2 = 0 AND c_nationkey % 3 = 0
-            THEN []::VARCHAR[]
-            WHEN c_custkey % 2 = 0 THEN ['NN' || c_nationkey]
-            ELSE [c_name] END AS derivedentitynames
+            THEN ''
+            WHEN c_custkey % 2 = 0 THEN 'NN' || c_nationkey
+            ELSE c_name END AS derivedentitynames
 FROM customer
 ORDER BY guid
 """
@@ -319,7 +326,7 @@ def governance_role_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deriveddomainleadguid",
         "deriveddataownerguid",
         "deriveddatastewardguid",
-        "derivedpersonguid",
+        F.array_join("derivedpersonguid", "|").alias("derivedpersonguid"),
     ).orderBy("guid")
 
 
@@ -333,7 +340,8 @@ SELECT 'C' || c_custkey AS guid,
             THEN 'P' || c_custkey END AS deriveddataownerguid,
        CASE WHEN c_custkey % 2 = 1 AND c_custkey % 3 = 2
             THEN 'P' || c_custkey END AS deriveddatastewardguid,
-       list_sort(list_distinct(['P0', 'P' || c_custkey])) AS derivedpersonguid
+       array_to_string(list_sort(list_distinct(['P0', 'P' || c_custkey])), '|')
+           AS derivedpersonguid
 FROM customer
 ORDER BY guid
 """
@@ -426,8 +434,8 @@ def doc_creation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "guid",
         "typename",
         "sourcetype",
-        "m4isourcetype",
-        "supertypenames",
+        F.array_join("m4isourcetype", "|").alias("m4isourcetype"),
+        F.array_join("supertypenames", "|").alias("supertypenames"),
         "name",
         "definition",
         "email",
@@ -449,17 +457,17 @@ SELECT 'C' || c_custkey AS guid,
        typename,
        CASE WHEN typename IN ('m4i_data_attribute', 'm4i_data_domain')
             THEN 'Business' ELSE 'Technical' END AS sourcetype,
-       [typename] AS m4isourcetype,
+       typename AS m4isourcetype,
        CASE typename
             WHEN 'm4i_system'
-            THEN ['Referenceable', 'm4i_referenceable', 'm4i_system']
-            ELSE ['Referenceable', typename, 'm4i_referenceable']
+            THEN 'Referenceable|m4i_referenceable|m4i_system'
+            ELSE 'Referenceable|' || typename || '|m4i_referenceable'
        END AS supertypenames,
        c_name AS name,
        c_mktsegment AS definition,
        CASE WHEN c_custkey % 2 = 0 THEN 'e' || c_custkey END AS email,
        NULL AS parentguid,
-       0.0 AS dq_score_overall
+       CAST(0.0 AS DOUBLE) AS dq_score_overall
 FROM msg
 ORDER BY guid
 """
@@ -548,11 +556,15 @@ def attribute_field_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ck % 3 == 0).alias("linked"),
     )
     out = apply_attribute_field_linkage(docs, pairs)
+    # NULL arrays stay NULL through array_join; linked/kept single-element
+    # arrays serialize to their sole element.
     return out.select(
         "guid",
-        "derivedfieldguid",
+        F.array_join("derivedfieldguid", "|").alias("derivedfieldguid"),
         "derivedfield",
-        "deriveddataattributeguid",
+        F.array_join("deriveddataattributeguid", "|").alias(
+            "deriveddataattributeguid"
+        ),
         "deriveddataattribute",
     ).orderBy("guid")
 
@@ -560,19 +572,19 @@ def attribute_field_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTE_FIELD_LINKAGE_SQL = """
 WITH c AS (SELECT c_custkey AS ck, c_name FROM customer)
 SELECT 'A' || ck AS guid,
-       CASE WHEN ck % 3 = 0 THEN ['F' || ck]
-            WHEN ck % 3 = 2 THEN ['OLD'] END AS derivedfieldguid,
+       CASE WHEN ck % 3 = 0 THEN 'F' || ck
+            WHEN ck % 3 = 2 THEN 'OLD' END AS derivedfieldguid,
        CASE WHEN ck % 3 = 0 THEN 'f_' || c_name
             WHEN ck % 3 = 2 THEN 'old_a' || ck END AS derivedfield,
-       CAST(NULL AS VARCHAR[]) AS deriveddataattributeguid,
+       CAST(NULL AS VARCHAR) AS deriveddataattributeguid,
        CAST(NULL AS VARCHAR) AS deriveddataattribute
 FROM c
 UNION ALL
 SELECT 'F' || ck,
-       CAST(NULL AS VARCHAR[]),
        CAST(NULL AS VARCHAR),
-       CASE WHEN ck % 3 = 0 THEN ['A' || ck]
-            WHEN ck % 3 = 2 THEN ['OLD'] END,
+       CAST(NULL AS VARCHAR),
+       CASE WHEN ck % 3 = 0 THEN 'A' || ck
+            WHEN ck % 3 = 2 THEN 'OLD' END,
        CASE WHEN ck % 3 = 0 THEN c_name
             WHEN ck % 3 = 2 THEN 'old_f' || ck END
 FROM c

@@ -47,15 +47,25 @@ def _customer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def breadcrumb_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _customer_docs(spark, sf_dir).orderBy("guid")
+    # Array columns are serialized with array_join at the query boundary:
+    # the driver's oracle canonicalizer hashes scalar cells only. The
+    # kernels themselves stay array-typed (pinned by tests/test_docstore.py).
+    docs = _customer_docs(spark, sf_dir)
+    return docs.select(
+        "guid",
+        "name",
+        F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
+    ).orderBy("guid")
 
 
 BREADCRUMB_MATERIALIZATION_SQL = """
 SELECT 'C' || c_custkey AS guid,
        c_name AS name,
-       ['R' || r_regionkey, 'N' || n_nationkey] AS breadcrumbguid,
-       [r_name, n_name] AS breadcrumbname,
-       ['region', 'nation'] AS breadcrumbtype
+       'R' || r_regionkey || '|' || 'N' || n_nationkey AS breadcrumbguid,
+       r_name || '|' || n_name AS breadcrumbname,
+       'region|nation' AS breadcrumbtype
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -74,15 +84,18 @@ def descendant_prefix_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         desc, F.lit("ROOT"), F.lit("Root"), F.lit("m4i_system")
     )
     return out.select(
-        "guid", "breadcrumbguid", "breadcrumbname", "breadcrumbtype"
+        "guid",
+        F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
     ).orderBy("guid")
 
 
 DESCENDANT_PREFIX_SQL = """
 SELECT 'C' || c_custkey AS guid,
-       ['ROOT', 'R' || r_regionkey, 'N' || n_nationkey] AS breadcrumbguid,
-       ['Root', r_name, n_name] AS breadcrumbname,
-       ['m4i_system', 'region', 'nation'] AS breadcrumbtype
+       'ROOT|R' || r_regionkey || '|' || 'N' || n_nationkey AS breadcrumbguid,
+       'Root|' || r_name || '|' || n_name AS breadcrumbname,
+       'm4i_system|region|nation' AS breadcrumbtype
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -97,14 +110,17 @@ def rename_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     new name at N3's position — position-matched via the guid array."""
     docs = _customer_docs(spark, sf_dir)
     out = rename_in_breadcrumbs(docs, F.lit("N3"), F.lit("NATION_3_RENAMED"))
-    return out.select("guid", "breadcrumbname").orderBy("guid")
+    return out.select(
+        "guid",
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+    ).orderBy("guid")
 
 
 RENAME_PROPAGATION_SQL = """
 SELECT 'C' || c_custkey AS guid,
-       [r_name,
-        CASE WHEN n_nationkey = 3 THEN 'NATION_3_RENAMED' ELSE n_name END
-       ] AS breadcrumbname
+       r_name || '|' ||
+       CASE WHEN n_nationkey = 3 THEN 'NATION_3_RENAMED' ELSE n_name END
+       AS breadcrumbname
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -183,7 +183,7 @@ WITH th AS (
                i -> list_reduce(
                         list_prepend(0::BIGINT,
                             list_transform(token_hashes,
-                                h -> CASE WHEN (floor(h / 2^i)::BIGINT % 2) = 1
+                                h -> CASE WHEN ((h >> i) & 1) = 1
                                           THEN 1::BIGINT ELSE -1::BIGINT END)),
                         (acc, v) -> acc + v)
            ) AS bit_votes
@@ -194,7 +194,7 @@ SELECT doc_id,
            list_prepend(0::BIGINT,
                list_transform(range(0, 30),
                    i -> CASE WHEN bit_votes[i+1] > 0
-                             THEN 2^i::BIGINT ELSE 0::BIGINT END)),
+                             THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
            (acc, v) -> acc + v
        ) AS simhash
 FROM votes

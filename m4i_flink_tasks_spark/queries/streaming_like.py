@@ -89,8 +89,9 @@ WITH hourly AS (
 )
 SELECT user_id,
        bucket_ms,
-       sum(n) OVER (PARTITION BY user_id ORDER BY bucket_ms
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing_3bucket_events
+       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY bucket_ms
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_3bucket_events
 FROM hourly
 ORDER BY user_id, bucket_ms
 """
@@ -136,8 +137,9 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
     SELECT user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_seq
     FROM flagged
 )
 SELECT user_id, session_seq,

@@ -37,18 +37,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # The driver's canonicalizer is pandas-based: list/dict cells raise
+    # ("unhashable type") and int64 vs float64 values hash differently.
+    # Mirror both behaviors so mismatches surface locally first.
+    if isinstance(v, (list, dict, set)):
+        raise TypeError(
+            "array/map-typed result column: driver's canonicalizer cannot "
+            "hash this — serialize with to_json/array_join at the query "
+            f"boundary (got {v!r})"
+        )
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # defensive: collapse sub-round-off noise
-        return round(v, 9)
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+        return ("t", v.isoformat())
+    return ("s", v) if isinstance(v, str) else ("o", v)
 
 
 def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
