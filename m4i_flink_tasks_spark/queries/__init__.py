@@ -2,9 +2,19 @@
 
 Each submodule exposes ``QUERIES: dict[str, Callable[[SparkSession, str],
 DataFrame]]`` and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL over the same
-parquet views). ``all_queries()`` / ``all_oracles()`` merge them for
-``__spark_entry__``. A query without an oracle entry gets the driver's
-weaker rows-only check (documented per query).
+parquet views).
+
+The driver's correctness gate checks a bounded number of queries (50 in
+round 1), so the declared surface is curated: ``all_queries()`` returns
+exactly the ``DRIVER_QUERIES`` set — one proof row per SURVEY §2 operator
+family, merged where several trivial proofs shared a family (e.g.
+``row_transform_suite`` = P2+P3+P4+P12+P13+P14). Every declared query has
+an oracle and a CORRECTNESS row; nothing ships unverified.
+
+The remaining standalone forms stay registered via ``extra_queries()`` /
+``extra_oracles()`` — they are redundant proofs of operators already
+covered by a driver query, and are still pinned by the local pytest gate
+(tests/test_oracle_parity.py) and used by bench.py.
 """
 
 from __future__ import annotations
@@ -46,8 +56,77 @@ _MODULES = (
     llm_multimodal,
 )
 
+# The declared driver surface: every SURVEY §2 operator family has exactly
+# one proof row here (see COVERAGE.md for the query -> operator-ID map).
+# Order = priority order the driver walks; all entries fit the gate budget.
+DRIVER_QUERIES: tuple[str, ...] = (
+    # relational engine proofs (flagship bench queries + non-vacuous
+    # semi-join)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "order_priority_counts",
+    # S13/P6 + skew handling
+    "direct_change_classifier",
+    "skew_salted_join",
+    # CDC / diff kernels (P2-P4, P12-P14 merged; P5-P11; D1-D8; S3)
+    "row_transform_suite",
+    "attribute_diff",
+    "diff_event_materialization",
+    "attribute_flattening",
+    "dead_letter_split",
+    "asof_previous_version",
+    # state-store queries (Q1-Q7, S5-S8)
+    "state_store_lookups",
+    "store_filter_scan",
+    "delete_by_id",
+    "schema_introspection",
+    # graph / hierarchy dimensions (G1, G4, S14)
+    "type_hierarchy_ops",
+    # doc-graph maintenance (G9-G25, D9)
+    "breadcrumb_materialization",
+    "rename_propagation",
+    "breadcrumb_prefix_ops",
+    "derived_field_lifecycle",
+    "relationship_classification",
+    "governance_role_update",
+    "parent_guid_extraction",
+    "doc_creation",
+    "attribute_update_application",
+    "attribute_field_linkage",
+    "doc_update_collapse",
+    # event-time windows
+    "tumbling_window_counts",
+    "sliding_window_activity",
+    "session_windows",
+    # streaming pipelines (reference jobs 1-4 + streaming dedup/joins)
+    "stream_get_entity_enrichment",
+    "stream_publish_state",
+    "stream_determine_change",
+    "stream_synchronize_docstore",
+    "stream_dedup_within_watermark",
+    "stream_interval_join",
+    # LLM-pipeline: dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "neardup_components",
+    # LLM-pipeline: similarity family
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "embedding_neardup_pairs",
+    # LLM-pipeline: text analysis
+    "text_metrics",
+    "language_id",
+    "document_fingerprints",
+    # LLM-pipeline: multimodal plumbing
+    "multimodal_features",
+    "multimodal_frame_sampling",
+)
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
+def _merged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         overlap = merged.keys() & mod.QUERIES.keys()
@@ -57,8 +136,34 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return merged
 
 
-def all_oracles() -> dict[str, str]:
+def _merged_oracles() -> dict[str, str]:
     merged: dict[str, str] = {}
     for mod in _MODULES:
         merged.update(mod.ORACLES)
     return merged
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The declared driver surface, in priority order."""
+    merged = _merged_queries()
+    missing = [n for n in DRIVER_QUERIES if n not in merged]
+    if missing:
+        raise ValueError(f"DRIVER_QUERIES not implemented: {missing}")
+    return {name: merged[name] for name in DRIVER_QUERIES}
+
+
+def all_oracles() -> dict[str, str]:
+    merged = _merged_oracles()
+    return {name: merged[name] for name in DRIVER_QUERIES if name in merged}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Redundant standalone proofs kept for pytest + bench, not declared
+    to the driver."""
+    merged = _merged_queries()
+    return {n: fn for n, fn in merged.items() if n not in DRIVER_QUERIES}
+
+
+def extra_oracles() -> dict[str, str]:
+    merged = _merged_oracles()
+    return {n: sql for n, sql in merged.items() if n not in DRIVER_QUERIES}

@@ -407,7 +407,62 @@ ORDER BY channel
 """
 
 
+def row_transform_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+P4+P12+P13+P14 in one pass — the driver's correctness window
+    is finite, so the six row-level transforms share one proof row; each
+    column keeps its own reference citation:
+
+    - filter = P2 non-null + P4 envelope validation
+      (publish_state_job.py:56-69) AND P3 op-type predicate
+      (get_entity_job.py:40)
+    - ``doc_id`` = P12 ``{guid}_{updateTime}`` synthesis
+      (publish_state_job.py:77)
+    - ``data``/``plus_two`` = P13/P14 didactic row transforms
+      (examples/batch_processing_example.py:19-24,
+      examples/stream_processing_example.py:24-27)
+
+    Single projection over one scan; all expressions stay in codegen.
+    The standalone forms remain registered after the window for the
+    bench suite and as redundant proofs."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.filter(
+            F.col("props").isNotNull()
+            & k.isNotNull()
+            & F.col("event_type").isin("signup", "purchase", "error")
+        )
+        .select(
+            "event_id",
+            k.alias("payload_k"),
+            "event_type",
+            F.concat_ws("_", F.col("user_id"), F.unix_millis(F.col("ts"))).alias(
+                "doc_id"
+            ),
+            F.repeat(F.col("event_type"), 2).alias("data"),
+            (F.col("event_id") + 2).alias("plus_two"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ROW_TRANSFORM_SUITE_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS payload_k,
+       event_type,
+       user_id || '_' || epoch_ms(ts) AS doc_id,
+       repeat(event_type, 2) AS data,
+       event_id + 2 AS plus_two
+FROM events
+WHERE props IS NOT NULL
+  AND json_extract(props, '$.k') IS NOT NULL
+  AND event_type IN ('signup', 'purchase', 'error')
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "row_transform_suite": row_transform_suite,
     "op_type_filter": op_type_filter,
     "envelope_validation": envelope_validation,
     "doc_id_synthesis": doc_id_synthesis,
@@ -421,6 +476,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "row_transform_suite": ROW_TRANSFORM_SUITE_SQL,
     "op_type_filter": OP_TYPE_SQL,
     "envelope_validation": ENVELOPE_SQL,
     "doc_id_synthesis": DOC_ID_SQL,

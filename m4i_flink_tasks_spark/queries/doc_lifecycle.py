@@ -621,7 +621,122 @@ ORDER BY guid
 """
 
 
+def breadcrumb_prefix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12+G13 in one proof row, tagged by ``mode``:
+
+    - ``insert``: descendants of nation N7 get a new root ancestor
+      prepended (insert_prefix_to_breadcrumbs_of_child_entities,
+      synchronize_app_search.py:231-244)
+    - ``delete``: descendants of region R2 have their breadcrumb cut at
+      and including the removed ancestor
+      (delete_prefix_from_breadcrumbs_of_child_entities, :247-260)
+
+    Array columns serialized with array_join at the query boundary."""
+    from ..operators.docstore import insert_breadcrumb_prefix
+    from .doc_maintenance import _customer_docs
+
+    docs = _customer_docs(spark, sf_dir)
+    inserted = insert_breadcrumb_prefix(
+        descendants_of(docs, "N7"), F.lit("ROOT"), F.lit("Root"), F.lit("m4i_system")
+    ).withColumn("mode", F.lit("insert"))
+    deleted = delete_breadcrumb_prefix(
+        descendants_of(docs, "R2"), F.lit("R2")
+    ).withColumn("mode", F.lit("delete"))
+    both = inserted.unionByName(deleted, allowMissingColumns=True)
+    return both.select(
+        "mode",
+        "guid",
+        F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
+    ).orderBy("mode", "guid")
+
+
+BREADCRUMB_PREFIX_OPS_SQL = """
+SELECT 'insert' AS mode,
+       'C' || c_custkey AS guid,
+       'ROOT|R' || r_regionkey || '|' || 'N' || n_nationkey AS breadcrumbguid,
+       'Root|' || r_name || '|' || n_name AS breadcrumbname,
+       'm4i_system|region|nation' AS breadcrumbtype
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE n_nationkey = 7
+UNION ALL
+SELECT 'delete' AS mode,
+       'C' || c_custkey AS guid,
+       'N' || n_nationkey AS breadcrumbguid,
+       n_name AS breadcrumbname,
+       'nation' AS breadcrumbtype
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 2
+ORDER BY mode, guid
+"""
+
+
+def derived_field_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15+G16 in one proof row, tagged by ``mode``: ``inherit`` = parent
+    non-null derived fields overwrite the child on a new parent link
+    (update_derived_entiies, synchronize_app_search.py:284-289);
+    ``uninherit`` = child fields equal to the parent's reset on link
+    delete (delete_derived_entities, :273-281)."""
+    parents = _derived_parents(spark, sf_dir)
+    inherited = inherit_derived_fields(
+        _derived_children(spark, sf_dir, equal_to_parent=False), parents
+    ).withColumn("mode", F.lit("inherit"))
+    uninherited = uninherit_derived_fields(
+        _derived_children(spark, sf_dir, equal_to_parent=True), parents
+    ).withColumn("mode", F.lit("uninherit"))
+    both = inherited.unionByName(uninherited)
+    return both.select(
+        "mode",
+        "guid",
+        "deriveddataownerguid",
+        "deriveddatastewardguid",
+        "deriveddomainleadguid",
+        F.array_join("derivedentityguids", "|").alias("derivedentityguids"),
+        F.array_join("derivedentitynames", "|").alias("derivedentitynames"),
+    ).orderBy("mode", "guid")
+
+
+DERIVED_FIELD_LIFECYCLE_SQL = """
+SELECT 'inherit' AS mode,
+       'C' || c_custkey AS guid,
+       CASE WHEN c_nationkey % 2 = 0 THEN 'NO' || c_nationkey
+            WHEN c_custkey % 2 = 0 THEN 'CO' || c_custkey END
+           AS deriveddataownerguid,
+       'NS' || c_nationkey AS deriveddatastewardguid,
+       'CL' || c_custkey AS deriveddomainleadguid,
+       CASE WHEN c_nationkey % 3 = 0 THEN 'NE' || c_nationkey
+            ELSE 'CE' || c_custkey END AS derivedentityguids,
+       CASE WHEN c_nationkey % 3 = 0 THEN 'NN' || c_nationkey
+            ELSE c_name END AS derivedentitynames
+FROM customer
+UNION ALL
+SELECT 'uninherit' AS mode,
+       'C' || c_custkey AS guid,
+       CASE WHEN c_custkey % 3 = 0 AND c_nationkey % 2 = 0 THEN NULL
+            WHEN c_custkey % 3 = 0 THEN 'NO' || c_nationkey
+            ELSE 'CO' || c_custkey END AS deriveddataownerguid,
+       NULL AS deriveddatastewardguid,
+       'CL' || c_custkey AS deriveddomainleadguid,
+       CASE WHEN c_custkey % 2 = 0 AND c_nationkey % 3 = 0
+            THEN ''
+            WHEN c_custkey % 2 = 0 THEN 'NE' || c_nationkey
+            ELSE 'CE' || c_custkey END AS derivedentityguids,
+       CASE WHEN c_custkey % 2 = 0 AND c_nationkey % 3 = 0
+            THEN ''
+            WHEN c_custkey % 2 = 0 THEN 'NN' || c_nationkey
+            ELSE c_name END AS derivedentitynames
+FROM customer
+ORDER BY mode, guid
+"""
+
+
 QUERIES = {
+    "breadcrumb_prefix_ops": breadcrumb_prefix_ops,
+    "derived_field_lifecycle": derived_field_lifecycle,
     "relationship_classification": relationship_classification,
     "breadcrumb_prefix_delete": breadcrumb_prefix_delete,
     "derived_field_inherit": derived_field_inherit,
@@ -635,6 +750,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "breadcrumb_prefix_ops": BREADCRUMB_PREFIX_OPS_SQL,
+    "derived_field_lifecycle": DERIVED_FIELD_LIFECYCLE_SQL,
     "relationship_classification": RELATIONSHIP_CLASSIFICATION_SQL,
     "breadcrumb_prefix_delete": BREADCRUMB_PREFIX_DELETE_SQL,
     "derived_field_inherit": DERIVED_FIELD_INHERIT_SQL,

@@ -178,7 +178,57 @@ ORDER BY typename
 """
 
 
+def type_hierarchy_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+G4+S14 in one proof row: the transitive supertype closure
+    (get_super_types, synchronize_app_search.py:27-48, over the S14
+    type-def lookup :30) and the containment parent-type map
+    (get_parent_type, :74-76; HierarchyMapping.py:3-9), tagged by ``op``.
+    Both sides are literal broadcast dimensions — no data-scale scan."""
+    closure = supertype_closure_df(spark).select(
+        "typename",
+        F.lit("supertype_closure").alias("op"),
+        F.array_join("supertypes", ",").alias("value"),
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for pair in HIERARCHY_MAPPING.items() for x in pair]
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in sorted(set(HIERARCHY_MAPPING) | set(HIERARCHY_MAPPING.values()))],
+        "typename string",
+    )
+    parents = types.select(
+        "typename",
+        F.lit("parent_type").alias("op"),
+        F.coalesce(mapping[F.col("typename")], F.lit("(root)")).alias("value"),
+    )
+    return closure.unionByName(parents).orderBy("op", "typename")
+
+
+TYPE_HIERARCHY_OPS_SQL = f"""
+WITH RECURSIVE closure(typename, supertype) AS (
+    SELECT typename, supertype FROM {_edges_values_sql()}
+    UNION
+    SELECT c.typename, e.supertype
+    FROM closure c
+    JOIN {_edges_values_sql('e')}
+      ON c.supertype = e.typename
+)
+SELECT typename,
+       'supertype_closure' AS op,
+       array_to_string(list_sort(list(DISTINCT supertype)), ',') AS value
+FROM closure
+GROUP BY typename
+UNION ALL
+SELECT typename,
+       'parent_type' AS op,
+       coalesce(CASE typename {_PARENT_CASES} END, '(root)') AS value
+FROM (VALUES {_ALL_TYPES}) AS t(typename)
+ORDER BY op, typename
+"""
+
+
 QUERIES = {
+    "type_hierarchy_ops": type_hierarchy_ops,
     "supertype_closure": supertype_closure,
     "source_type_classification": source_type_classification,
     "breadcrumb_paths": breadcrumb_paths,
@@ -186,6 +236,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "type_hierarchy_ops": TYPE_HIERARCHY_OPS_SQL,
     "supertype_closure": SUPERTYPE_CLOSURE_SQL,
     "source_type_classification": SOURCE_TYPE_SQL,
     "breadcrumb_paths": BREADCRUMB_SQL,

@@ -262,10 +262,12 @@ ORDER BY n_name, s_name
 
 
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: semi-join (EXISTS) + count by group."""
+    """TPC-H Q4 shape: semi-join (EXISTS) + count by group. Date window
+    sits inside the synthetic data's 1995-2001 span so the proof is
+    non-vacuous (a 0-row match can't catch a wrong join)."""
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
     )
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
     return (
@@ -279,8 +281,8 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_PRIORITY_SQL = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1993-07-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1993-10-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -288,9 +290,16 @@ ORDER BY o_orderpriority
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (NOT EXISTS): customers with no orders, per nation."""
+    """Anti-join (NOT EXISTS): customers with no orders since 1999, per
+    nation. Every synthetic customer has at least one all-time order, so
+    the recency predicate keeps the anti-join non-vacuous."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
     nation = load_table(spark, sf_dir, "nation")
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
@@ -305,7 +314,9 @@ CUST_NO_ORDERS_SQL = """
 SELECT n_name, count(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY n_name
 ORDER BY n_name
 """

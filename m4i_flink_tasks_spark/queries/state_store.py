@@ -146,7 +146,74 @@ FROM (DESCRIBE SELECT * FROM documents)
 """
 
 
+def state_store_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q5+S5+S6 in one proof row: the point get (get_document,
+    elastic.py:43-51; ES term query, determine_change_job.py:223) and the
+    batched multi-get (get_documents, elastic.py:88-93), tagged by ``op``.
+    Both sides are pushed parquet filters; the union is two scans of a
+    tiny pruned result, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ("doc_id", "lang", "source", "n_chars")
+    point = docs.filter(F.col("doc_id") == 42).select(*cols).withColumn(
+        "op", F.lit("point")
+    )
+    multi = docs.filter(F.col("doc_id").isin(*_LOOKUP_IDS)).select(
+        *cols
+    ).withColumn("op", F.lit("multiget"))
+    return point.unionByName(multi).orderBy("op", "doc_id")
+
+
+STATE_STORE_LOOKUPS_SQL = f"""
+SELECT doc_id, lang, source, n_chars, 'point' AS op
+FROM documents WHERE doc_id = 42
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'multiget' AS op
+FROM documents WHERE doc_id IN {_LOOKUP_IDS}
+ORDER BY op, doc_id
+"""
+
+
+def store_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2+Q3+S8 in one proof row: the descendant array-membership scan
+    (`breadcrumbguid CONTAINS guid`, synchronize_app_search.py:101-115)
+    and the multi-field OR referrer query
+    (update_name_in_derived_entity_fields, :701-714), tagged by ``op``."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    member = (
+        docs.filter(F.array_contains(words, "spark"))
+        .select("doc_id", "lang", "source")
+        .withColumn("op", F.lit("descendants"))
+    )
+    referrer = (
+        docs.filter(
+            F.array_contains(words, "merge")
+            | F.array_contains(words, "shuffle")
+            | (F.col("source") == "src7")
+        )
+        .select("doc_id", "lang", "source")
+        .withColumn("op", F.lit("referrers"))
+    )
+    return member.unionByName(referrer).orderBy("op", "doc_id")
+
+
+STORE_FILTER_SCAN_SQL = """
+SELECT doc_id, lang, source, 'descendants' AS op
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark')
+UNION ALL
+SELECT doc_id, lang, source, 'referrers' AS op
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'merge')
+   OR list_contains(string_split(text, ' '), 'shuffle')
+   OR source = 'src7'
+ORDER BY op, doc_id
+"""
+
+
 QUERIES = {
+    "state_store_lookups": state_store_lookups,
+    "store_filter_scan": store_filter_scan,
     "point_lookup": point_lookup,
     "batched_multiget": batched_multiget,
     "array_membership": array_membership,
@@ -156,6 +223,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "state_store_lookups": STATE_STORE_LOOKUPS_SQL,
+    "store_filter_scan": STORE_FILTER_SCAN_SQL,
     "point_lookup": POINT_LOOKUP_SQL,
     "batched_multiget": MULTIGET_SQL,
     "array_membership": ARRAY_MEMBER_SQL,

@@ -5,14 +5,20 @@ from __future__ import annotations
 import os
 import re
 
-from m4i_flink_tasks_spark.queries import all_oracles, all_queries
+from m4i_flink_tasks_spark.queries import (
+    all_oracles,
+    all_queries,
+    extra_oracles,
+    extra_queries,
+)
 
 _DOC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
 
 
 def test_every_query_is_documented():
     text = open(_DOC).read()
-    missing = [n for n in all_queries() if n not in text]
+    registered = {**all_queries(), **extra_queries()}
+    missing = [n for n in registered if n not in text]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
 
 
@@ -20,7 +26,7 @@ def test_documented_query_names_exist():
     """Any snake_case backticked token that looks like a query name and
     ends up stale (renamed/removed query) should fail here."""
     text = open(_DOC).read()
-    known = set(all_queries())
+    known = set(all_queries()) | set(extra_queries())
     candidates = set(re.findall(r"`([a-z][a-z0-9_]{3,})`", text))
     # names that collide with the query naming style but are files/dirs
     lexicon = {c for c in candidates if "/" not in c and "." not in c}
@@ -62,3 +68,4 @@ def test_documented_query_names_exist():
 
 def test_all_queries_have_oracles():
     assert set(all_queries()) == set(all_oracles())
+    assert set(extra_queries()) == set(extra_oracles())

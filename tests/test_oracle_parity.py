@@ -9,12 +9,29 @@ from __future__ import annotations
 
 import pytest
 
-from m4i_flink_tasks_spark.queries import all_oracles, all_queries
+from m4i_flink_tasks_spark.queries import (
+    DRIVER_QUERIES,
+    all_oracles,
+    all_queries,
+    extra_oracles,
+    extra_queries,
+)
 
 from .oracle_harness import compare
 
-QUERIES = all_queries()
-ORACLES = all_oracles()
+QUERIES = {**all_queries(), **extra_queries()}
+ORACLES = {**all_oracles(), **extra_oracles()}
+
+
+def test_driver_surface_is_fully_verified():
+    """Every declared driver query must have an oracle — the driver gate
+    hashes all of them, so nothing on the declared surface is unproven."""
+    declared = all_queries()
+    assert list(declared) == list(DRIVER_QUERIES)
+    missing = set(declared) - set(all_oracles())
+    # Streaming-stateful queries may be rows-only checked; keep the
+    # exception list explicit and small.
+    assert missing <= set(), f"declared queries without oracle: {sorted(missing)}"
 
 
 def test_every_oracle_has_a_query():

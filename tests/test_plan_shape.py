@@ -18,12 +18,17 @@ from __future__ import annotations
 
 import pytest
 
-from m4i_flink_tasks_spark.queries import all_queries
+from m4i_flink_tasks_spark.queries import all_queries, extra_queries
+
+
+def _registered():
+    return {**all_queries(), **extra_queries()}
+
 
 # Queries whose invocation executes a streaming job rather than just
 # building a plan — plan-shape is asserted on their batch kernels above.
 _STREAMING = tuple(
-    n for n in all_queries() if n.startswith("stream_")
+    n for n in _registered() if n.startswith("stream_")
 )
 
 
@@ -37,7 +42,7 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
-    qs = all_queries()
+    qs = _registered()
     return {
         name: plan_of(fn(spark, sf_dir))
         for name, fn in qs.items()
@@ -104,7 +109,7 @@ def test_whole_stage_codegen_on_hot_aggregates(spark, sf_dir):
     into WholeStageCodegen spans (SURVEY §4.2: keep expressions
     JVM-side). AQE's pre-execution formatted plan hides codegen
     boundaries, so probe the codegen explain mode instead."""
-    qs = all_queries()
+    qs = _registered()
     for name in ("q1_pricing_summary", "q6_forecast_revenue"):
         df = qs[name](spark, sf_dir)
         df.collect()  # AQE finalizes (and codegen-compiles) on execution
