@@ -136,6 +136,24 @@ def _minhash_bands_batch(texts, n: int, k: int, bands: int, rows: int):
     return out_sh, out_bands
 
 
+def signature_partitions(df: DataFrame) -> int:
+    """Task count for the CPU-bound MinHash signature stage.
+
+    Small parquet inputs arrive as one partition, and AQE's byte-based
+    coalescing would collapse this stage to one task (tiny bytes, heavy
+    compute) — so repartition explicitly BEFORE the signature UDF:
+    every core gets a task (``defaultParallelism``), and an input
+    already split wider than the cluster (the 100 TB case) keeps its
+    own partitioning. No fixed ceiling: a cap (e.g. 16) would idle a
+    1000-executor cluster on its most CPU-bound stage.
+    """
+    return max(
+        2,
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -162,14 +180,7 @@ def ngram_jaccard_pairs(
         sh, band_keys = _minhash_bands_batch(texts, n, MINHASH_K, 4, 4)
         return pd.DataFrame({"sh": sh, "bands": band_keys})
 
-    # Small parquet inputs arrive as one partition; spread rows across
-    # cores BEFORE the signature compute.
-    # AQE's byte-based coalescing would collapse this CPU-bound stage to
-    # one partition (tiny bytes, heavy compute), so pick an explicit
-    # count: enough tasks to use the cores, few enough that per-task
-    # Arrow/scheduling overhead doesn't dominate. At 100 TB the input's
-    # own file partitioning makes this repartition a no-op-sized shuffle.
-    n_parts = max(2, min(16, df.sparkSession.sparkContext.defaultParallelism))
+    n_parts = signature_partitions(df)
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .repartition(n_parts, "doc_id")

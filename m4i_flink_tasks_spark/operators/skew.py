@@ -41,7 +41,16 @@ def salted_join(
 
     Result columns = left columns + right's non-key columns, exactly as
     the unsalted join; the salt never escapes.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated across all ``n_salts`` values, so a right/full outer
+    join would emit each unmatched right row ``n_salts`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows"
+        )
     salt_col = "__salt"
     salted_left = left.withColumn(
         salt_col,

@@ -152,18 +152,22 @@ def run_synchronize(
         spark, os.path.join(workdir, "app_search_docs"), key_cols=["guid"]
     )
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        # The additive combine is NOT naturally idempotent: a crash
+        # between the store's pointer swap and the checkpoint commit
+        # replays this batch, so the store skips batch_id <= last
+        # applied (recorded atomically with each version).
         partial = batch_partial_docs(batch)
         cur = store.current()
         if cur is None:
-            store.merge(partial)
+            store.merge(partial, batch_id=batch_id)
         else:
             # Merge only touched keys; untouched docs pass through the
             # default keyed upsert (Delta MERGE semantics).
             touched = cur.join(
                 F.broadcast(partial.select("guid")), "guid", "left_semi"
             )
-            store.merge(combine_docs(touched, partial))
+            store.merge(combine_docs(touched, partial), batch_id=batch_id)
 
     query = (
         events_file_stream(spark, staging, max_files_per_trigger)

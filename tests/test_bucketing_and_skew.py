@@ -112,3 +112,17 @@ def test_salted_join_left_outer_keeps_unmatched(spark, sf_dir, no_broadcast):
     assert out.count() == events.count()
     misses = out.filter(F.col("type_weight").isNull())
     assert misses.count() == events.filter(F.col("event_type") == "error").count()
+
+
+def test_minhash_signature_stage_tracks_cluster_parallelism(spark, sf_dir):
+    """The CPU-bound signature stage must scale with the cluster: one
+    task per core minimum, wider if the input is already wider, and no
+    fixed ceiling (a 16-task cap would idle a 1000-executor cluster)."""
+    from m4i_flink_tasks_spark.operators.dedup import signature_partitions
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = signature_partitions(docs)
+    dp = spark.sparkContext.defaultParallelism
+    assert n >= dp, f"signature stage ({n} tasks) under-uses {dp} cores"
+    wide = docs.repartition(dp * 4)
+    assert signature_partitions(wide) >= dp * 4, "input-wider-than-cluster capped"

@@ -51,6 +51,38 @@ def test_store_replay_converges(spark):
     assert once == twice
 
 
+def test_combine_replay_skipped_by_batch_id(spark):
+    """The synchronize pipeline's additive combine would double-count on
+    a foreachBatch replay (crash after pointer swap, before checkpoint
+    commit). The store records the batch id atomically with each version
+    and skips replays, so the combine path is effectively-once too."""
+    from m4i_flink_tasks_spark.streaming.synchronize import combine_docs
+
+    root = tempfile.mkdtemp(prefix="m4i_combine_replay_")
+    store = ParquetUpsertStore(spark, root, key_cols=["guid"])
+    schema = (
+        "guid string, n_events long, sum_value double, min_value double, "
+        "max_value double, event_types array<string>, last_ts_ms long, "
+        "last_event_id long, last_value double, last_event_type string"
+    )
+    b0 = spark.createDataFrame(
+        [("u1", 2, 10.0, 3.0, 7.0, ["click"], 100, 1, 7.0, "click")], schema
+    )
+    b1 = spark.createDataFrame(
+        [("u1", 1, 5.0, 5.0, 5.0, ["view"], 200, 2, 5.0, "view")], schema
+    )
+    store.merge(b0, batch_id=0)
+    store.merge(combine_docs(store.current(), b1), batch_id=1)
+    applied = sorted(map(tuple, store.current().collect()))
+    assert store.last_batch_id() == 1
+
+    # Replay of batch 1 (same id): must be a no-op, not a double-add.
+    store.merge(combine_docs(store.current(), b1), batch_id=1)
+    replayed = sorted(map(tuple, store.current().collect()))
+    assert replayed == applied
+    assert applied[0][1] == 3  # n_events = 2 + 1, counted once
+
+
 def test_stream_dedup_restart_is_noop(spark, sf_dir):
     """Restarting the watermark-dedup pipeline against its checkpoint
     must neither re-emit already-seen events nor write a store version:
