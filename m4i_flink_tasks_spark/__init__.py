@@ -17,3 +17,20 @@ Streaming plans designed for 100 TB scale:
 """
 
 __version__ = "0.1.0"
+
+# Ship this package's worker-executed Python (pandas UDFs, stateful
+# group functions, mapInPandas kernels) BY VALUE inside the pickled
+# command instead of by module reference: executors on a real cluster
+# (or any driver whose Python workers don't share our sys.path) have no
+# import path for this package unless it is pip-installed or shipped via
+# --py-files. By-value pickling removes that deploy-time coupling — the
+# registry check walks up parent packages, so registering the top-level
+# package covers every submodule.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - pyspark always present in-container
+    pass

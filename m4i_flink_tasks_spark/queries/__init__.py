@@ -102,7 +102,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # streaming pipelines (reference jobs 1-4 + streaming dedup/joins)
     "stream_get_entity_enrichment",
     "stream_publish_state",
-    "stream_determine_change",
+    "stream_determine_change_entities",
     "stream_synchronize_docstore",
     "stream_dedup_within_watermark",
     "stream_interval_join",

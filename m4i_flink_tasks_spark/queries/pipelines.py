@@ -111,6 +111,111 @@ ORDER BY event_id
 """
 
 
+def stream_determine_change_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job 3 over FULL entity payloads: keyed streaming state holds the
+    last complete entity version (attributes map + relationshipAttributes
+    map), and each event emits an EntityMessage-shaped diff — inserted/
+    changed/deleted attributes plus added/deleted relationship guids per
+    key (determine_change_job.py:230-425, AtlasEntityChangeMessage.py:12-30).
+    The oracle recomputes every diff with lag() over the same entity
+    construction — a hash match proves the incremental map-diff state
+    machine equals the batch as-of answer."""
+    from ..streaming.determine_change import run_determine_change_entities
+
+    final = run_determine_change_entities(
+        spark, sf_dir, _workdir("determine_change_entities")
+    )
+    return final.orderBy("event_id")
+
+
+DETERMINE_CHANGE_ENTITIES_SQL = """
+WITH base AS (
+    SELECT event_id, user_id, ts, event_type, value,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL
+), ent AS (
+    SELECT event_id, user_id, ts,
+           event_type AS a_et,
+           CAST(floor(value * 100) AS BIGINT) AS a_vc,
+           CASE WHEN k % 2 = 0 THEN k END AS a_k,
+           list_sort(list_distinct(['CH' || (k % 4), 'CH' || (user_id % 4)]))
+               AS r_channel,
+           CASE WHEN value >= 5.0 THEN ['F' || (k % 3)]
+                ELSE CAST([] AS VARCHAR[]) END AS r_flags
+    FROM base
+    WHERE k IS NOT NULL
+), lagged AS (
+    SELECT *,
+           (lag(event_id) OVER w IS NULL) AS created,
+           lag(a_et) OVER w AS p_et,
+           lag(a_vc) OVER w AS p_vc,
+           lag(a_k) OVER w AS p_k,
+           lag(r_channel) OVER w AS p_channel,
+           lag(r_flags) OVER w AS p_flags
+    FROM ent
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), rel AS (
+    SELECT *,
+           CASE WHEN created THEN r_channel
+                ELSE list_filter(r_channel, x -> NOT list_contains(p_channel, x))
+           END AS add_channel,
+           CASE WHEN created THEN CAST([] AS VARCHAR[])
+                ELSE list_filter(p_channel, x -> NOT list_contains(r_channel, x))
+           END AS del_channel,
+           CASE WHEN created THEN r_flags
+                ELSE list_filter(r_flags, x -> NOT list_contains(p_flags, x))
+           END AS add_flags,
+           CASE WHEN created THEN CAST([] AS VARCHAR[])
+                ELSE list_filter(p_flags, x -> NOT list_contains(r_flags, x))
+           END AS del_flags
+    FROM lagged
+), diffs AS (
+    SELECT event_id, user_id, created,
+           coalesce(array_to_string(list_filter([
+               CASE WHEN created THEN 'event_type=' || a_et END,
+               CASE WHEN a_k IS NOT NULL AND (created OR p_k IS NULL)
+                    THEN 'k=' || a_k END,
+               CASE WHEN created THEN 'value_cents=' || a_vc END
+           ], x -> x IS NOT NULL), '|'), '') AS inserted_attrs,
+           coalesce(array_to_string(list_filter([
+               CASE WHEN NOT created AND a_et <> p_et
+                    THEN 'event_type=' || a_et END,
+               CASE WHEN NOT created AND a_k IS NOT NULL AND p_k IS NOT NULL
+                         AND a_k <> p_k THEN 'k=' || a_k END,
+               CASE WHEN NOT created AND a_vc <> p_vc
+                    THEN 'value_cents=' || a_vc END
+           ], x -> x IS NOT NULL), '|'), '') AS changed_attrs,
+           coalesce(array_to_string(list_filter([
+               CASE WHEN NOT created AND a_k IS NULL AND p_k IS NOT NULL
+                    THEN 'k' END
+           ], x -> x IS NOT NULL), '|'), '') AS deleted_attrs,
+           coalesce(array_to_string(list_filter([
+               CASE WHEN len(add_channel) > 0
+                    THEN 'channel:' || array_to_string(add_channel, ',') END,
+               CASE WHEN len(add_flags) > 0
+                    THEN 'flags:' || array_to_string(add_flags, ',') END
+           ], x -> x IS NOT NULL), '|'), '') AS added_rels,
+           coalesce(array_to_string(list_filter([
+               CASE WHEN len(del_channel) > 0
+                    THEN 'channel:' || array_to_string(del_channel, ',') END,
+               CASE WHEN len(del_flags) > 0
+                    THEN 'flags:' || array_to_string(del_flags, ',') END
+           ], x -> x IS NOT NULL), '|'), '') AS deleted_rels
+    FROM rel
+)
+SELECT event_id, user_id,
+       CASE WHEN created THEN 'EntityCreated'
+            WHEN inserted_attrs = '' AND changed_attrs = ''
+                 AND deleted_attrs = '' AND added_rels = ''
+                 AND deleted_rels = '' THEN 'EntityUnchanged'
+            ELSE 'EntityChanged' END AS change_kind,
+       inserted_attrs, changed_attrs, deleted_attrs, added_rels, deleted_rels
+FROM diffs
+ORDER BY event_id
+"""
+
+
 def stream_synchronize_docstore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job 4: incrementally maintained denormalized doc store —
     associative per-batch combine (synchronize_elastic_job.py:55-142)."""
@@ -248,6 +353,7 @@ QUERIES = {
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
     "stream_determine_change": stream_determine_change,
+    "stream_determine_change_entities": stream_determine_change_entities,
     "stream_synchronize_docstore": stream_synchronize_docstore,
     "stream_windowed_aggregation": stream_windowed_aggregation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
@@ -259,6 +365,7 @@ ORACLES = {
     "stream_publish_state": PUBLISH_STATE_SQL,
     "stream_dead_letter_box": DEAD_LETTER_BOX_SQL,
     "stream_determine_change": DETERMINE_CHANGE_SQL,
+    "stream_determine_change_entities": DETERMINE_CHANGE_ENTITIES_SQL,
     "stream_synchronize_docstore": SYNCHRONIZE_SQL,
     "stream_windowed_aggregation": WINDOWED_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_SQL,

@@ -33,6 +33,8 @@ the full history would not.
 
 from __future__ import annotations
 
+import json
+import math
 import os
 from collections.abc import Iterator
 from typing import Any
@@ -118,6 +120,189 @@ def determine_change_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ENTITY_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, change_kind string, "
+    "inserted_attrs string, changed_attrs string, deleted_attrs string, "
+    "added_rels string, deleted_rels string"
+)
+# State = the last FULL entity version (attributes + relationship maps,
+# JSON), not a scalar — the streaming analogue of the reference keeping
+# whole AtlasEntity documents in its version store.
+ENTITY_STATE_SCHEMA = "last_ts_ms bigint, last_event_id bigint, last_entity string"
+
+
+def _entity_of(user_id: int, event_type: str, value: float, k: int) -> dict:
+    """Synthesize the entity view of one event, deterministic in the
+    event columns: an ``attributes`` map with a varying key set (``k``
+    present only for even k — so consecutive versions exercise insert
+    AND delete) and a ``relationshipAttributes`` map of guid lists
+    (``flags`` present only for value >= 5). Mirrors the entity shapes
+    of ``AtlasEntityChangeMessage.py:12-30``.
+    """
+    attrs: dict[str, Any] = {
+        "event_type": event_type,
+        # integer cents: float->string formatting differs across
+        # engines, floor(double*100) does not
+        "value_cents": int(math.floor(value * 100)),
+    }
+    if k % 2 == 0:
+        attrs["k"] = int(k)
+    rels: dict[str, list[str]] = {
+        "channel": sorted({f"CH{k % 4}", f"CH{user_id % 4}"})
+    }
+    if value >= 5.0:
+        rels["flags"] = [f"F{k % 3}"]
+    return {"attrs": attrs, "rels": rels}
+
+
+def _fmt_pairs(d: dict) -> str:
+    return "|".join(f"{k}={d[k]}" for k in sorted(d))
+
+
+def _fmt_rels(d: dict) -> str:
+    return "|".join(f"{k}:{','.join(v)}" for k, v in sorted(d.items()) if v)
+
+
+def _diff_entity(prev: dict | None, cur: dict) -> tuple[str, str, str, str, str, str]:
+    """D1-D6 over one entity version pair, EntityMessage-shaped.
+
+    CREATE (no previous version): every attribute is inserted and every
+    relationship guid added (determine_change_job.py:282-306). UPDATE:
+    inserted/changed/deleted attribute maps (get_non_matching_fields
+    dispatch, :323-336 and shared/diff kernels D1-D4) plus
+    added/deleted relationship guid lists per key (D5/D6).
+    """
+    ca, cr = cur["attrs"], cur["rels"]
+    if prev is None:
+        return (
+            "EntityCreated", _fmt_pairs(ca), "", "", _fmt_rels(cr), "",
+        )
+    pa, pr = prev["attrs"], prev["rels"]
+    inserted = {k: v for k, v in ca.items() if k not in pa}
+    changed = {k: v for k, v in ca.items() if k in pa and pa[k] != v}
+    deleted = sorted(k for k in pa if k not in ca)
+    added_r = {
+        k: sorted(set(cr.get(k, [])) - set(pr.get(k, [])))
+        for k in set(cr) | set(pr)
+    }
+    deleted_r = {
+        k: sorted(set(pr.get(k, [])) - set(cr.get(k, [])))
+        for k in set(cr) | set(pr)
+    }
+    parts = (
+        _fmt_pairs(inserted),
+        _fmt_pairs(changed),
+        "|".join(deleted),
+        _fmt_rels(added_r),
+        _fmt_rels(deleted_r),
+    )
+    kind = "EntityChanged" if any(parts) else "EntityUnchanged"
+    return (kind, *parts)
+
+
+def _diff_entities_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Diff one guid's micro-batch slice of full entity versions.
+
+    The per-row Python loop IS the diff kernel here — map-over-map set
+    algebra on ~10-key dicts, Arrow-batched per key group. The reference
+    runs a one-row pandas frame per *record* through the same logic
+    (determine_change_job.py:323-336); this amortizes interpreter
+    overhead across the whole group slice.
+    """
+    (user_id,) = key
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+    prev: dict | None = None
+    if state.exists:
+        last_ts_ms, last_event_id, last_entity = state.get
+        prev = json.loads(last_entity)
+    out_rows = []
+    for row in pdf.itertuples(index=False):
+        k = json.loads(row.props)["k"]
+        cur = _entity_of(int(user_id), row.event_type, float(row.value), int(k))
+        kind, ins_a, chg_a, del_a, add_r, del_r = _diff_entity(prev, cur)
+        out_rows.append(
+            (int(row.event_id), int(user_id), kind, ins_a, chg_a, del_a, add_r, del_r)
+        )
+        prev = cur
+
+    last = pdf.iloc[-1]
+    state.update(
+        (int(last["ts_ms"]), int(last["event_id"]), json.dumps(prev, sort_keys=True))
+    )
+    yield pd.DataFrame(
+        out_rows,
+        columns=[
+            "event_id", "user_id", "change_kind", "inserted_attrs",
+            "changed_attrs", "deleted_attrs", "added_rels", "deleted_rels",
+        ],
+    )
+
+
+def entity_change_stream(stream: DataFrame) -> DataFrame:
+    """Keyed stateful entity diff — streaming D1-D6 over full payloads."""
+    return (
+        stream.filter(
+            F.col("props").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _diff_entities_group,
+            outputStructType=ENTITY_OUTPUT_SCHEMA,
+            stateStructType=ENTITY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_determine_change_entities(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Run the bounded entity-diff stream; return all emitted diffs."""
+    staging = stage_events(
+        spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
+    )
+    store = ParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "determined_change_entities"),
+        key_cols=["event_id"],
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(batch, batch_id=batch_id)
+
+    query = (
+        entity_change_stream(
+            events_file_stream(spark, staging, max_files_per_trigger)
+        )
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(workdir, "ckpt_determine_change_entities"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    final = store.current()
+    assert final is not None
+    return final
 
 
 def run_determine_change(
