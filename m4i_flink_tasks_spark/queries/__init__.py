@@ -103,7 +103,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "stream_get_entity_enrichment",
     "stream_publish_state",
     "stream_determine_change_entities",
-    "stream_synchronize_docstore",
+    "stream_synchronize_appsearch_docs",
     "stream_dedup_within_watermark",
     "stream_interval_join",
     # LLM-pipeline: dedup family

@@ -254,6 +254,89 @@ ORDER BY agg.guid
 """
 
 
+def stream_synchronize_appsearch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job 4 driving the REAL G26-G28 dispatcher: every micro-batch of
+    EntityMessage diff events runs through ``plans.synchronize_plan``
+    inside ``foreachBatch`` — doc creation (G23) under seeded domains,
+    breadcrumb derivation (G9), derived-field inheritance (G15), deletes
+    (Q7) and the D9 collapse — merging real APP_SEARCH_DOC rows into the
+    versioned store (synchronize_elastic_job.py:55-142). The oracle
+    recomputes the final doc store from each user's last event in one
+    SQL statement; a hash match proves the incremental doc-graph
+    maintenance converges to the batch answer."""
+    from ..streaming.synchronize_docs import run_synchronize_appsearch
+
+    final = run_synchronize_appsearch(spark, sf_dir, _workdir("synchronize_docs"))
+    return final.select(
+        "guid",
+        "typename",
+        "name",
+        "referenceablequalifiedname",
+        "sourcetype",
+        F.array_join("m4isourcetype", "|").alias("m4isourcetype"),
+        F.array_join("supertypenames", "|").alias("supertypenames"),
+        "definition",
+        "email",
+        "parentguid",
+        F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
+        "deriveddataownerguid",
+        "deriveddomainleadguid",
+    ).orderBy("guid")
+
+
+SYNCHRONIZE_APPSEARCH_SQL = """
+WITH last_event AS (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+    FROM events
+    WHERE props IS NOT NULL
+), winners AS (
+    SELECT * FROM last_event WHERE rn = 1 AND event_type <> 'error'
+), entity_docs AS (
+    SELECT 'E' || user_id AS guid,
+           'm4i_data_entity' AS typename,
+           'U' || user_id || '~' || event_id AS name,
+           'qn://E' || user_id AS referenceablequalifiedname,
+           'Business' AS sourcetype,
+           'm4i_data_entity' AS m4isourcetype,
+           'Referenceable|m4i_data_entity|m4i_referenceable' AS supertypenames,
+           event_type AS definition,
+           'u' || user_id || '@ex.com' AS email,
+           'D' || (user_id % 10) AS parentguid,
+           'D' || (user_id % 10) AS breadcrumbguid,
+           'Domain' || (user_id % 10) AS breadcrumbname,
+           'm4i_data_domain' AS breadcrumbtype,
+           CAST(NULL AS VARCHAR) AS deriveddataownerguid,
+           'L' || (user_id % 10) AS deriveddomainleadguid
+    FROM winners
+), domain_docs AS (
+    SELECT 'D' || i AS guid,
+           'm4i_data_domain' AS typename,
+           'Domain' || i AS name,
+           'qn://D' || i AS referenceablequalifiedname,
+           'Business' AS sourcetype,
+           'm4i_data_domain' AS m4isourcetype,
+           'Referenceable|m4i_data_domain|m4i_referenceable' AS supertypenames,
+           CAST(NULL AS VARCHAR) AS definition,
+           CAST(NULL AS VARCHAR) AS email,
+           CAST(NULL AS VARCHAR) AS parentguid,
+           '' AS breadcrumbguid,
+           '' AS breadcrumbname,
+           '' AS breadcrumbtype,
+           CAST(NULL AS VARCHAR) AS deriveddataownerguid,
+           'L' || i AS deriveddomainleadguid
+    FROM range(10) t(i)
+)
+SELECT * FROM entity_docs
+UNION ALL
+SELECT * FROM domain_docs
+ORDER BY guid
+"""
+
+
 def stream_get_entity_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Job 1: op-type filter + broadcast enrichment join + enveloped
     output — the per-record REST enrichment (S12 get_entity_by_guid,
@@ -355,6 +438,7 @@ QUERIES = {
     "stream_determine_change": stream_determine_change,
     "stream_determine_change_entities": stream_determine_change_entities,
     "stream_synchronize_docstore": stream_synchronize_docstore,
+    "stream_synchronize_appsearch_docs": stream_synchronize_appsearch_docs,
     "stream_windowed_aggregation": stream_windowed_aggregation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_interval_join": stream_interval_join,
@@ -367,6 +451,7 @@ ORACLES = {
     "stream_determine_change": DETERMINE_CHANGE_SQL,
     "stream_determine_change_entities": DETERMINE_CHANGE_ENTITIES_SQL,
     "stream_synchronize_docstore": SYNCHRONIZE_SQL,
+    "stream_synchronize_appsearch_docs": SYNCHRONIZE_APPSEARCH_SQL,
     "stream_windowed_aggregation": WINDOWED_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,

@@ -1,0 +1,199 @@
+"""Job 4 — the REAL G26-G28 doc-graph dispatcher driven from streaming.
+
+Reference: ``synchronize_elastic_job.py:55-142`` consumes EntityMessage
+diff events and maintains the denormalized App Search document store —
+breadcrumbs (G9), derived fields (G15), doc creation (G23), deletes
+(Q7), all collapsed last-writer-wins (D9). The sibling
+``streaming/synchronize.py`` maintains aggregate proxies; THIS module
+feeds each micro-batch of diff events through the full set-at-a-time
+dispatcher ``plans.synchronize_plan.synchronize_batch`` inside
+``foreachBatch``, merging real APP_SEARCH_DOC rows into the versioned
+store.
+
+Stream semantics (deterministic under any batch split):
+
+- The store is seeded with static domain docs ``D0..D9`` (built by the
+  same G23 ``create_docs`` kernel, so sourcetype/supertypenames come
+  from the real closure).
+- Each event becomes an EntityMessage for entity ``E{user_id}`` under
+  parent domain ``D{user_id % 10}``: ``error`` events are
+  ``EntityDeleted`` (Q7), everything else ``EntityCreated`` whose
+  ``new_value`` carries the attributes map (name/definition/email) and
+  the parent relationship (G22 extraction path).
+- Within a batch, messages collapse to the LAST per guid by
+  (ts_ms, event_id) — the reference's ``updated_docs`` dict collapse
+  (D9) applied at message level, which also makes the final store a
+  pure function of each user's LAST event: batch-split invariant, so
+  one batch SQL statement can oracle the whole incremental run.
+- Each batch publishes ONE new store version (upserts + deletes in a
+  single keyed combine) with the batch id recorded atomically, so a
+  replayed micro-batch is skipped (effectively-once).
+
+Scale: per batch the dispatcher joins the batch's touched guids against
+the store snapshot with broadcast joins; nothing rescans stream
+history. The store's O(store) version rewrite is the documented
+Delta-MERGE seam (``streaming/store.py``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hierarchy import supertype_closure_df
+from ..operators.docstore import create_docs
+from ..plans.synchronize_plan import synchronize_batch
+from ..schemas import RELATIONSHIP_ATTRIBUTES
+from .sources import events_file_stream, stage_events
+from .store import ParquetUpsertStore
+
+N_DOMAINS = 10
+
+
+def seed_domain_docs(spark: SparkSession, closure: DataFrame) -> DataFrame:
+    """The static domain layer ``D0..D9``, built by the G23 create
+    kernel itself (create_doc, synchronize_app_search.py:565-592) so
+    sourcetype/m4isourcetype/supertypenames are the closure's answers,
+    then given a domain lead for the G15 inherit path to copy down."""
+    rows = [
+        (
+            "m4i_data_domain",
+            f"qn://D{i}",
+            f"D{i}",
+            {"name": f"Domain{i}"},
+        )
+        for i in range(N_DOMAINS)
+    ]
+    msgs = spark.createDataFrame(
+        rows,
+        "type_name string, qualified_name string, guid string, "
+        "attributes map<string,string>",
+    ).select(
+        "type_name",
+        "qualified_name",
+        "guid",
+        F.struct(
+            F.col("attributes"),
+            F.lit(None).cast(RELATIONSHIP_ATTRIBUTES).alias(
+                "relationship_attributes"
+            ),
+        ).alias("new_value"),
+    )
+    docs = create_docs(msgs, closure)
+    return docs.withColumn(
+        "deriveddomainleadguid",
+        F.concat(F.lit("L"), F.substring("guid", 2, 10)),
+    )
+
+
+def batch_entity_messages(batch: DataFrame) -> DataFrame:
+    """One EntityMessage per guid for this micro-batch — the D9
+    message-level collapse (last event per user by event time) feeding
+    the dispatcher, so repeated updates to one doc within a batch
+    resolve exactly like the reference's ``updated_docs`` dict
+    (synchronize_app_search.py:335,396,462,524,561)."""
+    latest = (
+        batch.filter(F.col("props").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"),
+                F.struct(F.col("ts_ms"), F.col("event_id")),
+            ).alias("e")
+        )
+        .select("user_id", "e.*")
+    )
+    guid = F.concat(F.lit("E"), F.col("user_id"))
+    dom = F.concat(F.lit("D"), F.col("user_id") % N_DOMAINS)
+    rel_ref = F.struct(
+        dom.alias("guid"),
+        F.lit("m4i_data_domain").alias("type_name"),
+        F.lit("ACTIVE").alias("entity_status"),
+        F.lit(None).cast("string").alias("display_text"),
+        F.lit("parent").alias("relationship_type"),
+        F.lit(None).cast("string").alias("relationship_guid"),
+        F.lit("ACTIVE").alias("relationship_status"),
+        F.lit(None).cast("map<string,string>").alias("relationship_attributes"),
+        F.lit(None).cast("map<string,string>").alias("unique_attributes"),
+    )
+    attributes = F.create_map(
+        F.lit("name"),
+        F.concat(F.lit("U"), F.col("user_id"), F.lit("~"), F.col("event_id")),
+        F.lit("definition"),
+        F.col("event_type"),
+        F.lit("email"),
+        F.concat(F.lit("u"), F.col("user_id"), F.lit("@ex.com")),
+    )
+    empty_rels = F.lit(None).cast(RELATIONSHIP_ATTRIBUTES)
+    no_attrs = F.array().cast("array<string>")
+    return latest.select(
+        F.lit("m4i_data_entity").alias("type_name"),
+        F.concat(F.lit("qn://E"), F.col("user_id")).alias("qualified_name"),
+        guid.alias("guid"),
+        F.when(F.col("event_type") == "error", F.lit("EntityDeleted"))
+        .otherwise(F.lit("EntityCreated"))
+        .alias("event_type"),
+        F.lit(True).alias("direct_change"),
+        no_attrs.alias("inserted_attributes"),
+        no_attrs.alias("changed_attributes"),
+        no_attrs.alias("deleted_attributes"),
+        empty_rels.alias("inserted_relationships"),
+        empty_rels.alias("deleted_relationships"),
+        F.struct(
+            attributes.alias("attributes"),
+            F.create_map(F.lit("parentEntity"), F.array(rel_ref)).alias(
+                "relationship_attributes"
+            ),
+        ).alias("new_value"),
+    )
+
+
+def run_synchronize_appsearch(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Run the bounded diff-event stream through the G26-G28 dispatcher;
+    return the final App Search doc store."""
+    closure = supertype_closure_df(spark).localCheckpoint()
+    staging = stage_events(
+        spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
+    )
+    store = ParquetUpsertStore(
+        spark, os.path.join(workdir, "appsearch_docs"), key_cols=["guid"]
+    )
+    if store.current() is None:
+        store.merge(seed_domain_docs(spark, closure))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        msgs = batch_entity_messages(batch)
+        snapshot = store.current()
+        upserts, deletes = synchronize_batch(msgs, snapshot, closure)
+
+        def apply(cur: DataFrame, ups: DataFrame) -> DataFrame:
+            # upserts + deletes in ONE atomic version publish: replace
+            # upserted keys, drop deleted keys, keep the rest.
+            gone = ups.select("guid").unionByName(deletes).distinct()
+            kept = cur.join(F.broadcast(gone), "guid", "left_anti")
+            return kept.unionByName(ups)
+
+        store.merge(upserts, combine=apply, batch_id=batch_id)
+
+    query = (
+        events_file_stream(spark, staging, max_files_per_trigger)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_synchronize_docs")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    final = store.current()
+    assert final is not None
+    return final

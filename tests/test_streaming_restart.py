@@ -103,3 +103,27 @@ def test_stream_dedup_restart_is_noop(spark, sf_dir):
         [d for d in os.listdir(store_root) if d.startswith("v")]
     )
     assert versions_second == versions_first
+
+
+def test_synchronize_docs_restart_is_noop(spark, sf_dir):
+    """Restarting the doc-graph dispatcher pipeline against its
+    checkpoint must neither re-run batches nor write a store version:
+    offsets live in the checkpoint, applied batch ids in the store."""
+    from m4i_flink_tasks_spark.streaming.synchronize_docs import (
+        run_synchronize_appsearch,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="m4i_syncdocs_restart_")
+    first = run_synchronize_appsearch(spark, sf_dir, workdir)
+    rows_first = sorted(map(tuple, first.collect()))
+    store_root = os.path.join(workdir, "appsearch_docs")
+    versions_first = len(
+        [d for d in os.listdir(store_root) if d.startswith("v")]
+    )
+
+    second = run_synchronize_appsearch(spark, sf_dir, workdir)
+    assert sorted(map(tuple, second.collect())) == rows_first
+    versions_second = len(
+        [d for d in os.listdir(store_root) if d.startswith("v")]
+    )
+    assert versions_second == versions_first
