@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore, ParquetUpsertStore
 
 
 def is_poison(stream: DataFrame) -> F.Column:
@@ -110,7 +110,10 @@ def run_publish_state(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # Entity state grows with #entities x #versions — the one store in
+    # this repo that genuinely needs merges bounded by touched buckets
+    # rather than store size.
+    store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "entity_state"), key_cols=["doc_id"]
     )
     dead_store = ParquetUpsertStore(

@@ -1,0 +1,105 @@
+"""BucketedParquetUpsertStore — the bounded-merge contract, enforced.
+
+The base store is O(store) per merge; the bucketed store must (a) give
+byte-identical ANSWERS to the base store for any merge/delete sequence,
+and (b) leave untouched buckets' files on disk untouched — merge cost
+bounded by touched buckets, not store size (the posture Delta/Iceberg
+MERGE file pruning gives at 100 TB).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from m4i_flink_tasks_spark.streaming.store import (
+    BucketedParquetUpsertStore,
+    ParquetUpsertStore,
+)
+
+
+def _rows(store):
+    return sorted(map(tuple, store.current().collect()))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_bucketed_matches_flat_store_semantics(spark):
+    root_b = tempfile.mkdtemp(prefix="m4i_bstore_")
+    root_f = tempfile.mkdtemp(prefix="m4i_fstore_")
+    b = BucketedParquetUpsertStore(spark, root_b, ["k"], n_buckets=4)
+    f = ParquetUpsertStore(spark, root_f, ["k"])
+
+    seed = _mk(spark, [(i, f"v{i}") for i in range(20)])
+    upd = _mk(spark, [(3, "x3"), (7, "x7"), (40, "new")])
+    dels = spark.createDataFrame([(5,), (40,)], "k long")
+    for store in (b, f):
+        store.merge(seed)
+        store.merge(upd)
+        store.delete(dels)
+    assert _rows(b) == _rows(f)
+
+
+def test_merge_rewrites_only_touched_buckets(spark):
+    root = tempfile.mkdtemp(prefix="m4i_bstore_touch_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=8)
+    store.merge(_mk(spark, [(i, f"v{i}") for i in range(64)]))
+    state0 = store._state()
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(root, "v*", "_bucket=*", "*.parquet"))
+    }
+
+    # One key -> one touched bucket.
+    store.merge(_mk(spark, [(3, "updated")]))
+    state1 = store._state()
+    moved = [
+        bkt
+        for bkt in state0["buckets"]
+        if state1["buckets"].get(bkt) != state0["buckets"][bkt]
+    ]
+    assert len(moved) == 1, f"expected 1 rewritten bucket, got {moved}"
+
+    # Every pre-existing data file is still there, unmodified: untouched
+    # buckets cost zero bytes of rewrite.
+    for p, mtime in files_before.items():
+        assert os.path.exists(p), f"pre-existing file removed: {p}"
+        assert os.path.getmtime(p) == mtime, f"pre-existing file rewritten: {p}"
+
+    got = dict(map(tuple, store.current().collect()))
+    assert got[3] == "updated" and len(got) == 64
+
+
+def test_bucketed_replay_skipped_by_batch_id(spark):
+    root = tempfile.mkdtemp(prefix="m4i_bstore_replay_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=4)
+    store.merge(_mk(spark, [(1, "a")]), batch_id=0)
+
+    def add_suffix(cur, batch):
+        merged = cur.join(batch.select("k", F.col("v").alias("nv")), "k", "full_outer")
+        return merged.select(
+            "k", F.concat_ws("+", F.col("v"), F.col("nv")).alias("v")
+        )
+
+    store.merge(_mk(spark, [(1, "b")]), combine=add_suffix, batch_id=1)
+    applied = _rows(store)
+    assert applied == [(1, "a+b")]
+    assert store.last_batch_id() == 1
+
+    # Replayed non-idempotent combine must be a no-op.
+    store.merge(_mk(spark, [(1, "b")]), combine=add_suffix, batch_id=1)
+    assert _rows(store) == applied
+
+
+def test_delete_emptied_bucket_leaves_pointer_map(spark):
+    root = tempfile.mkdtemp(prefix="m4i_bstore_empty_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=2)
+    store.merge(_mk(spark, [(1, "a"), (2, "b")]))
+    store.delete(spark.createDataFrame([(1,), (2,)], "k long"))
+    cur = store.current()
+    assert cur is None or cur.count() == 0
