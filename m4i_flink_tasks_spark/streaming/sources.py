@@ -86,3 +86,64 @@ def events_file_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         reader = reader.option("latestFirst", "false")
     return reader.parquet(staging_dir)
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped frame (binary ``value`` column) into the
+    event transport schema — the S1 parse path shared by the real
+    connector and tests. One ``from_json`` per record replaces the
+    reference's per-record ``json.loads`` + dataclass hydration
+    (FlinkKafkaConsumer + SimpleStringSchema, get_entity_job.py:105-111).
+    Malformed payloads parse to NULL structs and are filtered here —
+    the upstream dead-letter split (S3) sees them as poison instead of
+    killing the job."""
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), EVENT_STREAM_SCHEMA).alias(
+                "e"
+            )
+        )
+        # PERMISSIVE from_json renders garbage as an all-NULL struct, so
+        # gate on the required key field rather than the struct itself.
+        .filter(F.col("e").isNotNull() & F.col("e.event_id").isNotNull())
+        .select("e.*")
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1: the REAL Kafka source behind the same transport contract as
+    ``events_file_stream`` — swapping one reader, as documented. Needs
+    the ``spark-sql-kafka`` connector on the classpath (absent in this
+    container; ``tests/test_kafka_swap_in.py`` gates on that)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_kafka_events(raw)
+
+
+def kafka_events_writer(df: DataFrame, bootstrap_servers: str, topic: str):
+    """S2: the Kafka sink — key by event id (per-key topic ordering,
+    the property the stateful pipelines assume), JSON-encode the row,
+    and carry the reference producer's 14999999-byte request cap
+    (FlinkKafkaProducer ``max.request.size``, get_entity_job.py:121-123,
+    determine_change_job.py:472-474). Returns the writer so callers
+    attach their own checkpoint location."""
+    payload = df.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("kafka.max.request.size", "14999999")
+    )
