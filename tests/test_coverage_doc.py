@@ -57,6 +57,9 @@ def test_documented_query_names_exist():
             "from_json",
             "to_json",
             "map_zip_with",
+            "kafka_events_stream",
+            "kafka_events_writer",
+            "parse_kafka_events",
             "array_except",
             "array_intersect",
             "max_by",
