@@ -136,22 +136,38 @@ def _minhash_bands_batch(texts, n: int, k: int, bands: int, rows: int):
     return out_sh, out_bands
 
 
-def signature_partitions(df: DataFrame) -> int:
+# Docs per signature task: small enough that a full-width cluster stays
+# busy on any real corpus, large enough that Arrow/pandas per-task setup
+# (~10-30 ms) never dominates the kernel itself.
+SIGNATURE_ROWS_PER_TASK = 512
+
+
+def signature_partitions(df: DataFrame, rows_hint: int | None = None) -> int:
     """Task count for the CPU-bound MinHash signature stage.
 
     Small parquet inputs arrive as one partition, and AQE's byte-based
     coalescing would collapse this stage to one task (tiny bytes, heavy
-    compute) — so repartition explicitly BEFORE the signature UDF:
-    every core gets a task (``defaultParallelism``), and an input
-    already split wider than the cluster (the 100 TB case) keeps its
-    own partitioning. No fixed ceiling: a cap (e.g. 16) would idle a
-    1000-executor cluster on its most CPU-bound stage.
+    compute) — so repartition explicitly BEFORE the signature UDF. No
+    fixed ceiling: the width is the larger of cluster parallelism and
+    the input's own partitioning, so a 1000-executor cluster never
+    idles on its most CPU-bound stage (a cap like 16 would).
+
+    ``rows_hint`` (parquet-footer row count, see
+    ``sources.tables.table_num_rows``) bounds the fan-out from below by
+    work: a corpus smaller than ``SIGNATURE_ROWS_PER_TASK`` per core
+    gets proportionally fewer tasks, since per-task Arrow setup would
+    otherwise exceed the hashing work itself. With no hint the stage
+    defaults to full cluster width (the safe choice at scale).
     """
-    return max(
+    width = max(
         2,
         df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions(),
     )
+    if rows_hint is None:
+        return width
+    ideal = max(2, -(-rows_hint // SIGNATURE_ROWS_PER_TASK))
+    return min(width, ideal)
 
 
 def ngram_jaccard_pairs(
@@ -160,6 +176,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """All-pairs near-dup by n-gram Jaccard, LSH-accelerated.
 
@@ -180,7 +197,7 @@ def ngram_jaccard_pairs(
         sh, band_keys = _minhash_bands_batch(texts, n, MINHASH_K, 4, 4)
         return pd.DataFrame({"sh": sh, "bands": band_keys})
 
-    n_parts = signature_partitions(df)
+    n_parts = signature_partitions(df, rows_hint=rows_hint)
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .repartition(n_parts, "doc_id")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import text as T
 from ..sources import load_table
+from ..sources.tables import table_num_rows
 
 _JACCARD_THRESHOLD = 0.5
 _SIMHASH_MAX_HAMMING = 3
@@ -41,7 +42,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation (never O(n²))."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD,
+        rows_hint=table_num_rows(sf_dir, "documents"),
     ).orderBy("id_a", "id_b")
 
 
@@ -122,7 +124,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD,
+        rows_hint=table_num_rows(sf_dir, "documents"),
     )
     cc = connected_components(pairs, "id_a", "id_b")
     w = Window.partitionBy("component_id")

@@ -50,6 +50,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def table_num_rows(sf_dir: str, name: str) -> int | None:
+    """Row count from the parquet footer (no Spark job, no data read).
+
+    Used as a sizing hint for CPU-bound stages (e.g. the MinHash
+    signature kernel) that should fan out with data volume rather than
+    blindly matching cluster width. Returns ``None`` when the path is
+    not plain local parquet — callers must treat the hint as optional.
+    """
+    import os
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-form queries can run."""
     for name in TABLES:

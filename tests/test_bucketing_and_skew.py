@@ -120,9 +120,18 @@ def test_minhash_signature_stage_tracks_cluster_parallelism(spark, sf_dir):
     fixed ceiling (a 16-task cap would idle a 1000-executor cluster)."""
     from m4i_flink_tasks_spark.operators.dedup import signature_partitions
 
+    from m4i_flink_tasks_spark.operators.dedup import SIGNATURE_ROWS_PER_TASK
+
     docs = load_table(spark, sf_dir, "documents")
     n = signature_partitions(docs)
     dp = spark.sparkContext.defaultParallelism
     assert n >= dp, f"signature stage ({n} tasks) under-uses {dp} cores"
     wide = docs.repartition(dp * 4)
     assert signature_partitions(wide) >= dp * 4, "input-wider-than-cluster capped"
+    # A rows hint bounds fan-out by actual work: a corpus big enough to
+    # feed every core stays at full width, a tiny one doesn't pay
+    # per-task Arrow setup for idle tasks.
+    big = SIGNATURE_ROWS_PER_TASK * dp * 10
+    assert signature_partitions(docs, rows_hint=big) >= dp
+    small = signature_partitions(docs, rows_hint=SIGNATURE_ROWS_PER_TASK * 3)
+    assert 2 <= small <= 3, f"tiny corpus over-fanned: {small} tasks"
