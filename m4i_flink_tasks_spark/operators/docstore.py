@@ -266,6 +266,40 @@ def uninherit_derived_fields(children: DataFrame, parent_docs: DataFrame) -> Dat
     return out
 
 
+def propagate_derived_fields(
+    descendants: DataFrame, source_docs: DataFrame, ancestor_col: str = "ancestorguid"
+) -> DataFrame:
+    """G14 update_derived_entity_fields_of_child_entities
+    (synchronize_app_search.py:263-270): copy EVERY ``derived*`` field
+    of the changed doc onto each of its descendants, unconditionally —
+    unlike G15's inherit, a NULL/empty source value overwrites too
+    (the reference loops ``for key in doc: child_doc[key] = doc[key]``
+    with no null guard).
+
+    ``descendants`` carries ``ancestor_col`` naming the changed doc;
+    sources are broadcast (one changed doc fans out to many
+    descendants), so the whole set-at-a-time propagation is one
+    broadcast join — no per-descendant point reads. The field list is
+    every ``derived``-prefixed column of the source (the reference's
+    ``key.startswith("derived")`` loop), so it covers the full doc
+    schema (derivedperson/field/attribute guids included) as well as
+    narrower projections.
+    """
+    derived_cols = [c for c in source_docs.columns if c.startswith("derived")]
+    sel = [F.col("guid").alias(ancestor_col), F.lit(True).alias("_s_matched")]
+    sel += [F.col(c).alias(f"_s_{c}") for c in derived_cols]
+    joined = descendants.join(
+        F.broadcast(source_docs.select(*sel)), ancestor_col, "left"
+    )
+    out = joined
+    for c in derived_cols:
+        out = out.withColumn(
+            c,
+            F.when(F.col("_s_matched"), F.col(f"_s_{c}")).otherwise(F.col(c)),
+        ).drop(f"_s_{c}")
+    return out.drop("_s_matched")
+
+
 def apply_attribute_field_linkage(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """G18/G19 define/delete_derived_entity_attribute_field_fields
     (synchronize_app_search.py:154-197): each (attribute, field) pair

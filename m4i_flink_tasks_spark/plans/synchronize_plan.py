@@ -44,6 +44,7 @@ from ..operators.docstore import (
     inherit_derived_fields,
     insert_breadcrumb_prefix,
     orient_parent_child,
+    propagate_derived_fields,
     rename_in_breadcrumbs,
     rename_in_derived_fields,
     uninherit_derived_fields,
@@ -209,6 +210,13 @@ def synchronize_batch(
     desc_ins = insert_breadcrumb_prefix(
         desc_ins, F.col("new_parentguid"), F.col("anc_name"), F.col("anc_type")
     )
+    # ... and G14: each descendant also receives the rebased child's
+    # derived fields (update_derived_entity_fields_of_child_entities,
+    # synchronize_app_search.py:370-371), sourced from the child doc as
+    # updated by this batch (post-G15 inherit).
+    desc_ins = propagate_derived_fields(
+        desc_ins.withColumn("ancestorguid", F.col("child_guid")), children
+    )
     branches.append(_as_doc_rows(desc_ins, 4))
 
     # Governance roles (G8 -> G17).
@@ -224,6 +232,17 @@ def synchronize_batch(
         gov_docs, F.col("role_key"), F.col("person_guid")
     )
     branches.append(_as_doc_rows(gov_applied, 5))
+
+    # Gov descendants get the updated doc's derived fields (G14,
+    # synchronize_app_search.py:378-380).
+    desc_gov = docs.join(
+        F.broadcast(gov.select(F.col("guid").alias("_anc")).distinct()),
+        F.array_contains(F.col("breadcrumbguid"), F.col("_anc")),
+    )
+    desc_gov = propagate_derived_fields(
+        desc_gov.withColumn("ancestorguid", F.col("_anc")), gov_applied
+    )
+    branches.append(_as_doc_rows(desc_gov, 6))
 
     # --- deleted relationships (G27, the path the reference's missing
     # awaits never ran) -----------------------------------------------------
@@ -242,16 +261,20 @@ def synchronize_batch(
         docs,
     )
     orphaned = clear_breadcrumb(orphaned)
-    branches.append(_as_doc_rows(orphaned, 6))
+    branches.append(_as_doc_rows(orphaned, 7))
 
     # Descendants of an orphaned child lose the removed ancestor prefix
-    # (Q2 -> G13).
+    # (Q2 -> G13) and receive the orphaned child's post-G16 derived
+    # fields (G14, synchronize_app_search.py:436-438).
     desc_del = docs.join(
         F.broadcast(del_links.select("child_guid", "new_parentguid")),
         F.array_contains(F.col("breadcrumbguid"), F.col("child_guid")),
     )
     desc_del = delete_breadcrumb_prefix(desc_del, F.col("new_parentguid"))
-    branches.append(_as_doc_rows(desc_del, 7))
+    desc_del = propagate_derived_fields(
+        desc_del.withColumn("ancestorguid", F.col("child_guid")), orphaned
+    )
+    branches.append(_as_doc_rows(desc_del, 8))
 
     # --- D9 collapse ------------------------------------------------------
     all_updates = branches[0]

@@ -302,12 +302,23 @@ def attribute_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 get_flat_df / get_attributes_df (determine_change_job.py:67-83;
     pandas prototype determine_change_old.py:94-117), P10 drop_columns
     (determine_change_job.py:41-51), P11 remove_prefix_from_attributes
-    (:96-108): the reference's per-record ``json_normalize`` flatten
-    becomes one plan-native map pipeline — namespace the dynamic payload
-    under ``attributes.``, drop a prefixed namespace wholesale, strip
-    the prefix back off, and project wide. ``map_filter`` /
-    ``transform_keys`` are codegen'd expressions; no Python runs and no
-    per-record frame is built."""
+    (:96-108), plus the pre-diff map cleanup P7
+    delete_list_values_from_dict (:53-58) and P8
+    delete_null_values_from_dict (:60-65): the reference's per-record
+    ``json_normalize`` flatten becomes one plan-native map pipeline —
+    namespace the dynamic payload under ``attributes.``, drop
+    list-valued and null-valued entries, drop a prefixed namespace
+    wholesale, strip the prefix back off, and project wide.
+    ``map_filter`` / ``transform_keys`` are codegen'd expressions; no
+    Python runs and no per-record frame is built.
+
+    The payload is widened deterministically so the cleanup is
+    non-vacuous at any SF: ``session`` is NULL on every third event
+    (P8 must drop the key), ``tags`` is a JSON list on every second
+    event (P7 must drop the key) and a JSON scalar otherwise (kept).
+    """
+    from ..operators.diff import drop_list_values, drop_null_values
+
     events = load_table(spark, sf_dir, "events")
     flat = events.select(
         "event_id",
@@ -315,16 +326,28 @@ def attribute_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.lit("attributes.event_type"),
                 F.lit("attributes.k"),
+                F.lit("attributes.session"),
+                F.lit("attributes.tags"),
                 F.lit("relationshipAttributes.user"),
             ),
             F.array(
                 F.col("event_type"),
                 F.get_json_object("props", "$.k"),
+                F.when(
+                    F.col("event_id") % 3 == 0, F.lit(None).cast("string")
+                ).otherwise(F.concat(F.lit("s"), F.col("user_id"))),
+                F.when(
+                    F.col("event_id") % 2 == 0,
+                    F.concat(F.lit('["'), F.col("event_type"), F.lit('"]')),
+                ).otherwise(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))),
                 F.col("user_id").cast("string"),
             ),
         ).alias("flat"),
     )
-    pruned = flat.withColumn(
+    cleaned = flat.withColumn(
+        "flat", drop_null_values(drop_list_values(F.col("flat")))
+    )
+    pruned = cleaned.withColumn(
         "flat",
         F.map_filter("flat", lambda k, _: ~k.startswith("relationshipAttributes")),
     )
@@ -338,6 +361,8 @@ def attribute_flattening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at("flat", F.lit("event_type")).alias("event_type"),
         F.element_at("flat", F.lit("k")).cast("int").alias("k"),
+        F.element_at("flat", F.lit("session")).alias("session"),
+        F.element_at("flat", F.lit("tags")).alias("tags"),
         F.array_join(F.array_sort(F.map_keys("flat")), "|").alias("attr_keys"),
     ).orderBy("event_id")
 
@@ -346,7 +371,12 @@ ATTRIBUTE_FLATTENING_SQL = """
 SELECT event_id,
        event_type,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-       'event_type|k' AS attr_keys
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE 's' || user_id END AS session,
+       CASE WHEN event_id % 2 = 0 THEN NULL
+            ELSE '"' || event_type || '"' END AS tags,
+       'event_type|k'
+           || CASE WHEN event_id % 3 = 0 THEN '' ELSE '|session' END
+           || CASE WHEN event_id % 2 = 0 THEN '' ELSE '|tags' END AS attr_keys
 FROM events
 ORDER BY event_id
 """

@@ -622,7 +622,7 @@ ORDER BY guid
 
 
 def breadcrumb_prefix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G12+G13 in one proof row, tagged by ``mode``:
+    """G12+G13+G10+G11 in one proof row, tagged by ``mode``:
 
     - ``insert``: descendants of nation N7 get a new root ancestor
       prepended (insert_prefix_to_breadcrumbs_of_child_entities,
@@ -630,22 +630,36 @@ def breadcrumb_prefix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``delete``: descendants of region R2 have their breadcrumb cut at
       and including the removed ancestor
       (delete_prefix_from_breadcrumbs_of_child_entities, :247-260)
+    - ``clear``: descendants of nation N12 lose their parent link —
+      parentguid -> NULL (G10 delete_parent_guid,
+      synchronize_app_search.py:319-322) and all three breadcrumb
+      arrays -> [] (G11 delete_breadcrumb, :325-331)
 
+    ``parentguid`` (the last breadcrumb entry) rides along in every
+    mode so the G10 unset is visible next to the untouched modes.
     Array columns serialized with array_join at the query boundary."""
-    from ..operators.docstore import insert_breadcrumb_prefix
+    from ..operators.docstore import clear_breadcrumb, insert_breadcrumb_prefix
     from .doc_maintenance import _customer_docs
 
-    docs = _customer_docs(spark, sf_dir)
+    docs = _customer_docs(spark, sf_dir).withColumn(
+        "parentguid", F.element_at("breadcrumbguid", -1)
+    )
     inserted = insert_breadcrumb_prefix(
         descendants_of(docs, "N7"), F.lit("ROOT"), F.lit("Root"), F.lit("m4i_system")
     ).withColumn("mode", F.lit("insert"))
     deleted = delete_breadcrumb_prefix(
         descendants_of(docs, "R2"), F.lit("R2")
     ).withColumn("mode", F.lit("delete"))
-    both = inserted.unionByName(deleted, allowMissingColumns=True)
+    cleared = clear_breadcrumb(descendants_of(docs, "N12")).withColumn(
+        "mode", F.lit("clear")
+    )
+    both = inserted.unionByName(deleted, allowMissingColumns=True).unionByName(
+        cleared, allowMissingColumns=True
+    )
     return both.select(
         "mode",
         "guid",
+        "parentguid",
         F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
         F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
         F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
@@ -655,6 +669,7 @@ def breadcrumb_prefix_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 BREADCRUMB_PREFIX_OPS_SQL = """
 SELECT 'insert' AS mode,
        'C' || c_custkey AS guid,
+       'N' || n_nationkey AS parentguid,
        'ROOT|R' || r_regionkey || '|' || 'N' || n_nationkey AS breadcrumbguid,
        'Root|' || r_name || '|' || n_name AS breadcrumbname,
        'm4i_system|region|nation' AS breadcrumbtype
@@ -665,22 +680,40 @@ WHERE n_nationkey = 7
 UNION ALL
 SELECT 'delete' AS mode,
        'C' || c_custkey AS guid,
+       'N' || n_nationkey AS parentguid,
        'N' || n_nationkey AS breadcrumbguid,
        n_name AS breadcrumbname,
        'nation' AS breadcrumbtype
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE n_regionkey = 2
+UNION ALL
+SELECT 'clear' AS mode,
+       'C' || c_custkey AS guid,
+       NULL AS parentguid,
+       '' AS breadcrumbguid,
+       '' AS breadcrumbname,
+       '' AS breadcrumbtype
+FROM customer
+WHERE c_nationkey = 12
 ORDER BY mode, guid
 """
 
 
 def derived_field_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G15+G16 in one proof row, tagged by ``mode``: ``inherit`` = parent
-    non-null derived fields overwrite the child on a new parent link
-    (update_derived_entiies, synchronize_app_search.py:284-289);
+    """G15+G16+G14 in one proof row, tagged by ``mode``: ``inherit`` =
+    parent non-null derived fields overwrite the child on a new parent
+    link (update_derived_entiies, synchronize_app_search.py:284-289);
     ``uninherit`` = child fields equal to the parent's reset on link
-    delete (delete_derived_entities, :273-281)."""
+    delete (delete_derived_entities, :273-281); ``propagate`` = EVERY
+    derived field of the changed ancestor copied onto its descendants
+    unconditionally — NULL sources overwrite too
+    (update_derived_entity_fields_of_child_entities, :263-270), which
+    is exactly how it differs from inherit (compare the two modes'
+    deriveddomainleadguid: inherit keeps the child's, propagate nulls
+    it)."""
+    from ..operators.docstore import propagate_derived_fields
+
     parents = _derived_parents(spark, sf_dir)
     inherited = inherit_derived_fields(
         _derived_children(spark, sf_dir, equal_to_parent=False), parents
@@ -688,7 +721,15 @@ def derived_field_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     uninherited = uninherit_derived_fields(
         _derived_children(spark, sf_dir, equal_to_parent=True), parents
     ).withColumn("mode", F.lit("uninherit"))
-    both = inherited.unionByName(uninherited)
+    propagated = propagate_derived_fields(
+        _derived_children(spark, sf_dir, equal_to_parent=False).withColumn(
+            "ancestorguid", F.col("parentguid")
+        ),
+        parents,
+    ).withColumn("mode", F.lit("propagate"))
+    both = inherited.unionByName(uninherited).unionByName(
+        propagated.drop("ancestorguid")
+    )
     return both.select(
         "mode",
         "guid",
@@ -729,6 +770,18 @@ SELECT 'uninherit' AS mode,
             THEN ''
             WHEN c_custkey % 2 = 0 THEN 'NN' || c_nationkey
             ELSE c_name END AS derivedentitynames
+FROM customer
+UNION ALL
+SELECT 'propagate' AS mode,
+       'C' || c_custkey AS guid,
+       CASE WHEN c_nationkey % 2 = 0 THEN 'NO' || c_nationkey END
+           AS deriveddataownerguid,
+       'NS' || c_nationkey AS deriveddatastewardguid,
+       NULL AS deriveddomainleadguid,
+       CASE WHEN c_nationkey % 3 = 0 THEN 'NE' || c_nationkey END
+           AS derivedentityguids,
+       CASE WHEN c_nationkey % 3 = 0 THEN 'NN' || c_nationkey END
+           AS derivedentitynames
 FROM customer
 ORDER BY mode, guid
 """

@@ -105,14 +105,34 @@ ORDER BY guid
 
 
 def rename_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G20 update_name_in_breadcrumbs (synchronize_app_search.py:598-636):
-    nation N3 is renamed; every doc whose breadcrumb contains N3 gets the
-    new name at N3's position — position-matched via the guid array."""
+    """G20 update_name_in_breadcrumbs (synchronize_app_search.py:598-636)
+    + G21 update_name_in_derived_entity_fields (:639-742): nation N3 is
+    renamed; every doc whose breadcrumb contains N3 gets the new name at
+    N3's position — position-matched via the guid array — and every doc
+    whose derived (guid, name) pairs reference N3 gets the matching
+    derived-name slot rewritten, untouched slots kept verbatim."""
+    from ..operators.docstore import rename_in_derived_fields
+
     docs = _customer_docs(spark, sf_dir)
+    # Derived vocabulary: each customer references its nation plus one
+    # never-renamed guid, so the position-matched rewrite must change
+    # exactly one slot of two.
+    docs = docs.withColumn(
+        "derivedentityguids",
+        F.array(
+            F.element_at("breadcrumbguid", -1),
+            F.concat(F.lit("X"), F.col("guid")),
+        ),
+    ).withColumn(
+        "derivedentitynames",
+        F.array(F.element_at("breadcrumbname", -1), F.col("name")),
+    )
     out = rename_in_breadcrumbs(docs, F.lit("N3"), F.lit("NATION_3_RENAMED"))
+    out = rename_in_derived_fields(out, F.lit("N3"), F.lit("NATION_3_RENAMED"))
     return out.select(
         "guid",
         F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("derivedentitynames", "|").alias("derivedentitynames"),
     ).orderBy("guid")
 
 
@@ -120,7 +140,9 @@ RENAME_PROPAGATION_SQL = """
 SELECT 'C' || c_custkey AS guid,
        r_name || '|' ||
        CASE WHEN n_nationkey = 3 THEN 'NATION_3_RENAMED' ELSE n_name END
-       AS breadcrumbname
+       AS breadcrumbname,
+       CASE WHEN n_nationkey = 3 THEN 'NATION_3_RENAMED' ELSE n_name END
+       || '|' || c_name AS derivedentitynames
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -51,6 +51,9 @@ def test_documented_query_names_exist():
             "extract_parent_guid",
             "create_docs",
             "rename_in_derived_fields",
+            "propagate_derived_fields",
+            "clear",
+            "propagate",
             "map_filter",
             "transform_keys",
             "concat_ws",

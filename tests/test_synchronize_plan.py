@@ -153,8 +153,11 @@ def test_inserted_parent_link_rebases_child_and_descendants(spark, seeded_store)
     # the child is rebased under d1 (G9/G10/G15)...
     assert ups["e9"].parentguid == "d1"
     assert ups["e9"].breadcrumbguid == ["d1"]
+    assert ups["e9"].deriveddomainleadguid == "lead0"  # G15 from d1
     # ...and its descendant gains the new ancestor prefix (Q2 -> G12)
+    # plus the rebased child's derived fields (G14)
     assert ups["a9"].breadcrumbguid == ["d1", "e9"]
+    assert ups["a9"].deriveddomainleadguid == "lead0"
     assert set(ups) == {"e9", "a9"}
 
 
@@ -197,6 +200,12 @@ def test_governance_role_and_delete_in_one_batch(spark, seeded_store):
     assert "x9" not in ups
     assert ups["d1"].deriveddomainleadguid == "p7"
     assert ups["d1"].derivedpersonguid == ["p7"]
+    # G14: d1's descendants receive the updated derived fields
+    # (update_derived_entity_fields_of_child_entities after the
+    # governance-role branch, synchronize_app_search.py:378-380)
+    assert ups["e1"].deriveddomainleadguid == "p7"
+    assert ups["e1"].derivedpersonguid == ["p7"]
+    assert ups["e3"].deriveddomainleadguid == "p7"
 
 
 def test_indirect_changes_are_gated_out(spark, seeded_store):
