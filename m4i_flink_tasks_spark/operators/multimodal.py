@@ -8,18 +8,25 @@ struct usable for partition pruning and filter pushdown *without*
 touching bytes. Decode/feature work happens in ``mapInPandas`` so each
 Arrow batch crosses the JVM→Python boundary once — never per row.
 
-The real image/audio codecs (PIL / soundfile / av) are NOT in this
-container. ``decode_stub`` is the seam where they plug in: it is
-import-gated, raises ``NotImplementedError`` for real codec requests,
-and otherwise computes a **deterministic byte-level fake** (length,
-boundary bytes, fixed-size chunk count) so the surrounding plumbing —
-schema, batching, partitioning, UDF signature — is real and testable.
+Codec posture: **uncompressed container formats decode for real** with
+stdlib ``struct`` + numpy — RIFF/WAVE PCM (8/16-bit), BMP
+(BITMAPINFOHEADER, uncompressed 24-bit) and binary PPM (P6) — routed by
+magic-byte sniffing. Compressed codecs (PNG/JPEG/GIF/MP3/OGG/MP4) need
+libraries NOT in this container (PIL / soundfile / av);
+``decode_media`` raises ``NotImplementedError`` at that clearly-marked
+seam. Anything else falls back to a **deterministic byte-level fake**
+(length, boundary bytes, fixed-size chunk count) so the surrounding
+plumbing — schema, batching, partitioning, UDF signature — is real and
+oracle-checkable on arbitrary payloads.
 """
 
 from __future__ import annotations
 
+import re
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,17 +34,141 @@ from pyspark.sql import functions as F
 FRAME_BYTES = 4096  # fixed video "frame" chunk size for the fake sampler
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, modality string, n_bytes bigint, first_byte int, "
-    "last_byte int, n_frames int"
+    "doc_id bigint, modality string, codec string, n_bytes bigint, "
+    "first_byte int, last_byte int, n_frames int, width int, height int, "
+    "sample_rate int, n_samples bigint, mean_value double"
 )
 
-_REAL_CODECS_AVAILABLE = False
-try:  # pragma: no cover - not installed in this container
-    import PIL.Image  # noqa: F401
+# Formats whose decode requires codec libraries absent from this
+# container — the documented NotImplementedError seam.
+_COMPRESSED_MAGICS: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"ID3", "mp3"),
+    (b"OggS", "ogg"),
+    (b"\x00\x00\x00\x18ftyp", "mp4"),
+    (b"\x00\x00\x00\x20ftyp", "mp4"),
+)
 
-    _REAL_CODECS_AVAILABLE = True
-except ImportError:
-    pass
+_NO_MEDIA = {
+    "width": None,
+    "height": None,
+    "sample_rate": None,
+    "n_samples": None,
+    "mean_value": None,
+}
+
+
+def _decode_wav(b: bytes) -> dict | None:
+    """RIFF/WAVE PCM: chunk walk -> (sample_rate, n_samples, RMS).
+    Returns None unless the payload is a well-formed uncompressed
+    8/16-bit PCM file."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, n_ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits not in (8, 16) or n_ch == 0:
+        return None
+    frame = n_ch * bits // 8
+    samples = np.frombuffer(
+        data[: len(data) - (len(data) % frame)],
+        dtype=np.int16 if bits == 16 else np.uint8,
+    )
+    rms = (
+        float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        if samples.size
+        else 0.0
+    )
+    return {
+        **_NO_MEDIA,
+        "sample_rate": int(rate),
+        "n_samples": samples.size // n_ch,
+        "mean_value": rms,
+    }
+
+
+def _decode_bmp(b: bytes) -> dict | None:
+    """BMP BITMAPINFOHEADER, uncompressed 24-bit: (width, height, mean
+    pixel value over the padded-row-stripped raster)."""
+    if len(b) < 54 or b[0:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    hdr_sz, w, h = struct.unpack_from("<Iii", b, 14)
+    _planes, bpp = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if hdr_sz < 40 or compression != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    stride = ((w * 3 + 3) // 4) * 4
+    n_rows = abs(h)
+    if data_off + stride * n_rows > len(b):
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * n_rows, offset=data_off)
+    mean = float(px.reshape(n_rows, stride)[:, : w * 3].mean())
+    return {**_NO_MEDIA, "width": w, "height": n_rows, "mean_value": mean}
+
+
+def _decode_ppm(b: bytes) -> dict | None:
+    """Binary PPM (P6), maxval <= 255: (width, height, mean pixel)."""
+    m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", b)
+    if not m:
+        return None
+    w, h, maxval = int(m[1]), int(m[2]), int(m[3])
+    need = w * h * 3
+    if maxval > 255 or len(b) < m.end() + need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=m.end())
+    return {
+        **_NO_MEDIA,
+        "width": w,
+        "height": h,
+        "mean_value": float(px.mean()) if need else 0.0,
+    }
+
+
+_REAL_DECODERS: tuple[tuple[str, object], ...] = (
+    ("wav", _decode_wav),
+    ("bmp", _decode_bmp),
+    ("ppm", _decode_ppm),
+)
+
+
+def decode_media(payload: bytes, modality: str) -> dict:
+    """Magic-byte-routed media decode.
+
+    Uncompressed formats decode for real; compressed formats raise at
+    the codec seam (plug PIL / soundfile / av here when available);
+    unrecognized payloads return the byte-fake marker ``codec='bytes'``
+    with NULL media fields.
+    """
+    for magic, fmt in _COMPRESSED_MAGICS:
+        if payload.startswith(magic):
+            raise NotImplementedError(
+                f"compressed {fmt} payload: codec library not in this "
+                "container — plug PIL.Image.open / soundfile.read / "
+                "av.open into this branch"
+            )
+    for codec, dec in _REAL_DECODERS:
+        try:
+            out = dec(payload)
+        except Exception:
+            out = None
+        if out is not None:
+            return {"codec": codec, **out}
+    return {"codec": "bytes", **_NO_MEDIA}
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
@@ -64,21 +195,23 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, modality: str) -> dict:
-    """The codec seam. Real codecs decode here when installed; the
-    deterministic fake derives features from raw bytes so tests and
-    oracles are hermetic."""
-    if _REAL_CODECS_AVAILABLE and modality == "image":  # pragma: no cover
-        raise NotImplementedError(
-            "real PIL decode path: plug Image.open(BytesIO(payload)) here"
-        )
+    """Byte-level stats (always available, any payload) merged with the
+    ``decode_media`` result — the full per-record feature row."""
     n = len(payload)
+    media = decode_media(payload, modality)
     return {
+        "codec": media["codec"],
         "n_bytes": n,
         "first_byte": payload[0] if n else None,
         "last_byte": payload[-1] if n else None,
         # videos sample one "frame" per fixed-size chunk; other
         # modalities are single-frame.
         "n_frames": -(-n // FRAME_BYTES) if modality == "video" else 1,
+        "width": media["width"],
+        "height": media["height"],
+        "sample_rate": media["sample_rate"],
+        "n_samples": media["n_samples"],
+        "mean_value": media["mean_value"],
     }
 
 

@@ -4,8 +4,11 @@ metadata plumbing verified against byte-level SQL oracles.
 The payload is the UTF-8 encoding of ``documents.text`` (ASCII in this
 corpus, so DuckDB's ``strlen``/``ascii`` compute the same bytes the
 Spark side sees), which keeps the mapInPandas decode path fully
-oracle-checkable while the real codecs stay stubbed
-(operators/multimodal.py).
+oracle-checkable: text payloads take the deterministic byte-fake branch
+(``codec='bytes'``), while real WAV/BMP/PPM payloads decode for real in
+the same UDF (operators/multimodal.py, pinned by
+tests/test_multimodal_codecs.py) and compressed formats stay at the
+documented NotImplementedError seam.
 """
 
 from __future__ import annotations
@@ -34,12 +37,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id,
        {_MODALITY_SQL} AS modality,
+       'bytes' AS codec,
        strlen(text) AS n_bytes,
        ascii(substring(text, 1, 1)) AS first_byte,
        ascii(substring(text, length(text), 1)) AS last_byte,
        CASE WHEN {_MODALITY_SQL} = 'video'
             THEN CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS INT)
-            ELSE 1 END AS n_frames
+            ELSE 1 END AS n_frames,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS DOUBLE) AS mean_value
 FROM documents
 ORDER BY doc_id
 """

@@ -1,0 +1,147 @@
+"""Real-decode coverage for the multimodal codec seam.
+
+Synthesizes well-formed WAV (PCM16), BMP (24-bit) and PPM (P6) payloads
+with stdlib ``struct`` and checks the magic-routed decoders both
+directly and through the Arrow-batched ``mapInPandas`` pipeline; also
+pins the fallback (arbitrary bytes -> ``codec='bytes'``) and the
+compressed-format NotImplementedError seam.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from m4i_flink_tasks_spark.operators.multimodal import (
+    decode_media,
+    decode_stub,
+    extract_features,
+)
+
+
+def make_wav(samples: list[int], rate: int = 8000, n_ch: int = 1) -> bytes:
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Bottom-up 24-bit BMP from a row-major pixel grid (B, G, R)."""
+    h, w = len(pixels), len(pixels[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = b""
+    for row in reversed(pixels):
+        line = b"".join(struct.pack("BBB", *px) for px in row)
+        raster += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return header + info + raster
+
+
+def make_ppm(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    h, w = len(pixels), len(pixels[0])
+    raster = b"".join(
+        struct.pack("BBB", *px) for row in pixels for px in row
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + raster
+
+
+def test_wav_decodes_rate_samples_rms():
+    samples = [0, 3, -4, 0]  # RMS = sqrt((9+16)/4) = 2.5
+    out = decode_media(make_wav(samples, rate=16000), "audio")
+    assert out["codec"] == "wav"
+    assert out["sample_rate"] == 16000
+    assert out["n_samples"] == 4
+    assert out["mean_value"] == pytest.approx(2.5)
+
+
+def test_wav_stereo_counts_frames_not_values():
+    out = decode_media(make_wav([1, 2, 3, 4], n_ch=2), "audio")
+    assert out["n_samples"] == 2  # 4 values / 2 channels
+
+
+def test_bmp_decodes_dims_and_mean():
+    # 2x2, padded rows (stride 8 for w=2) — mean over pixel bytes only
+    px = [[(0, 0, 0), (30, 60, 90)], [(10, 10, 10), (90, 60, 30)]]
+    out = decode_media(make_bmp(px), "image")
+    assert out["codec"] == "bmp"
+    assert (out["width"], out["height"]) == (2, 2)
+    vals = [v for row in px for p in row for v in p]
+    assert out["mean_value"] == pytest.approx(sum(vals) / len(vals))
+
+
+def test_ppm_decodes_dims_and_mean():
+    px = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)]]
+    out = decode_media(make_ppm(px), "image")
+    assert out["codec"] == "ppm"
+    assert (out["width"], out["height"]) == (3, 1)
+    assert out["mean_value"] == pytest.approx(255 / 3)
+
+
+def test_truncated_media_falls_back_to_bytes():
+    for payload in (
+        make_wav([1, 2, 3])[:-3],
+        make_bmp([[(1, 2, 3)]])[:-2],
+        make_ppm([[(1, 2, 3)]])[:-1],
+        b"BMnot really a bitmap",
+        b"plain text payload",
+    ):
+        out = decode_media(payload, "image")
+        assert out["codec"] == "bytes"
+        assert out["width"] is None and out["mean_value"] is None
+
+
+def test_compressed_formats_raise_at_the_seam():
+    for magic in (b"\x89PNG\r\n\x1a\n____", b"\xff\xd8\xff\xe0__", b"OggS__"):
+        with pytest.raises(NotImplementedError):
+            decode_media(magic, "image")
+
+
+def test_decode_stub_merges_byte_stats_with_media():
+    wav = make_wav([5, -5])
+    row = decode_stub(wav, "audio")
+    assert row["codec"] == "wav"
+    assert row["n_bytes"] == len(wav)
+    assert row["first_byte"] == wav[0] and row["last_byte"] == wav[-1]
+    assert row["mean_value"] == pytest.approx(5.0)
+
+
+def test_real_decode_through_mapinpandas(spark):
+    """The same Arrow-batched UDF the driver query runs must decode
+    real media payloads end to end (schema + values)."""
+    wav = make_wav([0, 3, -4, 0], rate=44100)
+    bmp = make_bmp([[(12, 12, 12)]])
+    rows = [
+        (1, wav, {"modality": "audio", "declared_size": len(wav), "origin": "t"}),
+        (2, bmp, {"modality": "image", "declared_size": len(bmp), "origin": "t"}),
+        (3, b"free-form bytes", {"modality": "video", "declared_size": 15, "origin": "t"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, media struct<modality:string, "
+        "declared_size:bigint, origin:string>",
+    )
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert out[1].codec == "wav"
+    assert out[1].sample_rate == 44100
+    assert out[1].mean_value == pytest.approx(2.5)
+    assert out[2].codec == "bmp"
+    assert (out[2].width, out[2].height) == (1, 1)
+    assert out[2].mean_value == pytest.approx(12.0)
+    assert out[3].codec == "bytes"
+    assert out[3].n_frames == 1  # sub-chunk video payload
+    assert out[3].n_bytes == 15
+
+
+def test_rms_matches_definition():
+    # property-ish sanity: RMS of a constant signal is its magnitude
+    out = decode_media(make_wav([7] * 100), "audio")
+    assert out["mean_value"] == pytest.approx(7.0)
+    out = decode_media(make_wav([-3, 3] * 50), "audio")
+    assert out["mean_value"] == pytest.approx(3.0)
+    assert not math.isnan(out["mean_value"])
