@@ -61,9 +61,8 @@ _MODULES = (
 # Order = priority order the driver walks; all entries fit the gate budget.
 DRIVER_QUERIES: tuple[str, ...] = (
     # relational engine proofs (flagship bench queries + non-vacuous
-    # semi-join)
+    # semi-join; q3/q6/top-N forms stay pytest+bench-pinned as extras)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
     "order_priority_counts",
     # S13/P6 + skew handling
@@ -95,6 +94,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "attribute_update_application",
     "attribute_field_linkage",
     "doc_update_collapse",
+    # G26-G28 dispatcher with relationship-audit cascades (single batch)
+    "synchronize_rel_cascades",
     # event-time windows
     "tumbling_window_counts",
     "sliding_window_activity",

@@ -431,7 +431,272 @@ ORDER BY signup_event_id, purchase_event_id
 """
 
 
+def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G26+G27 relationship-audit branches through the REAL dispatcher
+    (``plans.synchronize_plan.synchronize_batch``) in one deterministic
+    batch — the cascades the reference's missing ``await``s never ran
+    (handle_inserted_relationships synchronize_app_search.py:334-398,
+    handle_deleted_relationships :401-464).
+
+    Scenario (all derived from ``events``, so the proof scales with the
+    data): a seeded 3-level doc graph Root ← Domain{i} ← User entities
+    ← Child attrs. Domains whose event count is ODD receive an
+    inserted parent link to the root (G26: re-parent + G9 breadcrumb +
+    G15 inherit; descendants get the G12 prefix-insert and G14 derived
+    propagation). Users whose LAST event is a ``purchase`` get their
+    parent link DELETED (G27: G11 breadcrumb clear + G16 un-inherit;
+    their children get the G13 prefix-delete and the orphan's derived
+    fields via G14). Branch collisions (an orphaned entity inside a
+    re-parented domain) resolve by the dispatcher's documented branch
+    priority — the oracle reproduces that with CASE order. A separate
+    single-batch proof is used because multi-batch cascade outcomes are
+    inherently snapshot-order dependent (SURVEY §7.5), so only the
+    one-batch form admits an exact batch oracle.
+    """
+    from ..functions.hierarchy import supertype_closure_df
+    from ..plans.synchronize_plan import synchronize_batch
+    from ..schemas import DQ_SCORE_FIELDS, ENTITY, RELATIONSHIP_ATTRIBUTES
+    from ..sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    empty = F.array().cast("array<string>")
+    null_s = F.lit(None).cast("string")
+
+    def doc_cols(guid, typename, name, parentguid=None, bcg=None, bcn=None,
+                 bct=None, lead=None):
+        return [
+            guid.alias("id"),
+            guid.alias("guid"),
+            F.concat(F.lit("qn://"), guid).alias("referenceablequalifiedname"),
+            typename.alias("typename"),
+            F.lit("Business").alias("sourcetype"),
+            F.array(typename).alias("m4isourcetype"),
+            F.array(F.lit("Referenceable"), typename).alias("supertypenames"),
+            name.alias("name"),
+            null_s.alias("definition"),
+            null_s.alias("email"),
+            (parentguid if parentguid is not None else null_s).alias("parentguid"),
+            (bcg if bcg is not None else empty).alias("breadcrumbguid"),
+            (bcn if bcn is not None else empty).alias("breadcrumbname"),
+            (bct if bct is not None else empty).alias("breadcrumbtype"),
+            null_s.alias("deriveddataownerguid"),
+            null_s.alias("deriveddatastewardguid"),
+            (lead if lead is not None else null_s).alias("deriveddomainleadguid"),
+            empty.alias("derivedpersonguid"),
+            empty.alias("derivedentityguids"),
+            empty.alias("derivedentitynames"),
+            *[F.lit(None).cast("double").alias(c) for c in DQ_SCORE_FIELDS],
+        ]
+
+    users = events.select("user_id").distinct()
+    i_col = F.col("user_id") % 10
+    dguid = F.concat(F.lit("D"), i_col)
+    eguid = F.concat(F.lit("E"), F.col("user_id"))
+    dname = F.concat(F.lit("Domain"), i_col)
+    uname = F.concat(F.lit("User"), F.col("user_id"))
+    lead = F.concat(F.lit("L"), i_col)
+    t_dom, t_ent = F.lit("m4i_data_domain"), F.lit("m4i_data_entity")
+
+    root = spark.range(1).select(
+        *doc_cols(F.lit("R0"), t_dom, F.lit("Root"), lead=F.lit("LROOT"))
+    )
+    domains = spark.range(10).select(
+        *doc_cols(
+            F.concat(F.lit("D"), F.col("id")), t_dom,
+            F.concat(F.lit("Domain"), F.col("id")),
+            lead=F.concat(F.lit("L"), F.col("id")),
+        )
+    )
+    entities = users.select(
+        *doc_cols(eguid, t_ent, uname, parentguid=dguid,
+                  bcg=F.array(dguid), bcn=F.array(dname),
+                  bct=F.array(t_dom), lead=lead)
+    )
+    children = users.select(
+        *doc_cols(F.concat(F.lit("C"), F.col("user_id")),
+                  F.lit("m4i_data_attribute"),
+                  F.concat(F.lit("Child"), F.col("user_id")),
+                  parentguid=eguid,
+                  bcg=F.array(dguid, eguid), bcn=F.array(dname, uname),
+                  bct=F.array(t_dom, t_ent), lead=lead)
+    )
+    docs = root.unionByName(domains).unionByName(entities).unionByName(children)
+
+    def rel_ref(target_guid, target_type):
+        return F.struct(
+            target_guid.alias("guid"),
+            F.lit(target_type).alias("type_name"),
+            F.lit("ACTIVE").alias("entity_status"),
+            null_s.alias("display_text"),
+            F.lit("parent").alias("relationship_type"),
+            null_s.alias("relationship_guid"),
+            F.lit("ACTIVE").alias("relationship_status"),
+            F.lit(None).cast("map<string,string>").alias("relationship_attributes"),
+            F.lit(None).cast("map<string,string>").alias("unique_attributes"),
+        )
+
+    null_rels = F.lit(None).cast(RELATIONSHIP_ATTRIBUTES)
+    null_entity = F.lit(None).cast(ENTITY)
+
+    def msg_cols(guid, type_name, inserted, deleted):
+        return [
+            type_name.alias("type_name"),
+            F.concat(F.lit("qn://"), guid).alias("qualified_name"),
+            guid.alias("guid"),
+            F.lit("EntityRelationshipAudit").alias("original_event_type"),
+            F.lit("EntityRelationshipAudit").alias("event_type"),
+            F.lit(True).alias("direct_change"),
+            empty.alias("inserted_attributes"),
+            empty.alias("changed_attributes"),
+            empty.alias("deleted_attributes"),
+            inserted.alias("inserted_relationships"),
+            null_rels.alias("changed_relationships"),
+            deleted.alias("deleted_relationships"),
+            null_entity.alias("old_value"),
+            null_entity.alias("new_value"),
+        ]
+
+    odd_domains = (
+        events.groupBy(i_col.alias("i"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") % 2 == 1)
+    )
+    link_msgs = odd_domains.select(
+        *msg_cols(
+            F.concat(F.lit("D"), F.col("i")),
+            t_dom,
+            F.create_map(
+                F.lit("parentDomain"),
+                F.array(rel_ref(F.lit("R0"), "m4i_data_domain")),
+            ),
+            null_rels,
+        )
+    )
+    purchase_last = (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                "event_type", F.struct(F.unix_millis("ts"), F.col("event_id"))
+            ).alias("last_type")
+        )
+        .filter(F.col("last_type") == "purchase")
+    )
+    del_msgs = purchase_last.select(
+        *msg_cols(
+            eguid,
+            t_ent,
+            null_rels,
+            F.create_map(
+                F.lit("parentDomain"),
+                F.array(rel_ref(dguid, "m4i_data_domain")),
+            ),
+        )
+    )
+
+    upserts, deletes = synchronize_batch(
+        link_msgs.unionByName(del_msgs), docs, supertype_closure_df(spark)
+    )
+    final = (
+        docs.join(F.broadcast(upserts.select("guid")), "guid", "left_anti")
+        .unionByName(upserts.select(docs.columns))
+        .join(F.broadcast(deletes), "guid", "left_anti")
+    )
+    return final.select(
+        "guid",
+        "typename",
+        "name",
+        "parentguid",
+        F.array_join("breadcrumbguid", "|").alias("breadcrumbguid"),
+        F.array_join("breadcrumbname", "|").alias("breadcrumbname"),
+        F.array_join("breadcrumbtype", "|").alias("breadcrumbtype"),
+        "deriveddomainleadguid",
+    ).orderBy("guid")
+
+
+SYNCHRONIZE_REL_CASCADES_SQL = """
+WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+odd AS (
+    SELECT user_id % 10 AS i FROM events
+    GROUP BY 1 HAVING count(*) % 2 = 1
+),
+lastev AS (
+    SELECT user_id AS u, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+    FROM events
+),
+purch AS (SELECT u FROM lastev WHERE rn = 1 AND event_type = 'purchase'),
+root_doc AS (
+    SELECT 'R0' AS guid, 'm4i_data_domain' AS typename, 'Root' AS name,
+           CAST(NULL AS VARCHAR) AS parentguid,
+           '' AS breadcrumbguid, '' AS breadcrumbname, '' AS breadcrumbtype,
+           'LROOT' AS deriveddomainleadguid
+),
+domain_docs AS (
+    SELECT 'D' || t.i AS guid, 'm4i_data_domain' AS typename,
+           'Domain' || t.i AS name,
+           CASE WHEN o.i IS NOT NULL THEN 'R0' END AS parentguid,
+           CASE WHEN o.i IS NOT NULL THEN 'R0' ELSE '' END AS breadcrumbguid,
+           CASE WHEN o.i IS NOT NULL THEN 'Root' ELSE '' END AS breadcrumbname,
+           CASE WHEN o.i IS NOT NULL THEN 'm4i_data_domain' ELSE '' END
+               AS breadcrumbtype,
+           CASE WHEN o.i IS NOT NULL THEN 'LROOT' ELSE 'L' || t.i END
+               AS deriveddomainleadguid
+    FROM range(10) t(i) LEFT JOIN odd o ON o.i = t.i
+),
+entity_docs AS (
+    SELECT 'E' || users.u AS guid, 'm4i_data_entity' AS typename,
+           'User' || users.u AS name,
+           CASE WHEN p.u IS NOT NULL THEN NULL
+                ELSE 'D' || (users.u % 10) END AS parentguid,
+           CASE WHEN p.u IS NOT NULL THEN ''
+                WHEN o.i IS NOT NULL THEN 'R0|D' || (users.u % 10)
+                ELSE 'D' || (users.u % 10) END AS breadcrumbguid,
+           CASE WHEN p.u IS NOT NULL THEN ''
+                WHEN o.i IS NOT NULL THEN 'Root|Domain' || (users.u % 10)
+                ELSE 'Domain' || (users.u % 10) END AS breadcrumbname,
+           CASE WHEN p.u IS NOT NULL THEN ''
+                WHEN o.i IS NOT NULL THEN 'm4i_data_domain|m4i_data_domain'
+                ELSE 'm4i_data_domain' END AS breadcrumbtype,
+           CASE WHEN p.u IS NOT NULL THEN NULL
+                WHEN o.i IS NOT NULL THEN 'LROOT'
+                ELSE 'L' || (users.u % 10) END AS deriveddomainleadguid
+    FROM users
+    LEFT JOIN purch p ON p.u = users.u
+    LEFT JOIN odd o ON o.i = users.u % 10
+),
+child_docs AS (
+    SELECT 'C' || users.u AS guid, 'm4i_data_attribute' AS typename,
+           'Child' || users.u AS name,
+           'E' || users.u AS parentguid,
+           CASE WHEN p.u IS NOT NULL THEN 'E' || users.u
+                WHEN o.i IS NOT NULL THEN 'R0|D' || (users.u % 10) || '|E' || users.u
+                ELSE 'D' || (users.u % 10) || '|E' || users.u END AS breadcrumbguid,
+           CASE WHEN p.u IS NOT NULL THEN 'User' || users.u
+                WHEN o.i IS NOT NULL
+                     THEN 'Root|Domain' || (users.u % 10) || '|User' || users.u
+                ELSE 'Domain' || (users.u % 10) || '|User' || users.u END AS breadcrumbname,
+           CASE WHEN p.u IS NOT NULL THEN 'm4i_data_entity'
+                WHEN o.i IS NOT NULL
+                     THEN 'm4i_data_domain|m4i_data_domain|m4i_data_entity'
+                ELSE 'm4i_data_domain|m4i_data_entity' END AS breadcrumbtype,
+           CASE WHEN p.u IS NOT NULL THEN NULL
+                WHEN o.i IS NOT NULL THEN 'LROOT'
+                ELSE 'L' || (users.u % 10) END AS deriveddomainleadguid
+    FROM users
+    LEFT JOIN purch p ON p.u = users.u
+    LEFT JOIN odd o ON o.i = users.u % 10
+)
+SELECT * FROM root_doc
+UNION ALL SELECT * FROM domain_docs
+UNION ALL SELECT * FROM entity_docs
+UNION ALL SELECT * FROM child_docs
+ORDER BY guid
+"""
+
+
 QUERIES = {
+    "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -445,6 +710,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "synchronize_rel_cascades": SYNCHRONIZE_REL_CASCADES_SQL,
     "stream_get_entity_enrichment": GET_ENTITY_SQL,
     "stream_publish_state": PUBLISH_STATE_SQL,
     "stream_dead_letter_box": DEAD_LETTER_BOX_SQL,
