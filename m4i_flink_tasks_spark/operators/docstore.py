@@ -410,6 +410,58 @@ def apply_governance_role(
     )
 
 
+def remove_governance_role(
+    docs: DataFrame, role_key: Column, person_guid: Column
+) -> DataFrame:
+    """G17 on the DELETE path (handle_deleted_relationships,
+    synchronize_app_search.py:441-450): a removed governance-role
+    relationship clears the matching derived scalar and drops the person
+    from ``derivedpersonguid``. Deviation (SURVEY §7.4 style): the
+    reference re-runs :297-316 against the post-delete entity, whose
+    role list is now empty — so its loop body never executes and the
+    stale person survives forever; the intended un-set semantics are
+    implemented instead, guarded on the current value so an unrelated
+    person in the same role is not clobbered."""
+    is_domain = F.col("typename") == "m4i_data_domain"
+
+    def cleared(col_name: str, cond: Column) -> Column:
+        hit = cond & F.col(col_name).eqNullSafe(person_guid)
+        return F.when(hit, F.lit(None).cast("string")).otherwise(F.col(col_name))
+
+    return (
+        docs.withColumn(
+            "deriveddomainleadguid",
+            cleared("deriveddomainleadguid", is_domain & (role_key == "domainLead")),
+        )
+        .withColumn(
+            "deriveddataownerguid",
+            cleared("deriveddataownerguid", ~is_domain & (role_key == "businessOwner")),
+        )
+        .withColumn(
+            "deriveddatastewardguid",
+            cleared(
+                "deriveddatastewardguid", ~is_domain & (role_key == "dataSteward")
+            ),
+        )
+        .withColumn(
+            # the person leaves derivedpersonguid only when no OTHER role
+            # still names them (these columns already reflect the clear
+            # above — withColumn chains see the updated values)
+            "derivedpersonguid",
+            F.when(
+                F.col("deriveddomainleadguid").eqNullSafe(person_guid)
+                | F.col("deriveddataownerguid").eqNullSafe(person_guid)
+                | F.col("deriveddatastewardguid").eqNullSafe(person_guid),
+                F.col("derivedpersonguid"),
+            ).otherwise(
+                F.array_remove(
+                    F.coalesce(F.col("derivedpersonguid"), F.array()), person_guid
+                )
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Rename propagation (G20-G21)
 # --------------------------------------------------------------------------
@@ -530,6 +582,14 @@ def create_docs(messages: DataFrame, type_closure: DataFrame) -> DataFrame:
     doc = doc.withColumn("derivedpersonguid", empty)
     for gf, nf in DERIVED_GUID_NAME_FIELDS:
         doc = doc.withColumn(gf, empty).withColumn(nf, empty)
+    # linkage fields start unset — NULL is the kernel's unlinked state
+    # (apply_attribute_field_linkage writes NULL on G19 unlink)
+    doc = (
+        doc.withColumn("derivedfieldguid", F.lit(None).cast("array<string>"))
+        .withColumn("derivedfield", F.lit(None).cast("string"))
+        .withColumn("deriveddataattributeguid", F.lit(None).cast("array<string>"))
+        .withColumn("deriveddataattribute", F.lit(None).cast("string"))
+    )
     for c in DQ_SCORE_FIELDS:
         doc = doc.withColumn(c, F.lit(0.0))
     return doc
@@ -572,9 +632,17 @@ def apply_attribute_updates(docs: DataFrame, updates: DataFrame) -> DataFrame:
 
 def collapse_last_writer_wins(updated_docs: DataFrame, order_col: str) -> DataFrame:
     """D9: repeated updates to one doc within a batch collapse to the
-    last (synchronize_app_search.py:335,396,462,524,561) — max_by over an
-    explicit order column instead of dict-overwrite order."""
+    last (synchronize_app_search.py:335,396,462,524,561) — a whole-row
+    max over (order, row) instead of dict-overwrite order. Taking the
+    max of ONE struct guarantees every output column comes from the same
+    winning row (per-column ``max_by`` would mix rows on order ties) and
+    makes ties deterministic via lexicographic row comparison — the
+    batch answer cannot depend on task scheduling. Requires orderable
+    column types only (APP_SEARCH_DOC has no maps)."""
     cols = [c for c in updated_docs.columns if c not in ("guid", order_col)]
-    return updated_docs.groupBy("guid").agg(
-        *[F.max_by(c, F.col(order_col)).alias(c) for c in cols]
+    packed = updated_docs.groupBy("guid").agg(
+        F.max(
+            F.struct(F.col(order_col).alias("_o"), *[F.col(c).alias(c) for c in cols])
+        ).alias("_m")
     )
+    return packed.select("guid", *[F.col(f"_m.{c}").alias(c) for c in cols])

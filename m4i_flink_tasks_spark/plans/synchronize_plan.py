@@ -25,7 +25,12 @@ distinct target docs and makes intra-batch collisions deterministic —
 the reference's outcome depends on event arrival order.
 
 Parity notes: the ``direct_change`` gate (:74-76) is applied first;
-``EntityDeleted`` produces store deletes (Q7, :111-113).
+``EntityDeleted`` produces store deletes (Q7, :111-113). All three
+sub-paths of both relationship handlers run: parent-child (rebase /
+orphan + descendant cascades), attribute↔field linkage (G18 set on
+insert, G19 unset on delete, :387-397/:453-460), and governance roles
+(G17 set on insert :378-380, intended un-set semantics on delete
+:441-450 — see ``remove_governance_role``).
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.docstore import (
+    apply_attribute_field_linkage,
     apply_attribute_updates,
     classify_relationship,
     clear_breadcrumb,
@@ -45,6 +51,7 @@ from ..operators.docstore import (
     insert_breadcrumb_prefix,
     orient_parent_child,
     propagate_derived_fields,
+    remove_governance_role,
     rename_in_breadcrumbs,
     rename_in_derived_fields,
     uninherit_derived_fields,
@@ -244,12 +251,74 @@ def synchronize_batch(
     )
     branches.append(_as_doc_rows(desc_gov, 6))
 
-    # --- deleted relationships (G27, the path the reference's missing
-    # awaits never ran) -----------------------------------------------------
+    # Attribute↔field linkage (G18 define on insert, G19 delete on
+    # unlink — handle_inserted_relationships :387-397 /
+    # handle_deleted_relationships :453-460). Orientation is by type
+    # (the attribute side vs the m4i_field side); both touched docs are
+    # updated through one broadcast of the pair batch.
     rel_del = _exploded_relationships(
         msgs.filter(F.col("event_type") == "EntityRelationshipAudit"),
         "deleted_relationships",
     )
+    attr_side = F.when(
+        F.col("self_type") == "m4i_data_attribute", F.col("self_guid")
+    ).otherwise(F.col("target_guid"))
+    field_side = F.when(
+        F.col("self_type") == "m4i_field", F.col("self_guid")
+    ).otherwise(F.col("target_guid"))
+    af_pairs = (
+        rel_ins.filter(F.col("cls.attribute_field"))
+        .select(
+            attr_side.alias("attribute_guid"),
+            field_side.alias("field_guid"),
+            F.lit(True).alias("linked"),
+        )
+        .unionByName(
+            rel_del.filter(F.col("cls.attribute_field")).select(
+                attr_side.alias("attribute_guid"),
+                field_side.alias("field_guid"),
+                F.lit(False).alias("linked"),
+            )
+        )
+        .distinct()
+    )
+    af_touched = docs.join(
+        F.broadcast(
+            af_pairs.select(F.col("attribute_guid").alias("guid")).unionByName(
+                af_pairs.select(F.col("field_guid").alias("guid"))
+            )
+        ).distinct(),
+        "guid",
+        "left_semi",
+    )
+    branches.append(
+        _as_doc_rows(apply_attribute_field_linkage(af_touched, af_pairs), 9)
+    )
+
+    # Governance-role removal (G17 delete path,
+    # handle_deleted_relationships :441-450; intended un-set semantics —
+    # see remove_governance_role) + G14 propagation to descendants.
+    gov_del = rel_del.filter(F.col("cls.governance_role")).select(
+        F.col("self_guid").alias("guid"),
+        F.col("rel_key").alias("role_key"),
+        F.col("target_guid").alias("person_guid"),
+    )
+    gov_del_docs = docs.join(F.broadcast(gov_del), "guid")
+    gov_removed = remove_governance_role(
+        gov_del_docs, F.col("role_key"), F.col("person_guid")
+    )
+    branches.append(_as_doc_rows(gov_removed, 10))
+    desc_gov_del = docs.join(
+        F.broadcast(gov_del.select(F.col("guid").alias("_anc")).distinct()),
+        F.array_contains(F.col("breadcrumbguid"), F.col("_anc")),
+    )
+    desc_gov_del = propagate_derived_fields(
+        desc_gov_del.withColumn("ancestorguid", F.col("_anc")), gov_removed
+    )
+    branches.append(_as_doc_rows(desc_gov_del, 11))
+
+    # --- deleted relationships (G27, the path the reference's missing
+    # awaits never ran) -----------------------------------------------------
     del_links = _parent_child_links(rel_del)
     orphaned = docs.join(
         F.broadcast(del_links), docs["guid"] == del_links["child_guid"]

@@ -485,6 +485,10 @@ def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
             empty.alias("derivedpersonguid"),
             empty.alias("derivedentityguids"),
             empty.alias("derivedentitynames"),
+            F.lit(None).cast("array<string>").alias("derivedfieldguid"),
+            null_s.alias("derivedfield"),
+            F.lit(None).cast("array<string>").alias("deriveddataattributeguid"),
+            null_s.alias("deriveddataattribute"),
             *[F.lit(None).cast("double").alias(c) for c in DQ_SCORE_FIELDS],
         ]
 

@@ -155,6 +155,14 @@ APP_SEARCH_DOC = StructType(
         StructField("derivedpersonguid", ArrayType(StringType())),
         StructField("derivedentityguids", ArrayType(StringType())),
         StructField("derivedentitynames", ArrayType(StringType())),
+        # attribute↔field linkage fields (G18/G19,
+        # synchronize_app_search.py:154-197): set on link, NULLed on
+        # unlink — the attribute doc carries derivedfield*, the field
+        # doc carries deriveddataattribute*
+        StructField("derivedfieldguid", ArrayType(StringType())),
+        StructField("derivedfield", StringType()),
+        StructField("deriveddataattributeguid", ArrayType(StringType())),
+        StructField("deriveddataattribute", StringType()),
         StructField("dq_score_completeness", DoubleType()),
         StructField("dq_score_accuracy", DoubleType()),
         StructField("dq_score_timeliness", DoubleType()),

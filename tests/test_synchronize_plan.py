@@ -222,3 +222,177 @@ def test_indirect_changes_are_gated_out(spark, seeded_store):
         ),
     )
     assert ups == {} and dels == set()
+
+
+def _apply(store, upserts, deletes):
+    gone = upserts.select("guid").unionByName(deletes).distinct()
+    return (
+        store.join(F.broadcast(gone), "guid", "left_anti")
+        .unionByName(upserts.select(store.columns))
+        .localCheckpoint()
+    )
+
+
+def _rows(store):
+    cols = sorted(store.columns)
+    return sorted(map(str, (tuple(r) for r in store.select(*cols).collect())))
+
+
+_DISJOINT_MSGS = (
+    dict(
+        guid="x9",
+        type_name="m4i_dataset",
+        event_type="EntityAttributeAudit",
+        changed_attributes=["name"],
+        new_value=_entity("x9", "m4i_dataset", {"name": "Renamed"}),
+    ),
+    dict(
+        guid="a1",
+        type_name="m4i_data_attribute",
+        event_type="EntityCreated",
+        inserted_attributes=["name"],
+        new_value=_entity(
+            "a1", "m4i_data_attribute", {"name": "NewAttr"},
+            {"parentEntity": [_rel("e1", "m4i_data_entity")]},
+        ),
+    ),
+    dict(
+        guid="a9",
+        type_name="m4i_data_attribute",
+        event_type="EntityRelationshipAudit",
+        deleted_relationships={"parentEntity": [_rel("e9", "m4i_data_entity")]},
+    ),
+    dict(guid="e3", type_name="m4i_data_entity", event_type="EntityDeleted"),
+)
+
+
+def test_disjoint_batches_are_split_invariant(spark, seeded_store):
+    """For messages whose touched doc sets are disjoint, the dispatcher
+    must produce the same final store whether they arrive as one batch
+    or one-at-a-time in any order — the determinism contract SURVEY §7.5
+    claims for the set-at-a-time reformulation (the reference's
+    per-record loop is trivially order-dependent; our batch form must
+    not be, when no doc is touched twice)."""
+    closure = supertype_closure_df(spark)
+
+    one_shot = _apply(
+        seeded_store,
+        *synchronize_batch(make_messages(spark, *_DISJOINT_MSGS), seeded_store, closure),
+    )
+
+    for order in (_DISJOINT_MSGS, _DISJOINT_MSGS[::-1]):
+        store = seeded_store
+        for msg in order:
+            store = _apply(
+                store, *synchronize_batch(make_messages(spark, msg), store, closure)
+            )
+        assert _rows(store) == _rows(one_shot), f"order {[m['guid'] for m in order]}"
+
+
+def test_relationship_insert_replay_is_idempotent(spark, seeded_store):
+    """Replaying the same relationship-insert batch against the already
+    -updated store must be a no-op: breadcrumb prefix-insert guards on
+    presence (G12), re-derivation and re-inherit recompute the same
+    values — the at-least-once delivery safety the foreachBatch sink
+    relies on."""
+    closure = supertype_closure_df(spark)
+    msgs = make_messages(
+        spark,
+        dict(
+            guid="d1",
+            type_name="m4i_data_domain",
+            event_type="EntityRelationshipAudit",
+            inserted_relationships={"childEntities": [_rel("e9", "m4i_data_entity")]},
+        ),
+    )
+    once = _apply(seeded_store, *synchronize_batch(msgs, seeded_store, closure))
+    twice = _apply(once, *synchronize_batch(msgs, once, closure))
+    assert _rows(twice) == _rows(once)
+
+
+def test_attribute_field_link_and_unlink(spark, seeded_store):
+    """G18/G19 driven through the dispatcher: an inserted attr↔field
+    relationship cross-writes both docs' linkage fields; a deleted one
+    nulls them (handle_inserted_relationships :387-397,
+    handle_deleted_relationships :453-460)."""
+    field_doc = make_docs(
+        spark,
+        dict(guid="f1", typename="m4i_field", name="Field1",
+             referenceablequalifiedname="qn://f1"),
+    )
+    store = seeded_store.unionByName(field_doc)
+    ups, _ = _run(
+        spark,
+        store,
+        dict(
+            guid="a9",
+            type_name="m4i_data_attribute",
+            event_type="EntityRelationshipAudit",
+            inserted_relationships={"fields": [_rel("f1", "m4i_field")]},
+        ),
+    )
+    assert ups["a9"].derivedfieldguid == ["f1"]
+    assert ups["a9"].derivedfield == "Field1"
+    assert ups["f1"].deriveddataattributeguid == ["a9"]
+    assert ups["f1"].deriveddataattribute == "Attr9"
+
+    linked = _apply(store, *synchronize_batch(
+        make_messages(spark, dict(
+            guid="a9",
+            type_name="m4i_data_attribute",
+            event_type="EntityRelationshipAudit",
+            inserted_relationships={"fields": [_rel("f1", "m4i_field")]},
+        )),
+        store, supertype_closure_df(spark),
+    ))
+    ups2, _ = _run(
+        spark,
+        linked,
+        dict(
+            guid="a9",
+            type_name="m4i_data_attribute",
+            event_type="EntityRelationshipAudit",
+            deleted_relationships={"fields": [_rel("f1", "m4i_field")]},
+        ),
+    )
+    assert ups2["a9"].derivedfieldguid is None
+    assert ups2["a9"].derivedfield is None
+    assert ups2["f1"].deriveddataattributeguid is None
+    assert ups2["f1"].deriveddataattribute is None
+
+
+def test_governance_role_delete_clears_and_propagates(spark, seeded_store):
+    """G17 delete path: removing d1's domainLead clears the derived lead
+    (intended semantics — the reference's recompute-from-empty-list is a
+    no-op bug) and the descendants receive the cleared fields via G14."""
+    # first set the role through the dispatcher, then delete it
+    grant = dict(
+        guid="d1",
+        type_name="m4i_data_domain",
+        event_type="EntityRelationshipAudit",
+        inserted_relationships={"domainLead": [_rel("p7", "m4i_person")]},
+    )
+    closure = supertype_closure_df(spark)
+    granted = _apply(
+        seeded_store,
+        *synchronize_batch(make_messages(spark, grant), seeded_store, closure),
+    )
+    assert {r.guid: r for r in granted.collect()}["d1"].deriveddomainleadguid == "p7"
+
+    ups, _ = _run(
+        spark,
+        granted,
+        dict(
+            guid="d1",
+            type_name="m4i_data_domain",
+            event_type="EntityRelationshipAudit",
+            deleted_relationships={"domainLead": [_rel("p7", "m4i_person")]},
+        ),
+    )
+    assert ups["d1"].deriveddomainleadguid is None
+    assert ups["d1"].derivedpersonguid == []
+    # descendants e1/e3 had p7 propagated on grant; the delete propagates
+    # the cleared fields back down
+    assert ups["e1"].deriveddomainleadguid is None
+    assert ups["e1"].derivedpersonguid == []
+    assert ups["e3"].deriveddomainleadguid is None
