@@ -29,14 +29,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain ``spark.read.parquet`` so Catalyst
     keeps pushdown/pruning; no caching here — callers decide lifetime.
 
-    ``events.ts`` is a nanosecond parquet timestamp, which Spark rejects
-    by default (PARQUET_TYPE_ILLEGAL). We read it as a long via the
-    runtime-settable legacy conf and floor-convert ns→µs, matching
-    DuckDB's own ns→µs truncation when it scans the same file.
+    Timestamp handling: the testdata's timestamp columns (``events.ts``,
+    ``orders.o_orderdate``, ``lineitem.l_shipdate``) are parquet
+    ``timestamp[us]`` with ``isAdjustedToUTC=false``, which Spark 4 reads
+    as TIMESTAMP_NTZ by default — a type ``unix_millis`` and friends
+    reject. We disable NTZ inference (runtime conf, set before the scan
+    plans) so they read as plain TIMESTAMP, exactly as a UTC-pinned
+    session renders the same micros DuckDB sees as naive timestamps.
+    This keeps filter pushdown intact — a post-read ``cast`` would sit
+    between the scan and every timestamp predicate. The legacy nanos
+    branch handles older testdata generations where ``events.ts`` was a
+    nanosecond timestamp (PARQUET_TYPE_ILLEGAL unless read as long).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         from pyspark.sql import functions as F
 

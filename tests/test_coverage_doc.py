@@ -51,6 +51,7 @@ def test_documented_query_names_exist():
             "extract_parent_guid",
             "create_docs",
             "rename_in_derived_fields",
+            "remove_governance_role",
             "propagate_derived_fields",
             "clear",
             "propagate",
