@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 OUTPUT_SCHEMA = (
     "event_id bigint, user_id bigint, value double, prev_value double, "
@@ -277,14 +277,17 @@ def run_determine_change_entities(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # Diff rows are append-only (one per event_id, exactly once from
+    # the checkpointed file stream) -> O(batch) segment appends, never
+    # a store rewrite.
+    store = BucketedParquetUpsertStore(
         spark,
         os.path.join(workdir, "determined_change_entities"),
         key_cols=["event_id"],
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        store.merge(batch, batch_id=batch_id)
+        store.merge(batch, batch_id=batch_id, insert_only=True)
 
     query = (
         entity_change_stream(
@@ -316,12 +319,13 @@ def run_determine_change(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # Append-only by event_id, same contract as the entity-diff sink.
+    store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "determined_change"), key_cols=["event_id"]
     )
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        store.merge(batch)
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(batch, batch_id=batch_id, insert_only=True)
 
     query = (
         determine_change_stream(

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 # The op-type domain the reference accepts (EntityAuditAction,
 # get_entity_job.py:40), mapped onto the event-type vocabulary.
@@ -84,22 +84,30 @@ def run_get_entity(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
     entities = load_table(spark, sf_dir, "customer")
-    store = ParquetUpsertStore(
+    # Both sinks are append-only by unique event_id -> O(batch)
+    # segment appends regardless of how much state has accumulated.
+    store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "enriched_entities"), key_cols=["event_id"]
     )
-    dead_store = ParquetUpsertStore(
+    dead_store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "dead_letter_box"), key_cols=["event_id"]
     )
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
+    def sink(batch: DataFrame, batch_id: int) -> None:
         out = enrich_events(batch, entities)
-        store.merge(out.filter(F.col("enriched")).drop("enriched"))
+        store.merge(
+            out.filter(F.col("enriched")).drop("enriched"),
+            batch_id=batch_id,
+            insert_only=True,
+        )
         dead_store.merge(
             out.filter(~F.col("enriched")).select(
                 "event_id",
                 F.lit("get_entity").alias("job"),
                 F.lit("entity not found").alias("description"),
-            )
+            ),
+            batch_id=batch_id,
+            insert_only=True,
         )
 
     query = (

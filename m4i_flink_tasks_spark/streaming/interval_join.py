@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 
 def interval_join(signups: DataFrame, purchases: DataFrame) -> DataFrame:
@@ -76,14 +76,16 @@ def run_interval_join(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # An append-mode stream-stream join emits each matched pair
+    # exactly once -> append-only store, O(batch) per batch.
+    store = BucketedParquetUpsertStore(
         spark,
         os.path.join(workdir, "interval_matches"),
         key_cols=["signup_event_id", "purchase_event_id"],
     )
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        store.merge(batch)
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(batch, batch_id=batch_id, insert_only=True)
 
     query = (
         interval_join(

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .sources import events_file_stream, stage_events
-from .store import BucketedParquetUpsertStore, ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 
 def is_poison(stream: DataFrame) -> F.Column:
@@ -116,11 +116,12 @@ def run_publish_state(
     store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "entity_state"), key_cols=["doc_id"]
     )
-    dead_store = ParquetUpsertStore(
+    # Dead letters are append-only by unique event_id.
+    dead_store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "dead_letter_box"), key_cols=["event_id"]
     )
 
-    def upsert(batch: DataFrame, _batch_id: int) -> None:
+    def upsert(batch: DataFrame, batch_id: int) -> None:
         # D9 collapse inside the batch: one row per doc_id (highest
         # event_id wins) so the merge is deterministic under re-runs.
         collapsed = (
@@ -134,8 +135,8 @@ def run_publish_state(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        store.merge(collapsed)
-        dead_store.merge(dead_letter_rows(batch))
+        store.merge(collapsed, batch_id=batch_id)
+        dead_store.merge(dead_letter_rows(batch), batch_id=batch_id, insert_only=True)
 
     query = (
         events_file_stream(spark, staging, max_files_per_trigger)

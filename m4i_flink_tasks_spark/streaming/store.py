@@ -140,31 +140,52 @@ class ParquetUpsertStore:
 
 
 class BucketedParquetUpsertStore:
-    """Hash-bucketed variant of :class:`ParquetUpsertStore` whose merge
-    cost is bounded by the TOUCHED buckets, not the store size.
+    """Log-structured, hash-bucketed variant of
+    :class:`ParquetUpsertStore` whose merge cost is bounded by the
+    TOUCHED buckets (upserts) or the batch itself (appends), never the
+    store size.
 
     ``ParquetUpsertStore`` rewrites the whole store every merge —
     honest about being O(store) per micro-batch, which does not survive
     100x state growth. Here rows are hash-partitioned by key into
     ``n_buckets`` buckets (``xxhash64 % n_buckets``, the same layout a
-    Delta/Iceberg table would get from bucket partitioning); a merge
+    Delta/Iceberg table would get from bucket partitioning), and each
+    bucket points at a LIST of immutable parquet segments (the LSM /
+    Delta file-log shape). A merge
 
-    - computes the batch's touched buckets (a <= n_buckets-row collect),
-    - rewrites ONLY those buckets (one write job, ``partitionBy``),
-    - commits by atomically replacing a JSON pointer that maps every
-      bucket to the version directory holding its current data.
+    - ``insert_only=True`` (caller guarantees batch keys are new —
+      post-dedup streams, append-mode joins, unique event ids): writes
+      the batch as ONE new segment per touched bucket and APPENDS it to
+      those buckets' segment lists. Nothing is read, nothing is
+      rewritten — O(batch) regardless of store size.
+    - upsert / ``combine`` / ``delete``: computes the batch's touched
+      buckets (a <= n_buckets-row collect), reads ONLY those buckets'
+      segments, writes one compacted segment per touched bucket and
+      REPLACES their lists (compaction is folded into the rewrite the
+      merge had to do anyway).
+    - commits by atomically replacing a JSON pointer mapping every
+      bucket to its segment list.
 
-    Untouched buckets keep pointing at their old version directories —
-    zero bytes rewritten for them. The pointer also records the last
-    applied foreachBatch batch id (same effectively-once contract as
-    the base store). The production swap-in remains Delta/Iceberg
-    ``MERGE`` with file-level pruning; this class demonstrates the
-    bounded-merge contract with plain parquet.
+    Untouched buckets keep pointing at their old segments — zero bytes
+    rewritten for them (enforced by ``tests/test_store_bucketed.py``).
+    The pointer also records the last applied foreachBatch batch id
+    (same effectively-once contract as the base store). The production
+    swap-in remains Delta/Iceberg ``MERGE`` with file-level pruning;
+    this class demonstrates the bounded-merge contract with plain
+    parquet.
 
     A custom ``combine(current, batch)`` receives the current rows of
-    the touched buckets only; it must be key-local (every combine in
-    this repo is a per-key join/aggregate, which hash bucketing
-    co-locates by construction).
+    the touched buckets only and must return EVERY row that should
+    remain in those buckets (it must preserve same-bucket keys it does
+    not change; all combines in this repo are full-outer joins by key,
+    which do). ``touch_keys`` widens the touched-bucket set beyond the
+    batch's own keys — required when the combine also applies deletes
+    for keys absent from ``batch``.
+
+    Key-uniqueness invariant: within a bucket, a key lives in exactly
+    one segment. Upserts/deletes restore it by compacting; callers of
+    ``insert_only`` must not re-insert existing keys (replays are
+    already screened by ``batch_id``).
     """
 
     def __init__(
@@ -224,7 +245,9 @@ class BucketedParquetUpsertStore:
         if state is None:
             return None
         paths = [
-            self._bucket_path(v, int(b)) for b, v in state["buckets"].items()
+            self._bucket_path(v, int(b))
+            for b, versions in state["buckets"].items()
+            for v in versions
         ]
         if not paths:
             return None
@@ -232,13 +255,23 @@ class BucketedParquetUpsertStore:
 
     def _touched_current(self, state: dict, touched: list[int]) -> DataFrame | None:
         paths = [
-            self._bucket_path(state["buckets"][str(b)], b)
+            self._bucket_path(v, b)
             for b in touched
-            if str(b) in state["buckets"]
+            for v in state["buckets"].get(str(b), [])
         ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def _touched_buckets(self, keyed: DataFrame) -> list[int]:
+        """Distinct buckets hit by ``keyed``'s key columns — a
+        <= n_buckets-row collect, independent of store size."""
+        return sorted(
+            r["_bucket"]
+            for r in keyed.select(self._bucket_col().alias("_bucket"))
+            .distinct()
+            .collect()
+        )
 
     def _write_buckets(self, df: DataFrame, version: int) -> dict[str, int]:
         """Write df partitioned by bucket under the version dir; return
@@ -261,23 +294,37 @@ class BucketedParquetUpsertStore:
         batch: DataFrame,
         combine: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
         batch_id: int | None = None,
+        insert_only: bool = False,
+        touch_keys: DataFrame | None = None,
     ) -> None:
-        """Keyed upsert rewriting only buckets containing batch keys."""
+        """Keyed upsert rewriting only buckets containing batch keys —
+        or, with ``insert_only``, appending one O(batch) segment and
+        rewriting nothing at all."""
+        if insert_only and (combine is not None or touch_keys is not None):
+            raise ValueError("insert_only excludes combine/touch_keys")
         if batch_id is not None:
             last = self.last_batch_id()
             if last is not None and batch_id <= last:
                 return
         state = self._state()
         if state is None:
-            buckets = self._write_buckets(batch, 0)
+            buckets = {b: [0] for b in self._write_buckets(batch, 0)}
             self._commit(buckets, 0, batch_id)
             return
-        touched = sorted(
-            r["_bucket"]
-            for r in batch.select(self._bucket_col().alias("_bucket"))
-            .distinct()
-            .collect()
-        )
+        version = state["version"] + 1
+        if insert_only:
+            # Append path: caller guarantees batch keys are not in the
+            # store, so no read, no rewrite — new segments only.
+            written = self._write_buckets(batch, version)
+            buckets = {b: list(v) for b, v in state["buckets"].items()}
+            for b in written:
+                buckets.setdefault(b, []).append(version)
+            self._commit(buckets, version, batch_id)
+            return
+        keyed = batch.select(*self.key_cols)
+        if touch_keys is not None:
+            keyed = keyed.unionByName(touch_keys.select(*self.key_cols))
+        touched = self._touched_buckets(keyed)
         cur = self._touched_current(state, touched)
         if cur is None:
             new_data = batch
@@ -290,12 +337,12 @@ class BucketedParquetUpsertStore:
                 how="left_anti",
             )
             new_data = kept.unionByName(batch)
-        version = state["version"] + 1
         written = self._write_buckets(new_data, version)
-        buckets = dict(state["buckets"])
+        buckets = {b: list(v) for b, v in state["buckets"].items()}
         for b in touched:
             buckets.pop(str(b), None)  # emptied buckets leave the map
-        buckets.update(written)
+        for b in written:
+            buckets[b] = [version]  # compacted: one segment again
         self._commit(buckets, version, batch_id)
 
     def delete(self, keys: DataFrame, batch_id: int | None = None) -> None:
@@ -307,12 +354,7 @@ class BucketedParquetUpsertStore:
         state = self._state()
         if state is None:
             return
-        touched = sorted(
-            r["_bucket"]
-            for r in keys.select(self._bucket_col().alias("_bucket"))
-            .distinct()
-            .collect()
-        )
+        touched = self._touched_buckets(keys.select(*self.key_cols))
         cur = self._touched_current(state, touched)
         if cur is None:
             return
@@ -321,8 +363,9 @@ class BucketedParquetUpsertStore:
         )
         version = state["version"] + 1
         written = self._write_buckets(remaining, version)
-        buckets = dict(state["buckets"])
+        buckets = {b: list(v) for b, v in state["buckets"].items()}
         for b in touched:
             buckets.pop(str(b), None)
-        buckets.update(written)
+        for b in written:
+            buckets[b] = [version]
         self._commit(buckets, version, batch_id)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 
 def with_synthetic_redelivery(stream: DataFrame) -> DataFrame:
@@ -77,12 +77,14 @@ def run_stream_dedup(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # dropDuplicatesWithinWatermark guarantees first-arrival-only
+    # emission per event_id -> append-only store, O(batch) per batch.
+    store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "deduped_events"), key_cols=["event_id"]
     )
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        store.merge(batch)
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(batch, batch_id=batch_id, insert_only=True)
 
     query = (
         dedup_within_watermark(

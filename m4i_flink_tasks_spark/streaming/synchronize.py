@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 _ACC_COLS = ("n_events", "sum_value", "min_value", "max_value", "event_types")
 _LWW_COLS = ("last_ts_ms", "last_event_id", "last_value", "last_event_type")
@@ -148,7 +148,7 @@ def run_synchronize(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "app_search_docs"), key_cols=["guid"]
     )
 
@@ -156,18 +156,11 @@ def run_synchronize(
         # The additive combine is NOT naturally idempotent: a crash
         # between the store's pointer swap and the checkpoint commit
         # replays this batch, so the store skips batch_id <= last
-        # applied (recorded atomically with each version).
-        partial = batch_partial_docs(batch)
-        cur = store.current()
-        if cur is None:
-            store.merge(partial, batch_id=batch_id)
-        else:
-            # Merge only touched keys; untouched docs pass through the
-            # default keyed upsert (Delta MERGE semantics).
-            touched = cur.join(
-                F.broadcast(partial.select("guid")), "guid", "left_semi"
-            )
-            store.merge(combine_docs(touched, partial), batch_id=batch_id)
+        # applied (recorded atomically with each version). The store
+        # hands combine_docs only the touched buckets' rows; its
+        # full-outer join preserves same-bucket keys the batch does not
+        # mention, so untouched buckets cost zero bytes.
+        store.merge(batch_partial_docs(batch), combine=combine_docs, batch_id=batch_id)
 
     query = (
         events_file_stream(spark, staging, max_files_per_trigger)

@@ -31,8 +31,10 @@ Stream semantics (deterministic under any batch split):
 
 Scale: per batch the dispatcher joins the batch's touched guids against
 the store snapshot with broadcast joins; nothing rescans stream
-history. The store's O(store) version rewrite is the documented
-Delta-MERGE seam (``streaming/store.py``).
+history. The store is hash-bucketed (``BucketedParquetUpsertStore``),
+so the version publish rewrites only buckets holding the batch's
+upserted or deleted guids — the Delta/Iceberg MERGE file-pruning
+posture, not an O(store) rewrite.
 """
 
 from __future__ import annotations
@@ -47,7 +49,7 @@ from ..operators.docstore import create_docs
 from ..plans.synchronize_plan import synchronize_batch
 from ..schemas import RELATIONSHIP_ATTRIBUTES
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 N_DOMAINS = 10
 
@@ -163,7 +165,10 @@ def run_synchronize_appsearch(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # The store the reference grows unboundedly in App Search
+    # (synchronize_app_search/elastic.py:43-93): merges here must be
+    # bounded by TOUCHED buckets, not store size.
+    store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "appsearch_docs"), key_cols=["guid"]
     )
     if store.current() is None:
@@ -176,12 +181,14 @@ def run_synchronize_appsearch(
 
         def apply(cur: DataFrame, ups: DataFrame) -> DataFrame:
             # upserts + deletes in ONE atomic version publish: replace
-            # upserted keys, drop deleted keys, keep the rest.
+            # upserted keys, drop deleted keys, keep the rest. ``cur``
+            # is the touched buckets only; ``touch_keys`` below widens
+            # the touched set to cover delete-only keys.
             gone = ups.select("guid").unionByName(deletes).distinct()
             kept = cur.join(F.broadcast(gone), "guid", "left_anti")
             return kept.unionByName(ups)
 
-        store.merge(upserts, combine=apply, batch_id=batch_id)
+        store.merge(upserts, combine=apply, batch_id=batch_id, touch_keys=deletes)
 
     query = (
         events_file_stream(spark, staging, max_files_per_trigger)

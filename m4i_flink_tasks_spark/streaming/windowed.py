@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources import events_file_stream, stage_events
-from .store import ParquetUpsertStore
+from .store import BucketedParquetUpsertStore
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -59,14 +59,17 @@ def run_windowed_counts(
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
-    store = ParquetUpsertStore(
+    # Update-mode window emission re-delivers recent windows as they
+    # fill; keyed upsert touches only the buckets of the batch's
+    # (window, type) keys — old closed windows are never rewritten.
+    store = BucketedParquetUpsertStore(
         spark,
         os.path.join(workdir, "windowed_counts"),
         key_cols=["window_start_ms", "event_type"],
     )
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        store.merge(batch)
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(batch, batch_id=batch_id)
 
     query = (
         windowed_counts(events_file_stream(spark, staging, max_files_per_trigger))

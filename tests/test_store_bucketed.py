@@ -96,6 +96,73 @@ def test_bucketed_replay_skipped_by_batch_id(spark):
     assert _rows(store) == applied
 
 
+def test_insert_only_appends_segment_without_reading_or_rewriting(spark):
+    """The O(batch) append path: no pre-existing file is rewritten, no
+    bucket is compacted — new keys land in fresh segments appended to
+    the bucket lists."""
+    root = tempfile.mkdtemp(prefix="m4i_bstore_append_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=4)
+    store.merge(_mk(spark, [(i, f"v{i}") for i in range(32)]), batch_id=0)
+    state0 = store._state()
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(root, "v*", "_bucket=*", "*.parquet"))
+    }
+
+    store.merge(
+        _mk(spark, [(i, f"n{i}") for i in range(100, 132)]),
+        batch_id=1,
+        insert_only=True,
+    )
+    state1 = store._state()
+    for bkt, segs in state0["buckets"].items():
+        assert state1["buckets"][bkt][: len(segs)] == segs, (
+            f"bucket {bkt} was compacted by an append"
+        )
+    for p, mtime in files_before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mtime, (
+            f"append rewrote pre-existing file: {p}"
+        )
+    got = dict(map(tuple, store.current().collect()))
+    assert len(got) == 64 and got[5] == "v5" and got[105] == "n105"
+
+    # A later upsert still compacts the touched bucket back to one segment.
+    store.merge(_mk(spark, [(5, "x5")]), batch_id=2)
+    state2 = store._state()
+    touched = [
+        b
+        for b in state2["buckets"]
+        if state2["buckets"][b] != state1["buckets"].get(b)
+    ]
+    assert len(touched) == 1 and len(state2["buckets"][touched[0]]) == 1
+    got = dict(map(tuple, store.current().collect()))
+    assert len(got) == 64 and got[5] == "x5"
+
+
+def test_touch_keys_widens_bucket_set_for_combine_deletes(spark):
+    """A combine that deletes keys ABSENT from the batch needs those
+    keys' buckets in the touched set — touch_keys supplies them."""
+    root = tempfile.mkdtemp(prefix="m4i_bstore_touchkeys_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=8)
+    store.merge(_mk(spark, [(i, f"v{i}") for i in range(32)]), batch_id=0)
+
+    deletes = spark.createDataFrame([(7,), (19,)], "k long")
+
+    def upsert_and_delete(cur, batch):
+        gone = batch.select("k").unionByName(deletes).distinct()
+        return cur.join(F.broadcast(gone), "k", "left_anti").unionByName(batch)
+
+    store.merge(
+        _mk(spark, [(3, "x3")]),
+        combine=upsert_and_delete,
+        batch_id=1,
+        touch_keys=deletes,
+    )
+    got = dict(map(tuple, store.current().collect()))
+    assert got[3] == "x3" and 7 not in got and 19 not in got
+    assert len(got) == 30  # 32 seeded - 2 deleted (key 3 updated in place)
+
+
 def test_delete_emptied_bucket_leaves_pointer_map(spark):
     root = tempfile.mkdtemp(prefix="m4i_bstore_empty_")
     store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=2)

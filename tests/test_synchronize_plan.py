@@ -361,6 +361,81 @@ def test_attribute_field_link_and_unlink(spark, seeded_store):
     assert ups2["f1"].deriveddataattribute is None
 
 
+def test_doc_store_sink_rewrites_only_touched_buckets(spark, seeded_store):
+    """The App Search doc-store sink contract at scale: a micro-batch
+    merge (upserts + deletes in one combine, exactly the
+    ``run_synchronize_appsearch`` sink shape) must leave every bucket
+    not holding a touched guid byte-for-byte untouched — the reference
+    grows this store unboundedly (synchronize_app_search/elastic.py:43-93),
+    so O(touched buckets) merges are what survive 100x state growth."""
+    import glob
+    import os
+    import tempfile
+
+    from m4i_flink_tasks_spark.streaming.store import BucketedParquetUpsertStore
+
+    filler = make_docs(
+        spark,
+        *[
+            dict(guid=f"z{i}", typename="m4i_dataset", name=f"Filler{i}",
+                 referenceablequalifiedname=f"qn://z{i}")
+            for i in range(48)
+        ],
+    )
+    root = tempfile.mkdtemp(prefix="m4i_docsink_")
+    store = BucketedParquetUpsertStore(spark, root, key_cols=["guid"], n_buckets=16)
+    store.merge(seeded_store.unionByName(filler))
+    state0 = store._state()
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(root, "v*", "_bucket=*", "*.parquet"))
+    }
+
+    closure = supertype_closure_df(spark)
+    msgs = make_messages(
+        spark,
+        dict(
+            guid="x9",
+            type_name="m4i_dataset",
+            event_type="EntityAttributeAudit",
+            changed_attributes=["name"],
+            new_value=_entity("x9", "m4i_dataset", {"name": "Renamed"}),
+        ),
+        dict(guid="z7", type_name="m4i_dataset", event_type="EntityDeleted"),
+    )
+    snapshot = store.current()
+    upserts, deletes = synchronize_batch(msgs, snapshot, closure)
+
+    def apply(cur, ups):
+        gone = ups.select("guid").unionByName(deletes).distinct()
+        return cur.join(F.broadcast(gone), "guid", "left_anti").unionByName(ups)
+
+    store.merge(upserts, combine=apply, batch_id=0, touch_keys=deletes)
+
+    # Which buckets were legitimately touched?
+    bucket_of = lambda df: {
+        r["_b"]
+        for r in df.select(
+            F.pmod(F.xxhash64("guid"), F.lit(16)).cast("int").alias("_b")
+        ).collect()
+    }
+    touched = bucket_of(upserts.select("guid")) | bucket_of(deletes)
+    state1 = store._state()
+    changed = {
+        int(b)
+        for b in set(state0["buckets"]) | set(state1["buckets"])
+        if state0["buckets"].get(b) != state1["buckets"].get(b)
+    }
+    assert changed <= touched, f"untouched buckets rewritten: {changed - touched}"
+    for p, mtime in files_before.items():
+        assert os.path.exists(p), f"pre-existing segment removed: {p}"
+        assert os.path.getmtime(p) == mtime, f"pre-existing segment rewritten: {p}"
+
+    got = {r.guid: r for r in store.current().collect()}
+    assert got["x9"].name == "Renamed" and "z7" not in got
+    assert len(got) == 6 + 48 - 1  # seeded + filler - deleted
+
+
 def test_governance_role_delete_clears_and_propagates(spark, seeded_store):
     """G17 delete path: removing d1's domainLead clears the derived lead
     (intended semantics — the reference's recompute-from-empty-list is a
