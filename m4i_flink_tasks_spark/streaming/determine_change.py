@@ -29,12 +29,22 @@ Scale: state is O(#live keys), shuffled once by guid per micro-batch;
 there is no re-scan of history, so throughput is flat as the stream
 grows — this is the plan that survives 100 TB where a lag-window over
 the full history would not.
+
+Two forms live here:
+
+- the scalar differ (``determine_change_stream``) keeps last
+  (ts, event_id, value) in ``applyInPandasWithState`` keyed state;
+- the FULL-ENTITY differ (``run_determine_change_entities``) keeps the
+  last complete entity version (attributes + relationship maps) in a
+  bucketed keyed store and computes every diff as COLUMN EXPRESSIONS —
+  the same D1-D6 MapType kernels as the batch path
+  (``operators/diff.py``), applied to window-lagged version pairs
+  inside ``foreachBatch``. No per-row Python touches the hot path
+  (``tests/test_plan_shape.py::test_entity_differ_batch_plan_is_jvm_native``).
 """
 
 from __future__ import annotations
 
-import json
-import math
 import os
 from collections.abc import Iterator
 from typing import Any
@@ -43,7 +53,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
+from ..operators import diff as diffk
 from .sources import events_file_stream, stage_events
 from .store import BucketedParquetUpsertStore
 
@@ -122,147 +134,111 @@ def determine_change_stream(stream: DataFrame) -> DataFrame:
     )
 
 
-ENTITY_OUTPUT_SCHEMA = (
-    "event_id bigint, user_id bigint, change_kind string, "
-    "inserted_attrs string, changed_attrs string, deleted_attrs string, "
-    "added_rels string, deleted_rels string"
-)
-# State = the last FULL entity version (attributes + relationship maps,
-# JSON), not a scalar — the streaming analogue of the reference keeping
-# whole AtlasEntity documents in its version store.
-ENTITY_STATE_SCHEMA = "last_ts_ms bigint, last_event_id bigint, last_entity string"
-
-
-def _entity_of(user_id: int, event_type: str, value: float, k: int) -> dict:
-    """Synthesize the entity view of one event, deterministic in the
-    event columns: an ``attributes`` map with a varying key set (``k``
-    present only for even k — so consecutive versions exercise insert
-    AND delete) and a ``relationshipAttributes`` map of guid lists
-    (``flags`` present only for value >= 5). Mirrors the entity shapes
-    of ``AtlasEntityChangeMessage.py:12-30``.
-    """
-    attrs: dict[str, Any] = {
-        "event_type": event_type,
-        # integer cents: float->string formatting differs across
-        # engines, floor(double*100) does not
-        "value_cents": int(math.floor(value * 100)),
-    }
-    if k % 2 == 0:
-        attrs["k"] = int(k)
-    rels: dict[str, list[str]] = {
-        "channel": sorted({f"CH{k % 4}", f"CH{user_id % 4}"})
-    }
-    if value >= 5.0:
-        rels["flags"] = [f"F{k % 3}"]
-    return {"attrs": attrs, "rels": rels}
-
-
-def _fmt_pairs(d: dict) -> str:
-    return "|".join(f"{k}={d[k]}" for k in sorted(d))
-
-
-def _fmt_rels(d: dict) -> str:
-    return "|".join(f"{k}:{','.join(v)}" for k, v in sorted(d.items()) if v)
-
-
-def _diff_entity(prev: dict | None, cur: dict) -> tuple[str, str, str, str, str, str]:
-    """D1-D6 over one entity version pair, EntityMessage-shaped.
-
-    CREATE (no previous version): every attribute is inserted and every
-    relationship guid added (determine_change_job.py:282-306). UPDATE:
-    inserted/changed/deleted attribute maps (get_non_matching_fields
-    dispatch, :323-336 and shared/diff kernels D1-D4) plus
-    added/deleted relationship guid lists per key (D5/D6).
-    """
-    ca, cr = cur["attrs"], cur["rels"]
-    if prev is None:
-        return (
-            "EntityCreated", _fmt_pairs(ca), "", "", _fmt_rels(cr), "",
-        )
-    pa, pr = prev["attrs"], prev["rels"]
-    inserted = {k: v for k, v in ca.items() if k not in pa}
-    changed = {k: v for k, v in ca.items() if k in pa and pa[k] != v}
-    deleted = sorted(k for k in pa if k not in ca)
-    added_r = {
-        k: sorted(set(cr.get(k, [])) - set(pr.get(k, [])))
-        for k in set(cr) | set(pr)
-    }
-    deleted_r = {
-        k: sorted(set(pr.get(k, [])) - set(cr.get(k, [])))
-        for k in set(cr) | set(pr)
-    }
-    parts = (
-        _fmt_pairs(inserted),
-        _fmt_pairs(changed),
-        "|".join(deleted),
-        _fmt_rels(added_r),
-        _fmt_rels(deleted_r),
+def entity_view(events: DataFrame) -> DataFrame:
+    """The full-entity projection of the event stream, as NATIVE map
+    columns — ``attrs: map<string,string>`` with a varying key set
+    (``k`` present only for even k, so consecutive versions exercise
+    insert AND delete) and ``rels: map<string,array<string>>`` guid
+    lists (``flags`` present only for value >= 5). Mirrors the entity
+    shapes of ``AtlasEntityChangeMessage.py:12-30``; the payload is
+    parsed ONCE with an expression (``get_json_object``), never
+    per-row Python."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    attrs = F.map_filter(
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            # integer cents: float->string formatting differs across
+            # engines, floor(double*100) does not
+            F.lit("value_cents"),
+            F.floor(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("k"), F.when(k % 2 == 0, k.cast("string")),
+        ),
+        lambda _, v: v.isNotNull(),
     )
-    kind = "EntityChanged" if any(parts) else "EntityUnchanged"
-    return (kind, *parts)
-
-
-def _diff_entities_group(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Diff one guid's micro-batch slice of full entity versions.
-
-    The per-row Python loop IS the diff kernel here — map-over-map set
-    algebra on ~10-key dicts, Arrow-batched per key group. The reference
-    runs a one-row pandas frame per *record* through the same logic
-    (determine_change_job.py:323-336); this amortizes interpreter
-    overhead across the whole group slice.
-    """
-    (user_id,) = key
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort").reset_index(
-        drop=True
+    rels = F.map_filter(
+        F.create_map(
+            F.lit("channel"),
+            F.array_sort(
+                F.array_distinct(
+                    F.array(
+                        F.concat(F.lit("CH"), (k % 4).cast("string")),
+                        F.concat(F.lit("CH"), (F.col("user_id") % 4).cast("string")),
+                    )
+                )
+            ),
+            F.lit("flags"),
+            F.when(
+                F.col("value") >= 5.0,
+                F.array(F.concat(F.lit("F"), (k % 3).cast("string"))),
+            ),
+        ),
+        lambda _, v: v.isNotNull(),
     )
-
-    prev: dict | None = None
-    if state.exists:
-        last_ts_ms, last_event_id, last_entity = state.get
-        prev = json.loads(last_entity)
-    out_rows = []
-    for row in pdf.itertuples(index=False):
-        k = json.loads(row.props)["k"]
-        cur = _entity_of(int(user_id), row.event_type, float(row.value), int(k))
-        kind, ins_a, chg_a, del_a, add_r, del_r = _diff_entity(prev, cur)
-        out_rows.append(
-            (int(row.event_id), int(user_id), kind, ins_a, chg_a, del_a, add_r, del_r)
-        )
-        prev = cur
-
-    last = pdf.iloc[-1]
-    state.update(
-        (int(last["ts_ms"]), int(last["event_id"]), json.dumps(prev, sort_keys=True))
-    )
-    yield pd.DataFrame(
-        out_rows,
-        columns=[
-            "event_id", "user_id", "change_kind", "inserted_attrs",
-            "changed_attrs", "deleted_attrs", "added_rels", "deleted_rels",
-        ],
+    return events.filter(F.col("props").isNotNull() & k.isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        attrs.alias("attrs"),
+        rels.alias("rels"),
     )
 
 
-def entity_change_stream(stream: DataFrame) -> DataFrame:
-    """Keyed stateful entity diff — streaming D1-D6 over full payloads."""
-    return (
-        stream.filter(
-            F.col("props").isNotNull()
-            & F.get_json_object("props", "$.k").isNotNull()
-        )
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _diff_entities_group,
-            outputStructType=ENTITY_OUTPUT_SCHEMA,
-            stateStructType=ENTITY_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+def _fmt_attr_pairs(keys: F.Column, m: F.Column) -> F.Column:
+    """``k=v|k2=v2`` over sorted key arrays (the kernels sort)."""
+    return F.array_join(
+        F.transform(keys, lambda kk: F.concat_ws("=", kk, F.element_at(m, kk))),
+        "|",
+    )
+
+
+def _fmt_rel_map(m: F.Column) -> F.Column:
+    """``key:guid1,guid2|key2:...`` — sorted keys, sorted guid lists;
+    empty-list keys are already dropped by the D5/D6 kernels."""
+    ks = F.array_sort(F.map_keys(m))
+    return F.array_join(
+        F.transform(
+            ks,
+            lambda kk: F.concat_ws(
+                ":", kk, F.array_join(F.array_sort(F.element_at(m, kk)), ",")
+            ),
+        ),
+        "|",
+    )
+
+
+def entity_diff_columns(lagged: DataFrame) -> DataFrame:
+    """EntityMessage-shaped diff output from ``(attrs, rels,
+    prev_attrs, prev_rels)`` columns — the SAME D1-D6 MapType kernels
+    the batch path proves (``operators/diff.py``), here driving the
+    streaming emission. A NULL prev side is the CREATE path
+    (determine_change_job.py:282-306): every attribute inserts, every
+    relationship guid adds, and the kernels produce exactly that from
+    the NULL coalescing."""
+    ins = diffk.inserted_keys(F.col("prev_attrs"), F.col("attrs"))
+    chg = diffk.changed_keys(F.col("prev_attrs"), F.col("attrs"))
+    dele = diffk.deleted_keys(F.col("prev_attrs"), F.col("attrs"))
+    add_r = diffk.inserted_relationships(F.col("prev_rels"), F.col("rels"))
+    del_r = diffk.deleted_relationships(F.col("prev_rels"), F.col("rels"))
+    created = F.col("prev_attrs").isNull()
+    any_diff = (
+        (F.size(ins) > 0)
+        | (F.size(chg) > 0)
+        | (F.size(dele) > 0)
+        | (F.size(F.map_keys(add_r)) > 0)
+        | (F.size(F.map_keys(del_r)) > 0)
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        F.when(created, F.lit("EntityCreated"))
+        .when(any_diff, F.lit("EntityChanged"))
+        .otherwise(F.lit("EntityUnchanged"))
+        .alias("change_kind"),
+        _fmt_attr_pairs(ins, F.col("attrs")).alias("inserted_attrs"),
+        _fmt_attr_pairs(chg, F.col("attrs")).alias("changed_attrs"),
+        F.array_join(dele, "|").alias("deleted_attrs"),
+        _fmt_rel_map(add_r).alias("added_rels"),
+        _fmt_rel_map(del_r).alias("deleted_rels"),
     )
 
 
@@ -273,26 +249,94 @@ def run_determine_change_entities(
     n_files: int = 4,
     max_files_per_trigger: int | None = 2,
 ) -> DataFrame:
-    """Run the bounded entity-diff stream; return all emitted diffs."""
+    """Run the bounded entity-diff stream; return all emitted diffs.
+
+    Previous versions live in a keyed store (``user_id`` -> last full
+    entity version), and each micro-batch is diffed ENTIRELY in column
+    expressions: seed the batch's keys from the store, window-lag per
+    key over (ts_ms, event_id) to pair consecutive versions, apply the
+    D1-D6 MapType kernels, append the diffs, upsert the new last
+    versions. No per-row Python anywhere — the whole batch plan is
+    whole-stage-codegen'd, where the reference runs one pandas frame
+    per record (determine_change_job.py:323-336).
+
+    Scale: the window shuffles one micro-batch by key (not history);
+    the state upsert rewrites only touched buckets; seeds are
+    semi-joined to the batch's keys so state reads are pruned to the
+    live working set.
+    """
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
     # Diff rows are append-only (one per event_id, exactly once from
     # the checkpointed file stream) -> O(batch) segment appends, never
     # a store rewrite.
-    store = BucketedParquetUpsertStore(
+    out_store = BucketedParquetUpsertStore(
         spark,
         os.path.join(workdir, "determined_change_entities"),
         key_cols=["event_id"],
     )
+    state_store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "entity_versions"),
+        key_cols=["user_id"],
+    )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        store.merge(batch, batch_id=batch_id, insert_only=True)
+        ev = entity_view(batch)
+        state = state_store.current()
+        union = ev.withColumn("is_seed", F.lit(0))
+        if state is not None:
+            seeds = (
+                state.join(
+                    F.broadcast(ev.select("user_id").distinct()),
+                    "user_id",
+                    "left_semi",
+                )
+                .select(
+                    "user_id",
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_ts_ms").alias("ts_ms"),
+                    "attrs",
+                    "rels",
+                )
+                .withColumn("is_seed", F.lit(1))
+            )
+            union = union.unionByName(seeds)
+        # Seeds order strictly before batch rows (the state IS the
+        # previous version no matter its timestamp), batch rows pair in
+        # event-time order — the per-key ordering contract of a
+        # guid-partitioned topic.
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("is_seed"), "ts_ms", "event_id"
+        )
+        lagged = union.select(
+            "*",
+            F.lag("attrs").over(w).alias("prev_attrs"),
+            F.lag("rels").over(w).alias("prev_rels"),
+        ).filter(F.col("is_seed") == 0)
+        out_store.merge(
+            entity_diff_columns(lagged), batch_id=batch_id, insert_only=True
+        )
+        new_state = (
+            ev.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("ts_ms").alias("last_ts_ms"),
+                        F.col("event_id").alias("last_event_id"),
+                        "attrs",
+                        "rels",
+                    ),
+                    F.struct("ts_ms", "event_id"),
+                ).alias("s")
+            )
+            .select("user_id", "s.*")
+        )
+        state_store.merge(new_state, batch_id=batch_id)
 
     query = (
-        entity_change_stream(
-            events_file_stream(spark, staging, max_files_per_trigger)
-        )
+        events_file_stream(spark, staging, max_files_per_trigger)
         .writeStream.foreachBatch(sink)
         .option(
             "checkpointLocation",
@@ -303,7 +347,7 @@ def run_determine_change_entities(
     )
     query.awaitTermination()
 
-    final = store.current()
+    final = out_store.current()
     assert final is not None
     return final
 

@@ -120,6 +120,40 @@ def test_whole_stage_codegen_on_hot_aggregates(spark, sf_dir):
         assert "*(" in final, f"{name}: no WholeStageCodegen stage:\n{final}"
 
 
+def test_entity_differ_batch_plan_is_jvm_native(spark, sf_dir):
+    """The streaming entity differ's per-batch plan (entity_view ->
+    window lag -> D1-D6 kernels) must be pure column expressions: no
+    Python evaluation node of ANY kind, one shuffle for the per-key
+    window. This is the r2 verdict's second structural ask — the diff
+    math runs where the batch `attribute_diff` kernels run, in
+    codegen."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from m4i_flink_tasks_spark.sources import load_table
+    from m4i_flink_tasks_spark.streaming.determine_change import (
+        entity_diff_columns,
+        entity_view,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis("ts")
+    )
+    ev = entity_view(events).withColumn("is_seed", F.lit(0))
+    w = Window.partitionBy("user_id").orderBy(F.desc("is_seed"), "ts_ms", "event_id")
+    lagged = ev.select(
+        "*",
+        F.lag("attrs").over(w).alias("prev_attrs"),
+        F.lag("rels").over(w).alias("prev_rels"),
+    ).filter(F.col("is_seed") == 0)
+    plan = plan_of(entity_diff_columns(lagged))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in plan, f"Python node {node} in entity-differ plan"
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1, f"entity differ should shuffle once:\n{tree}"
+
+
 def test_exactly_one_aggregate_exchange_for_q1(plans):
     """q1 needs one shuffle (partial->final agg) plus the final
     single-partition sort; any additional Exchange is a regression."""
