@@ -255,15 +255,19 @@ ORDER BY agg.guid
 
 
 def stream_synchronize_appsearch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Job 4 driving the REAL G26-G28 dispatcher: every micro-batch of
-    EntityMessage diff events runs through ``plans.synchronize_plan``
-    inside ``foreachBatch`` — doc creation (G23) under seeded domains,
-    breadcrumb derivation (G9), derived-field inheritance (G15), deletes
-    (Q7) and the D9 collapse — merging real APP_SEARCH_DOC rows into the
-    versioned store (synchronize_elastic_job.py:55-142). The oracle
-    recomputes the final doc store from each user's last event in one
-    SQL statement; a hash match proves the incremental doc-graph
-    maintenance converges to the batch answer."""
+    """Job 4 driving the REAL G26-G28 dispatcher with ALL FOUR event
+    families of the reference (synchronize_elastic_job.py:66-121):
+    every micro-batch of EntityMessage diff events runs through
+    ``plans.synchronize_plan`` inside ``foreachBatch``. Users are
+    sharded by ``user_id % 4`` across the branches — EntityCreated
+    (G23 + G9/G15 under seeded domains), EntityAttributeAudit (G24
+    name/definition/email updates), EntityRelationshipAudit with an
+    inserted parent link (G26 re-parent), and with a deleted parent
+    link (G27 orphan) — with error events as EntityDeleted (Q7). The
+    oracle recomputes the final doc store from each user's event
+    reduction in one SQL statement; a hash match proves the
+    incremental doc-graph maintenance converges to the batch answer
+    across every branch."""
     from ..streaming.synchronize_docs import run_synchronize_appsearch
 
     final = run_synchronize_appsearch(spark, sf_dir, _workdir("synchronize_docs"))
@@ -287,31 +291,63 @@ def stream_synchronize_appsearch_docs(spark: SparkSession, sf_dir: str) -> DataF
 
 
 SYNCHRONIZE_APPSEARCH_SQL = """
-WITH last_event AS (
-    SELECT user_id, event_id, event_type,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
     FROM events
     WHERE props IS NOT NULL
-), winners AS (
-    SELECT * FROM last_event WHERE rn = 1 AND event_type <> 'error'
+), last_all AS (
+    SELECT user_id, event_id, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_ms DESC, event_id DESC) AS rn FROM ev
+    ) WHERE rn = 1
+), last_ne AS (
+    SELECT user_id, event_id, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+        FROM ev WHERE event_type <> 'error'
+    ) WHERE rn = 1
+), shaped AS (
+    SELECT u.user_id, u.user_id % 4 AS branch,
+           la.event_id AS la_id, la.event_type AS la_type,
+           ne.event_id AS ne_id, ne.event_type AS ne_type
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN last_all la USING (user_id)
+    LEFT JOIN last_ne ne USING (user_id)
+), alive AS (
+    -- branch 0: the LAST event decides (error = deleted, a later
+    -- create resurrects); branches 1-3 ignore errors entirely, so
+    -- their docs always exist (seeded shape if never updated).
+    SELECT * FROM shaped
+    WHERE branch <> 0 OR la_type <> 'error'
 ), entity_docs AS (
+    -- branch 0 = full create; 1 = attribute updates on the seeded doc;
+    -- 2 = re-parented seeded doc; 3 = orphaned seeded doc (= seed).
     SELECT 'E' || user_id AS guid,
            'm4i_data_entity' AS typename,
-           'U' || user_id || '~' || event_id AS name,
+           CASE WHEN branch = 0 THEN 'U' || user_id || '~' || la_id
+                WHEN branch = 1 AND ne_id IS NOT NULL
+                    THEN 'U' || user_id || '~' || ne_id
+                ELSE 'Seed' || user_id END AS name,
            'qn://E' || user_id AS referenceablequalifiedname,
            'Business' AS sourcetype,
            'm4i_data_entity' AS m4isourcetype,
            'Referenceable|m4i_data_entity|m4i_referenceable' AS supertypenames,
-           event_type AS definition,
-           'u' || user_id || '@ex.com' AS email,
-           'D' || (user_id % 10) AS parentguid,
-           'D' || (user_id % 10) AS breadcrumbguid,
-           'Domain' || (user_id % 10) AS breadcrumbname,
-           'm4i_data_domain' AS breadcrumbtype,
+           CASE WHEN branch = 0 THEN la_type
+                WHEN branch = 1 THEN ne_type END AS definition,
+           CASE WHEN branch = 0 OR (branch = 1 AND ne_id IS NOT NULL)
+                THEN 'u' || user_id || '@ex.com' END AS email,
+           CASE WHEN branch = 0 OR (branch = 2 AND ne_id IS NOT NULL)
+                THEN 'D' || (user_id % 10) END AS parentguid,
+           CASE WHEN branch = 0 OR (branch = 2 AND ne_id IS NOT NULL)
+                THEN 'D' || (user_id % 10) ELSE '' END AS breadcrumbguid,
+           CASE WHEN branch = 0 OR (branch = 2 AND ne_id IS NOT NULL)
+                THEN 'Domain' || (user_id % 10) ELSE '' END AS breadcrumbname,
+           CASE WHEN branch = 0 OR (branch = 2 AND ne_id IS NOT NULL)
+                THEN 'm4i_data_domain' ELSE '' END AS breadcrumbtype,
            CAST(NULL AS VARCHAR) AS deriveddataownerguid,
-           'L' || (user_id % 10) AS deriveddomainleadguid
-    FROM winners
+           CASE WHEN branch = 0 OR (branch = 2 AND ne_id IS NOT NULL)
+                THEN 'L' || (user_id % 10) END AS deriveddomainleadguid
+    FROM alive
 ), domain_docs AS (
     SELECT 'D' || i AS guid,
            'm4i_data_domain' AS typename,

@@ -15,16 +15,33 @@ Stream semantics (deterministic under any batch split):
 - The store is seeded with static domain docs ``D0..D9`` (built by the
   same G23 ``create_docs`` kernel, so sourcetype/supertypenames come
   from the real closure).
-- Each event becomes an EntityMessage for entity ``E{user_id}`` under
-  parent domain ``D{user_id % 10}``: ``error`` events are
-  ``EntityDeleted`` (Q7), everything else ``EntityCreated`` whose
-  ``new_value`` carries the attributes map (name/definition/email) and
-  the parent relationship (G22 extraction path).
-- Within a batch, messages collapse to the LAST per guid by
-  (ts_ms, event_id) — the reference's ``updated_docs`` dict collapse
-  (D9) applied at message level, which also makes the final store a
-  pure function of each user's LAST event: batch-split invariant, so
-  one batch SQL statement can oracle the whole incremental run.
+- Every user's entity doc ``E{user_id}`` is pre-seeded (same G23
+  kernel, unparented), so update/relationship events always have a doc
+  to act on — the reference likewise assumes the doc exists for
+  non-create events (synchronize_elastic_job.py:87-118).
+- Each user's events drive ONE dispatcher branch, selected by
+  ``user_id % 4`` so ALL FOUR event families of the reference's job 4
+  (synchronize_elastic_job.py:66-121) are exercised from the stream:
+  branch 0 = ``EntityCreated`` (G23 full rebuild, attrs + parent rel
+  from the last event) with ``error`` events as ``EntityDeleted``
+  (Q7) — a later create resurrects the doc, the reference's
+  create/delete lifecycle; branch 1 = ``EntityAttributeAudit``
+  (G24 name/definition/email updates + rename-cascade path), branch 2
+  = ``EntityRelationshipAudit`` with an inserted parent link (G26
+  re-parent: G9/G15 + descendant walks), branch 3 =
+  ``EntityRelationshipAudit`` with a deleted parent link (G27 orphan:
+  G11/G16). Branches 1-3 have no create path, so a delete there could
+  never be undone and would make the final store depend on batch
+  boundaries; they therefore IGNORE error events (reduce over
+  non-error events only) — the ``indirect_change``-style drop of
+  events a branch cannot apply.
+- Within a batch, each user's events reduce to ONE message — the
+  reference's ``updated_docs`` dict collapse (D9) applied at message
+  level. The reduction (branch 0: last event; branches 1-3: last
+  non-error event, if any) is chosen so applying per-batch messages in
+  sequence equals applying the whole stream's reduction once:
+  batch-split invariant, so one batch SQL statement can oracle the
+  incremental run.
 - Each batch publishes ONE new store version (upserts + deletes in a
   single keyed combine) with the batch id recorded atomically, so a
   replayed micro-batch is skipped (effectively-once).
@@ -90,21 +107,58 @@ def seed_domain_docs(spark: SparkSession, closure: DataFrame) -> DataFrame:
     )
 
 
+def seed_entity_docs(
+    spark: SparkSession, sf_dir: str, closure: DataFrame
+) -> DataFrame:
+    """Unparented entity docs ``E{user_id}`` for every user in the
+    stream, built by the same G23 create kernel (create_doc,
+    synchronize_app_search.py:565-592) — the pre-existing doc store the
+    attribute/relationship branches mutate."""
+    from ..sources import load_table
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("props").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    msgs = users.select(
+        F.lit("m4i_data_entity").alias("type_name"),
+        F.concat(F.lit("qn://E"), F.col("user_id")).alias("qualified_name"),
+        F.concat(F.lit("E"), F.col("user_id")).alias("guid"),
+        F.struct(
+            F.create_map(
+                F.lit("name"), F.concat(F.lit("Seed"), F.col("user_id"))
+            ).alias("attributes"),
+            F.lit(None).cast(RELATIONSHIP_ATTRIBUTES).alias(
+                "relationship_attributes"
+            ),
+        ).alias("new_value"),
+    )
+    return create_docs(msgs, closure)
+
+
 def batch_entity_messages(batch: DataFrame) -> DataFrame:
     """One EntityMessage per guid for this micro-batch — the D9
-    message-level collapse (last event per user by event time) feeding
-    the dispatcher, so repeated updates to one doc within a batch
-    resolve exactly like the reference's ``updated_docs`` dict
-    (synchronize_app_search.py:335,396,462,524,561)."""
+    message-level collapse feeding the dispatcher, so repeated updates
+    to one doc within a batch resolve exactly like the reference's
+    ``updated_docs`` dict (synchronize_app_search.py:335,396,462,524,561).
+
+    The per-user reduction is branch 0: last event by (ts_ms,
+    event_id); branches 1-3: last NON-error event (no message when a
+    user's batch slice is all errors). The branch decision table
+    (module docstring) turns it into exactly one of the four reference
+    event shapes (synchronize_elastic_job.py:66-121)."""
+    events = batch.filter(F.col("props").isNotNull())
+    branch = F.col("user_id") % 4
+    order = F.struct(F.col("ts_ms"), F.col("event_id"))
+    picked = F.struct("event_id", "event_type", "value")
     latest = (
-        batch.filter(F.col("props").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("event_id", "event_type", "value"),
-                F.struct(F.col("ts_ms"), F.col("event_id")),
-            ).alias("e")
+        events.filter(
+            (branch == 0) | (F.col("event_type") != "error")
         )
+        .groupBy("user_id")
+        .agg(F.max_by(picked, order).alias("e"))
         .select("user_id", "e.*")
     )
     guid = F.concat(F.lit("E"), F.col("user_id"))
@@ -128,26 +182,39 @@ def batch_entity_messages(batch: DataFrame) -> DataFrame:
         F.lit("email"),
         F.concat(F.lit("u"), F.col("user_id"), F.lit("@ex.com")),
     )
+    parent_rels = F.create_map(F.lit("parentEntity"), F.array(rel_ref))
     empty_rels = F.lit(None).cast(RELATIONSHIP_ATTRIBUTES)
     no_attrs = F.array().cast("array<string>")
+    deleted = (branch == 0) & (F.col("event_type") == "error")
     return latest.select(
         F.lit("m4i_data_entity").alias("type_name"),
         F.concat(F.lit("qn://E"), F.col("user_id")).alias("qualified_name"),
         guid.alias("guid"),
-        F.when(F.col("event_type") == "error", F.lit("EntityDeleted"))
-        .otherwise(F.lit("EntityCreated"))
+        F.when(deleted, F.lit("EntityDeleted"))
+        .when(branch == 0, F.lit("EntityCreated"))
+        .when(branch == 1, F.lit("EntityAttributeAudit"))
+        .otherwise(F.lit("EntityRelationshipAudit"))
         .alias("event_type"),
         F.lit(True).alias("direct_change"),
         no_attrs.alias("inserted_attributes"),
-        no_attrs.alias("changed_attributes"),
+        F.when(
+            branch == 1,
+            F.array(F.lit("name"), F.lit("definition"), F.lit("email")),
+        )
+        .otherwise(no_attrs)
+        .alias("changed_attributes"),
         no_attrs.alias("deleted_attributes"),
-        empty_rels.alias("inserted_relationships"),
-        empty_rels.alias("deleted_relationships"),
+        F.when(branch == 2, parent_rels).otherwise(empty_rels).alias(
+            "inserted_relationships"
+        ),
+        F.when(
+            branch == 3, F.create_map(F.lit("parentDomain"), F.array(rel_ref))
+        )
+        .otherwise(empty_rels)
+        .alias("deleted_relationships"),
         F.struct(
             attributes.alias("attributes"),
-            F.create_map(F.lit("parentEntity"), F.array(rel_ref)).alias(
-                "relationship_attributes"
-            ),
+            parent_rels.alias("relationship_attributes"),
         ).alias("new_value"),
     )
 
@@ -172,7 +239,11 @@ def run_synchronize_appsearch(
         spark, os.path.join(workdir, "appsearch_docs"), key_cols=["guid"]
     )
     if store.current() is None:
-        store.merge(seed_domain_docs(spark, closure))
+        store.merge(
+            seed_domain_docs(spark, closure).unionByName(
+                seed_entity_docs(spark, sf_dir, closure)
+            )
+        )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         msgs = batch_entity_messages(batch)
