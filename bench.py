@@ -70,22 +70,29 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, sf_dir).count()
 
-    # Two timed runs per query, report the min: on a shared box a single
-    # run is hostage to scheduler noise; the min of two is the standard
-    # power-run estimate of steady-state latency and stays honest (both
-    # runs execute the full plan — nothing is cached between them beyond
-    # what a long-lived cluster would also keep warm).
+    # Three timed runs per query. The headline number stays the min
+    # (the standard power-run estimate of steady-state latency — every
+    # run executes the full plan, nothing is cached between them beyond
+    # what a long-lived cluster would also keep warm), and ALL per-run
+    # numbers are reported so environmental noise on a shared box is
+    # distinguishable from a code regression (r2 postmortem: a uniform
+    # 1.4x drift across unchanged queries needed exactly this data).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
+        per_run, n = [], 0
+        for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            per_run.append(round(time.perf_counter() - start, 4))
+        runs[name] = per_run
+        timings[name] = min(per_run)
+        print(
+            f"# {name}: min {timings[name]:.3f}s of {per_run} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -95,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf),
             }
         )
