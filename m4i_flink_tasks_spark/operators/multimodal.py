@@ -171,13 +171,83 @@ def decode_media(payload: bytes, modality: str) -> dict:
     return {"codec": "bytes", **_NO_MEDIA}
 
 
+def synth_wav(doc_id: int) -> bytes:
+    """Well-formed 16-bit mono PCM WAV, deterministic in doc_id:
+    rate = 8000 + (doc_id % 8) * 1000, n = 64 + doc_id % 32 samples,
+    every sample the constant (doc_id % 100) - 50 — so the decoded RMS
+    is EXACTLY |constant| and the oracle states it in closed form."""
+    rate = 8000 + (doc_id % 8) * 1000
+    n = 64 + doc_id % 32
+    c = (doc_id % 100) - 50
+    data = struct.pack("<h", c) * n
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Uncompressed 24-bit BMP, constant pixel value doc_id % 256;
+    width ∈ {4, 8} keeps rows unpadded so the last file byte is the
+    pixel value too."""
+    w = 4 + 4 * (doc_id % 2)
+    h = 3 + doc_id % 5
+    p = doc_id % 256
+    raster = bytes([p]) * (w * 3 * h)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    return hdr + raster
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Binary PPM (P6), single-digit dims, constant pixel
+    (doc_id * 7) % 256 — header is always 11 bytes."""
+    w = 3 + doc_id % 5
+    h = 2 + doc_id % 4
+    q = (doc_id * 7) % 256
+    return f"P6\n{w} {h}\n255\n".encode() + bytes([q]) * (w * h * 3)
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Binary column + typed metadata from the documents table.
 
-    ``payload`` = UTF-8 bytes of the text (the deterministic stand-in
-    for real media bytes); ``media`` = the typed metadata struct a real
+    ``payload`` is the deterministic stand-in for real media bytes: a
+    slice of rows carries REAL media payloads (``doc_id % 15``: 1 →
+    WAV on an audio row, 3 → BMP, 6 → PPM on image rows — synthesized
+    by the ``synth_*`` generators above so the decoders run on the
+    driver-checked path, not only in pytest), the rest carry the UTF-8
+    bytes of the text. ``media`` = the typed metadata struct a real
     ingest would carry (modality round-robins the three kinds).
+    Synthesis is an Arrow-batched UDF because it BUILDS bytes (the
+    ingest stand-in); the decode hot path stays in ``mapInPandas``.
     """
+    import pandas as pd  # noqa: F811 — resolved on executors too
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        def one(d: int, t: str) -> bytes:
+            m = d % 15
+            if m == 1:
+                return synth_wav(d)
+            if m == 3:
+                return synth_bmp(d)
+            if m == 6:
+                return synth_ppm(d)
+            return t.encode("utf-8")
+
+        return pd.Series(
+            [one(int(d), t) for d, t in zip(doc_id, text)], dtype=object
+        )
+
     modality = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
@@ -185,7 +255,7 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        _payload(F.col("doc_id"), F.col("text")).alias("payload"),
         F.struct(
             modality.alias("modality"),
             F.col("n_chars").alias("declared_size"),

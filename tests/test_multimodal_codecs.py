@@ -145,3 +145,34 @@ def test_rms_matches_definition():
     out = decode_media(make_wav([-3, 3] * 50), "audio")
     assert out["mean_value"] == pytest.approx(3.0)
     assert not math.isnan(out["mean_value"])
+
+
+def test_synth_payloads_decode_to_their_closed_forms():
+    """The driver-checked query routes synth_wav/bmp/ppm payloads
+    through the real decoders; the oracle states their outputs as
+    closed forms of doc_id. Pin that synthesis and decode agree on
+    exactly those forms for a spread of doc_ids."""
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        synth_bmp,
+        synth_ppm,
+        synth_wav,
+    )
+
+    for doc_id in (1, 16, 31, 46, 331, 9001):
+        out = decode_media(synth_wav(doc_id), "audio")
+        assert out["codec"] == "wav"
+        assert out["sample_rate"] == 8000 + (doc_id % 8) * 1000
+        assert out["n_samples"] == 64 + doc_id % 32
+        assert out["mean_value"] == abs((doc_id % 100) - 50)  # exact
+    for doc_id in (3, 18, 33, 258, 9003):
+        out = decode_media(synth_bmp(doc_id), "image")
+        assert out["codec"] == "bmp"
+        assert out["width"] == 4 + 4 * (doc_id % 2)
+        assert out["height"] == 3 + doc_id % 5
+        assert out["mean_value"] == doc_id % 256  # exact
+    for doc_id in (6, 21, 36, 111, 9006):
+        out = decode_media(synth_ppm(doc_id), "image")
+        assert out["codec"] == "ppm"
+        assert out["width"] == 3 + doc_id % 5
+        assert out["height"] == 2 + doc_id % 4
+        assert out["mean_value"] == (doc_id * 7) % 256  # exact
