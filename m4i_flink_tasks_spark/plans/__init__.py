@@ -2,6 +2,6 @@
 reference's job-level semantics (SURVEY §3.3): the ``foreachBatch``
 bodies a streaming deployment runs per micro-batch."""
 
-from .synchronize_plan import synchronize_batch
+from .synchronize_plan import synchronize_batch, synchronize_batch_to_fixpoint
 
-__all__ = ["synchronize_batch"]
+__all__ = ["synchronize_batch", "synchronize_batch_to_fixpoint"]

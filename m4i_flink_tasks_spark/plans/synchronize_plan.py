@@ -22,7 +22,10 @@ within the same batch resolve via the D9 collapse (branch priority =
 create < attribute < rel-insert < rel-delete), and multi-level cascades
 land on the following batch. This matches the reference's behavior for
 distinct target docs and makes intra-batch collisions deterministic —
-the reference's outcome depends on event arrival order.
+the reference's outcome depends on event arrival order. The OTHER §7.5
+resolution — loop the dispatcher to fixpoint so same-batch cascades
+land immediately — is :func:`synchronize_batch_to_fixpoint` below,
+selectable per sink.
 
 Parity notes: the ``direct_change`` gate (:74-76) is applied first;
 ``EntityDeleted`` produces store deletes (Q7, :111-113). All three
@@ -353,3 +356,53 @@ def synchronize_batch(
     # drop docs that are also deleted in this batch
     upserts = upserts.join(F.broadcast(delete_keys), "guid", "left_anti")
     return upserts, delete_keys
+
+
+def apply_batch(docs: DataFrame, upserts: DataFrame, deletes: DataFrame) -> DataFrame:
+    """Fold one batch's (upserts, deletes) into a store snapshot —
+    replace upserted keys, drop deleted keys, keep the rest."""
+    gone = upserts.select("guid").unionByName(deletes).distinct()
+    return docs.join(F.broadcast(gone), "guid", "left_anti").unionByName(
+        upserts.select(docs.columns)
+    )
+
+
+def synchronize_batch_to_fixpoint(
+    messages: DataFrame,
+    docs: DataFrame,
+    type_closure: DataFrame,
+    max_rounds: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """SURVEY §7.5 hard-part 2, resolved the OTHER way: re-run the
+    set-at-a-time dispatcher against its own output until the store
+    stops changing, so multi-level cascades between events of ONE batch
+    (entity re-parented under a parent that was itself re-parented this
+    batch) land in this batch instead of the next.
+
+    Every handler is idempotent against an already-updated snapshot
+    (``test_relationship_insert_replay_is_idempotent``), so iteration
+    converges in at most the hierarchy depth; rounds are
+    ``localCheckpoint``-ed to keep lineage flat, and the loop stops as
+    soon as a round is a no-op. Raises if ``max_rounds`` is hit while
+    still changing — silent truncation would hide a divergent handler.
+
+    Same return contract as :func:`synchronize_batch`: ``(upserts,
+    delete_keys)`` relative to the ORIGINAL snapshot, so sinks can swap
+    the two functions without changing their merge logic.
+    """
+    state = docs.localCheckpoint()
+    original = state
+    for _ in range(max_rounds):
+        upserts, deletes = synchronize_batch(messages, state, type_closure)
+        new_state = apply_batch(state, upserts, deletes).localCheckpoint()
+        if new_state.exceptAll(state).isEmpty():
+            # Converged: everything that differs from the pre-batch
+            # snapshot is this batch's effective upsert set.
+            final_upserts = new_state.exceptAll(original)
+            return final_upserts, deletes
+        state = new_state
+    raise RuntimeError(
+        f"synchronize_batch_to_fixpoint did not converge in {max_rounds} "
+        "rounds — a handler is not idempotent or the hierarchy is deeper "
+        "than max_rounds"
+    )

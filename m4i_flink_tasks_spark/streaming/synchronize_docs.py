@@ -63,7 +63,10 @@ from pyspark.sql import functions as F
 
 from ..functions.hierarchy import supertype_closure_df
 from ..operators.docstore import create_docs
-from ..plans.synchronize_plan import synchronize_batch
+from ..plans.synchronize_plan import (
+    synchronize_batch,
+    synchronize_batch_to_fixpoint,
+)
 from ..schemas import RELATIONSHIP_ATTRIBUTES
 from .sources import events_file_stream, stage_events
 from .store import BucketedParquetUpsertStore
@@ -225,9 +228,19 @@ def run_synchronize_appsearch(
     workdir: str,
     n_files: int = 4,
     max_files_per_trigger: int | None = 2,
+    cascade_fixpoint: bool = False,
 ) -> DataFrame:
     """Run the bounded diff-event stream through the G26-G28 dispatcher;
-    return the final App Search doc store."""
+    return the final App Search doc store.
+
+    ``cascade_fixpoint`` selects the SURVEY §7.5 intra-batch cascade
+    mode: False = single pass, same-batch cascades land next batch
+    (default, reference-equivalent); True = loop the dispatcher to
+    fixpoint inside each batch. The driver query's per-user message
+    synthesis never cascades across users, so both modes produce the
+    SAME final store here — the modes differ only for multi-level
+    link chains within one batch (``tests/test_synchronize_plan.py``
+    demonstrates both)."""
     closure = supertype_closure_df(spark).localCheckpoint()
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
@@ -245,10 +258,14 @@ def run_synchronize_appsearch(
             )
         )
 
+    dispatch = (
+        synchronize_batch_to_fixpoint if cascade_fixpoint else synchronize_batch
+    )
+
     def sink(batch: DataFrame, batch_id: int) -> None:
         msgs = batch_entity_messages(batch)
         snapshot = store.current()
-        upserts, deletes = synchronize_batch(msgs, snapshot, closure)
+        upserts, deletes = dispatch(msgs, snapshot, closure)
 
         def apply(cur: DataFrame, ups: DataFrame) -> DataFrame:
             # upserts + deletes in ONE atomic version publish: replace

@@ -361,6 +361,74 @@ def test_attribute_field_link_and_unlink(spark, seeded_store):
     assert ups2["f1"].deriveddataattribute is None
 
 
+def test_three_level_cascade_single_pass_vs_fixpoint(spark):
+    """SURVEY §7.5 hard-part 2, both resolutions demonstrated on a
+    3-link chain arriving in ONE batch (system -> collection ->
+    dataset -> field): single-pass semantics leave the deep descendants
+    with truncated breadcrumbs until the next batch (each link sees the
+    PRE-batch parent), while the fixpoint mode resolves the whole chain
+    in-batch."""
+    from m4i_flink_tasks_spark.plans import (
+        synchronize_batch_to_fixpoint,
+    )
+    from m4i_flink_tasks_spark.plans.synchronize_plan import apply_batch
+
+    store = make_docs(
+        spark,
+        dict(guid="s1", typename="m4i_system", name="Sys",
+             referenceablequalifiedname="qn://s1"),
+        dict(guid="c1", typename="m4i_collection", name="Coll",
+             referenceablequalifiedname="qn://c1"),
+        dict(guid="ds1", typename="m4i_dataset", name="Dset",
+             referenceablequalifiedname="qn://ds1"),
+        dict(guid="f1", typename="m4i_field", name="Fld",
+             referenceablequalifiedname="qn://f1"),
+    )
+    chain = [
+        dict(guid="s1", type_name="m4i_system",
+             event_type="EntityRelationshipAudit",
+             inserted_relationships={"childCollections": [_rel("c1", "m4i_collection")]}),
+        dict(guid="c1", type_name="m4i_collection",
+             event_type="EntityRelationshipAudit",
+             inserted_relationships={"childDatasets": [_rel("ds1", "m4i_dataset")]}),
+        dict(guid="ds1", type_name="m4i_dataset",
+             event_type="EntityRelationshipAudit",
+             inserted_relationships={"childFields": [_rel("f1", "m4i_field")]}),
+    ]
+    closure = supertype_closure_df(spark)
+    msgs = make_messages(spark, *chain)
+
+    # Single pass: every child is linked against the PRE-batch parent,
+    # so deep breadcrumbs are truncated (documented default).
+    one_pass = {
+        r.guid: r
+        for r in synchronize_batch(msgs, store, closure)[0].collect()
+    }
+    assert one_pass["c1"].breadcrumbguid == ["s1"]
+    assert one_pass["ds1"].breadcrumbguid == ["c1"]  # misses s1
+    assert one_pass["f1"].breadcrumbguid == ["ds1"]  # misses s1, c1
+
+    # ...and the missing levels land on the NEXT batch replay of the
+    # same links (how the default mode eventually converges).
+    applied = apply_batch(
+        store, *synchronize_batch(msgs, store, closure)
+    ).localCheckpoint()
+    second = {
+        r.guid: r
+        for r in synchronize_batch(msgs, applied, closure)[0].collect()
+    }
+    assert second["f1"].breadcrumbguid == ["c1", "ds1"]  # one level deeper
+
+    # Fixpoint mode: the whole chain resolves inside one batch.
+    ups, dels = synchronize_batch_to_fixpoint(msgs, store, closure)
+    fix = {r.guid: r for r in ups.collect()}
+    assert dels.isEmpty()
+    assert fix["c1"].breadcrumbguid == ["s1"]
+    assert fix["ds1"].breadcrumbguid == ["s1", "c1"]
+    assert fix["f1"].breadcrumbguid == ["s1", "c1", "ds1"]
+    assert fix["f1"].breadcrumbname == ["Sys", "Coll", "Dset"]
+
+
 def test_doc_store_sink_rewrites_only_touched_buckets(spark, seeded_store):
     """The App Search doc-store sink contract at scale: a micro-batch
     merge (upserts + deletes in one combine, exactly the
