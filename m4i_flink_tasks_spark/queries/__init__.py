@@ -59,12 +59,28 @@ _MODULES = (
 # The declared driver surface: every SURVEY §2 operator family has exactly
 # one proof row here (see COVERAGE.md for the query -> operator-ID map).
 # Order = priority order the driver walks; all entries fit the gate budget.
+#
+# ROTATION (round 3): the gate caps the surface at 50 rows, so per the
+# r2 verdict seven consolidated extras are rotated IN for independent
+# driver attestation (q3, q6, top-N, rollup, cube, set ops, as-of join)
+# and seven rows whose operators keep another green attestation are
+# rotated OUT to extras (order_priority_counts, dead_letter_split,
+# schema_introspection, parent_guid_extraction, doc_update_collapse,
+# sliding_window_activity, ann_ivf_probe — each has a green driver row
+# recorded in CORRECTNESS_r01/r02 and stays pytest-pinned; see
+# COVERAGE.md rotation log).
 DRIVER_QUERIES: tuple[str, ...] = (
-    # relational engine proofs (flagship bench queries + non-vacuous
-    # semi-join; q3/q6/top-N forms stay pytest+bench-pinned as extras)
+    # relational engine proofs (flagship bench queries; rotated in r3:
+    # q3/q6/top-N/rollup/cube/set-op/as-of forms)
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_region_revenue",
-    "order_priority_counts",
+    "q6_forecast_revenue",
+    "top_orders_per_customer",
+    "rollup_order_totals",
+    "cube_lineitem_stats",
+    "set_operations",
+    "asof_join_orders_events",
     # S13/P6 + skew handling
     "direct_change_classifier",
     "skew_salted_join",
@@ -73,13 +89,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "attribute_diff",
     "diff_event_materialization",
     "attribute_flattening",
-    "dead_letter_split",
     "asof_previous_version",
     # state-store queries (Q1-Q7, S5-S8)
     "state_store_lookups",
     "store_filter_scan",
     "delete_by_id",
-    "schema_introspection",
     # graph / hierarchy dimensions (G1, G4, S14)
     "type_hierarchy_ops",
     # doc-graph maintenance (G9-G25, D9)
@@ -89,16 +103,13 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "derived_field_lifecycle",
     "relationship_classification",
     "governance_role_update",
-    "parent_guid_extraction",
     "doc_creation",
     "attribute_update_application",
     "attribute_field_linkage",
-    "doc_update_collapse",
     # G26-G28 dispatcher with relationship-audit cascades (single batch)
     "synchronize_rel_cascades",
     # event-time windows
     "tumbling_window_counts",
-    "sliding_window_activity",
     "session_windows",
     # streaming pipelines (reference jobs 1-4 + streaming dedup/joins)
     "stream_get_entity_enrichment",
@@ -112,10 +123,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "neardup_components",
-    # LLM-pipeline: similarity family
+    # LLM-pipeline: similarity family (IVF probe rotated to extras in r3)
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
-    "ann_ivf_probe",
     "embedding_neardup_pairs",
     # LLM-pipeline: text analysis
     "text_metrics",

@@ -68,6 +68,16 @@ def get_spark(
         # Start shuffles at the local core count; AQE coalesces down.
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamp semantics travel WITH the UTC pin above: the
+        # testdata's isAdjustedToUTC=false micros must read as plain
+        # TIMESTAMP (not NTZ) in a UTC session to match DuckDB's naive
+        # rendering, and older testdata generations carry nanos columns.
+        # Set once here so every session this factory builds is correct
+        # from the first scan; sources.load_table re-asserts the same
+        # values at call time only as a fallback for FOREIGN sessions
+        # (the driver harness builds its own plain SparkSession).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for every pandas_udf / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

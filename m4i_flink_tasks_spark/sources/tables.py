@@ -33,13 +33,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``orders.o_orderdate``, ``lineitem.l_shipdate``) are parquet
     ``timestamp[us]`` with ``isAdjustedToUTC=false``, which Spark 4 reads
     as TIMESTAMP_NTZ by default — a type ``unix_millis`` and friends
-    reject. We disable NTZ inference (runtime conf, set before the scan
-    plans) so they read as plain TIMESTAMP, exactly as a UTC-pinned
-    session renders the same micros DuckDB sees as naive timestamps.
-    This keeps filter pushdown intact — a post-read ``cast`` would sit
-    between the scan and every timestamp predicate. The legacy nanos
-    branch handles older testdata generations where ``events.ts`` was a
-    nanosecond timestamp (PARQUET_TYPE_ILLEGAL unless read as long).
+    reject. Sessions built by ``session.get_spark`` already disable NTZ
+    inference in the builder, next to the UTC session-timezone pin the
+    correctness argument depends on; the runtime ``conf.set`` below
+    re-asserts the same values ONLY so FOREIGN sessions work too (the
+    driver harness builds its own plain SparkSession and calls straight
+    into ``queries()``). Plain TIMESTAMP keeps filter pushdown intact —
+    a post-read ``cast`` would sit between the scan and every timestamp
+    predicate. The legacy nanos branch handles older testdata
+    generations where ``events.ts`` was a nanosecond timestamp
+    (PARQUET_TYPE_ILLEGAL unless read as long).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -194,11 +194,17 @@ class BucketedParquetUpsertStore:
         root: str,
         key_cols: Sequence[str],
         n_buckets: int = 16,
+        max_segments: int = 16,
     ) -> None:
         self.spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        # Append-only buckets compact once their segment list exceeds
+        # this — LSM-style amortization: each row is rewritten every
+        # max_segments appends, keeping reads O(n_buckets * max_segments)
+        # files while appends stay O(batch).
+        self.max_segments = max_segments
         os.makedirs(root, exist_ok=True)
 
     # -- pointer bookkeeping -------------------------------------------
@@ -314,11 +320,32 @@ class BucketedParquetUpsertStore:
         version = state["version"] + 1
         if insert_only:
             # Append path: caller guarantees batch keys are not in the
-            # store, so no read, no rewrite — new segments only.
+            # store, so no read, no rewrite — new segments only. Buckets
+            # whose segment list overflows max_segments are folded into
+            # one segment (amortized: each row is rewritten once per
+            # max_segments appends).
             written = self._write_buckets(batch, version)
             buckets = {b: list(v) for b, v in state["buckets"].items()}
             for b in written:
                 buckets.setdefault(b, []).append(version)
+            overflow = [
+                b for b, segs in buckets.items() if len(segs) > self.max_segments
+            ]
+            if overflow:
+                cver = version + 1
+                paths = [
+                    self._bucket_path(v, int(b))
+                    for b in overflow
+                    for v in buckets[b]
+                ]
+                compacted = self._write_buckets(
+                    self.spark.read.parquet(*paths), cver
+                )
+                for b in overflow:
+                    buckets.pop(b, None)
+                for b in compacted:
+                    buckets[b] = [cver]
+                version = cver
             self._commit(buckets, version, batch_id)
             return
         keyed = batch.select(*self.key_cols)

@@ -139,6 +139,26 @@ def test_insert_only_appends_segment_without_reading_or_rewriting(spark):
     assert len(got) == 64 and got[5] == "x5"
 
 
+def test_append_segments_compact_at_threshold(spark):
+    """Insert-only appends must not grow a bucket's segment list without
+    bound: past max_segments the bucket folds to one segment (LSM-style
+    amortization), with no data loss and untouched buckets untouched."""
+    root = tempfile.mkdtemp(prefix="m4i_bstore_compact_")
+    store = BucketedParquetUpsertStore(
+        spark, root, ["k"], n_buckets=1, max_segments=3
+    )
+    for i in range(5):
+        store.merge(
+            _mk(spark, [(i * 10 + j, f"v{i}_{j}") for j in range(4)]),
+            batch_id=i,
+            insert_only=True,
+        )
+        segs = store._state()["buckets"]["0"]
+        assert len(segs) <= 3, f"segment list grew unbounded: {segs}"
+    got = dict(map(tuple, store.current().collect()))
+    assert len(got) == 20 and got[0] == "v0_0" and got[43] == "v4_3"
+
+
 def test_touch_keys_widens_bucket_set_for_combine_deletes(spark):
     """A combine that deletes keys ABSENT from the batch needs those
     keys' buckets in the touched set — touch_keys supplies them."""
