@@ -15,8 +15,16 @@ from ..sources import load_table
 
 def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over customer key sets: customers with
-    orders vs customers in the top-revenue half of nations. One row per
-    (set_op, n_keys) — exercises all three set operators in one plan."""
+    orders vs customers with positive balance. One row per (set_op,
+    n_keys).
+
+    Scale shape: the naive form (three physical set operators over the
+    same inputs) scans each side three times and shuffles per operator
+    — 13 exchanges at plan level. Set algebra over DISTINCT key sets is
+    one membership-flag aggregation: union each side with an indicator,
+    max the indicators per key (ONE shuffle), and all three counts are
+    conditional sums of the same pass. ``test_plan_shape`` pins the
+    exchange count."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     with_orders = customer.join(
@@ -25,22 +33,47 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).select("c_custkey")
     high_balance = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    flags = (
+        with_orders.select(
+            "c_custkey", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+        )
+        .unionByName(
+            high_balance.select(
+                "c_custkey", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("c_custkey")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count_if((F.col("in_a") == 1) & (F.col("in_b") == 1)).alias(
+            "n_intersect"
+        ),
+        F.count_if((F.col("in_a") == 1) & (F.col("in_b") == 0)).alias(
+            "n_except"
+        ),
+    )
     return (
-        with_orders.union(high_balance)
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("union").alias("set_op"), "n")
-        .unionByName(
-            with_orders.intersect(high_balance)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit("intersect").alias("set_op"), "n")
+        counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("union").alias("set_op"),
+                        F.col("n_union").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("intersect").alias("set_op"),
+                        F.col("n_intersect").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("except").alias("set_op"),
+                        F.col("n_except").alias("n"),
+                    ),
+                )
+            ).alias("r")
         )
-        .unionByName(
-            with_orders.exceptAll(high_balance)
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit("except").alias("set_op"), "n")
-        )
+        .select("r.*")
         .orderBy("set_op")
     )
 

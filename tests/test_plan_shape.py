@@ -120,6 +120,26 @@ def test_whole_stage_codegen_on_hot_aggregates(spark, sf_dir):
         assert "*(" in final, f"{name}: no WholeStageCodegen stage:\n{final}"
 
 
+def test_set_operations_single_membership_pass(plans):
+    """UNION/INTERSECT/EXCEPT counts over the same two key sets must
+    come from ONE membership-flag aggregation, not three physical set
+    operators (the naive form re-scans each input three times and
+    planned 13 exchanges)."""
+    tree = plans["set_operations"].split("\n\n")[0]
+    n = tree.count("Exchange")
+    assert n <= 5, f"set_operations regressed to {n} exchanges:\n{tree}"
+
+
+@pytest.mark.parametrize("name", ["rollup_order_totals", "cube_lineitem_stats"])
+def test_grouping_sets_use_expand_not_replans(plans, name):
+    """ROLLUP/CUBE must be one Expand + one aggregate shuffle — not a
+    union of per-grouping re-aggregations."""
+    tree = plans[name].split("\n\n")[0]
+    assert "Expand" in tree, f"{name}: no Expand node"
+    n = tree.count("Exchange")
+    assert n <= 2, f"{name}: {n} exchanges (expect agg + final sort)"
+
+
 def test_entity_differ_batch_plan_is_jvm_native(spark, sf_dir):
     """The streaming entity differ's per-batch plan (entity_view ->
     window lag -> D1-D6 kernels) must be pure column expressions: no

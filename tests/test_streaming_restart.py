@@ -105,6 +105,50 @@ def test_stream_dedup_restart_is_noop(spark, sf_dir):
     assert versions_second == versions_first
 
 
+def test_determine_change_entities_mid_stream_restart(spark, sf_dir):
+    """Kill the expression-native entity differ mid-stream and restart:
+    the keyed version store plus checkpointed offsets must produce
+    EXACTLY the one-shot answer — the first event after the restart
+    diffs against state written before it, across a batch split the
+    one-shot run never saw."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.determine_change import (
+        run_determine_change_entities,
+    )
+    from m4i_flink_tasks_spark.streaming.sources import stage_events
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_dce_ref_")
+    expected = sorted(
+        map(tuple, run_determine_change_entities(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_dce_restart_")
+    staging = stage_events(spark, sf_dir, os.path.join(wd, "staging_events"), 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_dce_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    # "Crash" after the first time slice: only file 0 exists.
+    first = run_determine_change_entities(spark, sf_dir, wd)
+    n_first = first.count()
+    assert 0 < n_first < len(expected)
+
+    # Recovery: the remaining slices appear; restart with the same
+    # checkpoint + stores. Batch split is now 1|2|1 files vs the
+    # reference run's 2|2 — the answer must not care.
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_determine_change_entities(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
+
+
 def test_synchronize_docs_restart_is_noop(spark, sf_dir):
     """Restarting the doc-graph dispatcher pipeline against its
     checkpoint must neither re-run batches nor write a store version:
