@@ -284,7 +284,9 @@ def run_determine_change_entities(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         ev = entity_view(batch)
-        state = state_store.current()
+        # Bucket-pruned state read: only segments whose bucket holds a
+        # batch key are planned — O(touched buckets), not O(store).
+        state = state_store.current_for_keys(ev.select("user_id"))
         union = ev.withColumn("is_seed", F.lit(0))
         if state is not None:
             seeds = (

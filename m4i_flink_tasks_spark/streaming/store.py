@@ -259,6 +259,19 @@ class BucketedParquetUpsertStore:
             return None
         return self.spark.read.parquet(*paths)
 
+    def current_for_keys(self, keys: DataFrame) -> DataFrame | None:
+        """Snapshot restricted to the buckets containing ``keys``'
+        key-column values — the read plans only O(touched buckets)
+        parquet paths instead of the whole store, the point-lookup
+        analogue of Delta file pruning. Rows of OTHER keys sharing
+        those buckets are still present; callers filter/join as needed.
+        """
+        state = self._state()
+        if state is None:
+            return None
+        touched = self._touched_buckets(keys.select(*self.key_cols))
+        return self._touched_current(state, touched)
+
     def _touched_current(self, state: dict, touched: list[int]) -> DataFrame | None:
         paths = [
             self._bucket_path(v, b)

@@ -183,6 +183,27 @@ def test_touch_keys_widens_bucket_set_for_combine_deletes(spark):
     assert len(got) == 30  # 32 seeded - 2 deleted (key 3 updated in place)
 
 
+def test_current_for_keys_plans_only_touched_bucket_files(spark):
+    """The pruned snapshot read must plan ONLY the parquet files of
+    buckets containing the requested keys (df.inputFiles() is the
+    planned scan set) while still returning those buckets' full rows."""
+    root = tempfile.mkdtemp(prefix="m4i_bstore_prune_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=8)
+    store.merge(_mk(spark, [(i, f"v{i}") for i in range(64)]))
+
+    keys = spark.createDataFrame([(3,)], "k long")
+    pruned = store.current_for_keys(keys)
+    all_files = set(store.current().inputFiles())
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files < all_files, "pruned read planned the whole store"
+    assert len(pruned_files) <= len(all_files) // 2
+
+    got = dict(map(tuple, pruned.collect()))
+    assert got[3] == "v3"
+    full = dict(map(tuple, store.current().collect()))
+    assert all(full[k] == v for k, v in got.items())
+
+
 def test_delete_emptied_bucket_leaves_pointer_map(spark):
     root = tempfile.mkdtemp(prefix="m4i_bstore_empty_")
     store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=2)
