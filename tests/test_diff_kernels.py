@@ -187,3 +187,54 @@ def test_entity_message_schema_accepts_fixture_shape(spark):
     assert row.event_type == "EntityAttributeAudit"
     assert row.inserted_attributes == ["definition"]
     assert row.inserted_relationships["meanings"][0].guid == "m1"
+
+
+def test_streaming_entity_diff_columns_edge_cases(spark):
+    """The streaming differ's EntityMessage-shaped formatting over the
+    D1-D6 kernels: CREATE (NULL prev), pure insert/delete/change,
+    relationship add+remove in one step, and the no-op case."""
+    from m4i_flink_tasks_spark.streaming.determine_change import (
+        entity_diff_columns,
+    )
+
+    schema = (
+        "event_id bigint, user_id bigint, "
+        "attrs map<string,string>, rels map<string,array<string>>, "
+        "prev_attrs map<string,string>, prev_rels map<string,array<string>>"
+    )
+    rows = [
+        # CREATE: everything inserts, every guid adds.
+        (1, 1, {"a": "1", "b": "2"}, {"r": ["x", "y"]}, None, None),
+        # UPDATE: a changed, b deleted, c inserted; r loses x gains z.
+        (2, 1, {"a": "9", "c": "3"}, {"r": ["y", "z"]},
+         {"a": "1", "b": "2"}, {"r": ["x", "y"]}),
+        # No-op: identical maps (list order differences are set-equal).
+        (3, 1, {"a": "9"}, {"r": ["z", "y"]}, {"a": "9"}, {"r": ["y", "z"]}),
+        # Relationship key disappears entirely.
+        (4, 1, {"a": "9"}, {}, {"a": "9"}, {"r": ["y"]}),
+    ]
+    out = {
+        r.event_id: r
+        for r in entity_diff_columns(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert out[1].change_kind == "EntityCreated"
+    assert out[1].inserted_attrs == "a=1|b=2"
+    assert out[1].added_rels == "r:x,y"
+    assert out[1].deleted_rels == ""
+
+    assert out[2].change_kind == "EntityChanged"
+    assert out[2].inserted_attrs == "c=3"
+    assert out[2].changed_attrs == "a=9"
+    assert out[2].deleted_attrs == "b"
+    assert out[2].added_rels == "r:z"
+    assert out[2].deleted_rels == "r:x"
+
+    assert out[3].change_kind == "EntityUnchanged"
+    assert (out[3].inserted_attrs, out[3].changed_attrs, out[3].deleted_attrs,
+            out[3].added_rels, out[3].deleted_rels) == ("", "", "", "", "")
+
+    assert out[4].change_kind == "EntityChanged"
+    assert out[4].deleted_rels == "r:y"
+    assert out[4].added_rels == ""

@@ -120,6 +120,18 @@ def test_whole_stage_codegen_on_hot_aggregates(spark, sf_dir):
         assert "*(" in final, f"{name}: no WholeStageCodegen stage:\n{final}"
 
 
+def test_metadata_pruning_drops_payload_synthesis(plans):
+    """The metadata-only multimodal query must not execute the binary
+    payload synthesis UDF at all — column pruning has to remove the
+    unused payload column so the scan reads only (doc_id, n_chars)."""
+    plan = plans["multimodal_metadata_pruning"]
+    assert "ArrowEvalPython" not in plan, "payload UDF not pruned"
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all(
+        "text" not in l and "doc_id" in l for l in read_schemas
+    ), f"scan reads more than metadata: {read_schemas}"
+
+
 def test_set_operations_single_membership_pass(plans):
     """UNION/INTERSECT/EXCEPT counts over the same two key sets must
     come from ONE membership-flag aggregation, not three physical set
