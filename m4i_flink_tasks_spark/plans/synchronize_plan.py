@@ -11,10 +11,11 @@ synchronize_app_search.py:334-398, handle_deleted_relationships
 
 Here the whole micro-batch is **one dataflow**: events are split by
 type into branch plans, every per-doc point read becomes a join against
-the pre-batch store snapshot, descendant walks become ``array_contains``
-joins, and all branch outputs union into a single last-writer-wins
-collapse feeding one keyed merge (the Delta-MERGE contract of
-``streaming.store``).
+the pre-batch store snapshot, descendant walks become exploded-edge
+HASH joins (``_breadcrumb_referrers`` — not ``array_contains``
+theta-joins, which would plan as BroadcastNestedLoopJoin), and all
+branch outputs union into a single last-writer-wins collapse feeding
+one keyed merge (the Delta-MERGE contract of ``streaming.store``).
 
 Batch semantics (SURVEY §7.5 choice, documented): every branch reads
 the PRE-BATCH snapshot; effects of one event on another event's docs
@@ -108,6 +109,32 @@ def _exploded_relationships(msgs: DataFrame, field: str) -> DataFrame:
     )
 
 
+def _breadcrumb_referrers(
+    docs: DataFrame, keyed: DataFrame, key_col: str
+) -> DataFrame:
+    """Q2 descendant/referrer walk: docs whose ``breadcrumbguid``
+    contains ``keyed[key_col]``, joined with that key row's payload
+    columns (synchronize_app_search.py:101-115, :605-614).
+
+    Plan shape: explode the breadcrumb array into (doc guid, ancestor)
+    edge rows and HASH-join against the key set. The direct
+    ``array_contains`` theta-join can only execute as a
+    BroadcastNestedLoopJoin — |docs| x |keys| predicate evaluations
+    per batch, the real scale hazard of job 4. The exploded form is
+    O(|docs| x depth) with hash lookups, and is exactly the probe an
+    incrementally-maintained (ancestor_guid, doc_guid) edge table
+    bucketed by ancestor answers with partition pruning at 100 TB
+    (SCALE.md) — this helper is the single swap point for that table.
+    Breadcrumbs never repeat a guid (the G12 prefix-insert guards on
+    absence), so edge multiplicity equals array_contains multiplicity.
+    """
+    edges = docs.select(
+        "guid", F.explode("breadcrumbguid").alias(key_col)
+    )
+    matched = edges.join(F.broadcast(keyed), key_col)
+    return docs.join(matched, "guid")
+
+
 def _parent_child_links(edges: DataFrame) -> DataFrame:
     """Distinct (child_guid, parent_guid) pairs from classified edges."""
     return (
@@ -170,10 +197,7 @@ def synchronize_batch(
     renames = updates.filter(F.col("name").isNotNull()).select(
         F.col("guid").alias("renamed_guid"), F.col("name").alias("new_name")
     )
-    bc_referrers = docs.join(
-        F.broadcast(renames),
-        F.array_contains(F.col("breadcrumbguid"), F.col("renamed_guid")),
-    )
+    bc_referrers = _breadcrumb_referrers(docs, renames, "renamed_guid")
     bc_renamed = rename_in_breadcrumbs(
         bc_referrers, F.col("renamed_guid"), F.col("new_name")
     )
@@ -213,10 +237,7 @@ def synchronize_batch(
         ),
         "new_parentguid",
     )
-    desc_ins = docs.join(
-        F.broadcast(new_ancestors),
-        F.array_contains(F.col("breadcrumbguid"), F.col("child_guid")),
-    )
+    desc_ins = _breadcrumb_referrers(docs, new_ancestors, "child_guid")
     desc_ins = insert_breadcrumb_prefix(
         desc_ins, F.col("new_parentguid"), F.col("anc_name"), F.col("anc_type")
     )
@@ -245,9 +266,8 @@ def synchronize_batch(
 
     # Gov descendants get the updated doc's derived fields (G14,
     # synchronize_app_search.py:378-380).
-    desc_gov = docs.join(
-        F.broadcast(gov.select(F.col("guid").alias("_anc")).distinct()),
-        F.array_contains(F.col("breadcrumbguid"), F.col("_anc")),
+    desc_gov = _breadcrumb_referrers(
+        docs, gov.select(F.col("guid").alias("_anc")).distinct(), "_anc"
     )
     desc_gov = propagate_derived_fields(
         desc_gov.withColumn("ancestorguid", F.col("_anc")), gov_applied
@@ -311,9 +331,8 @@ def synchronize_batch(
         gov_del_docs, F.col("role_key"), F.col("person_guid")
     )
     branches.append(_as_doc_rows(gov_removed, 10))
-    desc_gov_del = docs.join(
-        F.broadcast(gov_del.select(F.col("guid").alias("_anc")).distinct()),
-        F.array_contains(F.col("breadcrumbguid"), F.col("_anc")),
+    desc_gov_del = _breadcrumb_referrers(
+        docs, gov_del.select(F.col("guid").alias("_anc")).distinct(), "_anc"
     )
     desc_gov_del = propagate_derived_fields(
         desc_gov_del.withColumn("ancestorguid", F.col("_anc")), gov_removed
@@ -338,9 +357,8 @@ def synchronize_batch(
     # Descendants of an orphaned child lose the removed ancestor prefix
     # (Q2 -> G13) and receive the orphaned child's post-G16 derived
     # fields (G14, synchronize_app_search.py:436-438).
-    desc_del = docs.join(
-        F.broadcast(del_links.select("child_guid", "new_parentguid")),
-        F.array_contains(F.col("breadcrumbguid"), F.col("child_guid")),
+    desc_del = _breadcrumb_referrers(
+        docs, del_links.select("child_guid", "new_parentguid"), "child_guid"
     )
     desc_del = delete_breadcrumb_prefix(desc_del, F.col("new_parentguid"))
     desc_del = propagate_derived_fields(

@@ -152,6 +152,44 @@ def test_grouping_sets_use_expand_not_replans(plans, name):
     assert n <= 2, f"{name}: {n} exchanges (expect agg + final sort)"
 
 
+def test_dispatcher_has_no_nested_loop_joins(spark):
+    """Every Q2 descendant/referrer walk in the job-4 dispatcher must
+    plan as an exploded-edge HASH join; an array_contains theta-join
+    becomes a BroadcastNestedLoopJoin evaluating |docs| x |keys|
+    predicates per micro-batch — the job's real scale hazard."""
+    from m4i_flink_tasks_spark.functions.hierarchy import supertype_closure_df
+    from m4i_flink_tasks_spark.plans import synchronize_batch
+
+    from .test_docstore import make_docs
+    from .test_synchronize_plan import _entity, _rel, make_messages
+
+    store = make_docs(
+        spark,
+        dict(guid="d1", typename="m4i_data_domain", name="D",
+             referenceablequalifiedname="qn://d1"),
+        dict(guid="e1", typename="m4i_data_entity", name="E",
+             referenceablequalifiedname="qn://e1", breadcrumbguid=["d1"],
+             breadcrumbname=["D"], breadcrumbtype=["m4i_data_domain"]),
+    )
+    msgs = make_messages(
+        spark,
+        dict(guid="d1", type_name="m4i_data_domain",
+             event_type="EntityAttributeAudit", changed_attributes=["name"],
+             new_value=_entity("d1", "m4i_data_domain", {"name": "DX"})),
+        dict(guid="d1", type_name="m4i_data_domain",
+             event_type="EntityRelationshipAudit",
+             inserted_relationships={"domainLead": [_rel("p7", "m4i_person")]}),
+        dict(guid="e1", type_name="m4i_data_entity",
+             event_type="EntityRelationshipAudit",
+             deleted_relationships={"parentDomain": [_rel("d1", "m4i_data_domain")]}),
+    )
+    ups, _dels = synchronize_batch(msgs, store, supertype_closure_df(spark))
+    tree = plan_of(ups).split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree, (
+        "descendant walk regressed to a nested-loop join"
+    )
+
+
 def test_entity_differ_batch_plan_is_jvm_native(spark, sf_dir):
     """The streaming entity differ's per-batch plan (entity_view ->
     window lag -> D1-D6 kernels) must be pure column expressions: no
