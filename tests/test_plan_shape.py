@@ -142,6 +142,17 @@ def test_set_operations_single_membership_pass(plans):
     assert n <= 5, f"set_operations regressed to {n} exchanges:\n{tree}"
 
 
+def test_asof_join_is_single_shuffle_union(plans):
+    """The as-of join must use the union-then-window trick: ONE shuffle
+    co-partitions both sides by key, no SortMergeJoin of the full
+    tables, no nested-loop range join."""
+    tree = plans["asof_join_orders_events"].split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "SortMergeJoin" not in tree
+    n = tree.count("Exchange")
+    assert n <= 2, f"asof join should shuffle once (+final sort), got {n}:\n{tree}"
+
+
 @pytest.mark.parametrize("name", ["rollup_order_totals", "cube_lineitem_stats"])
 def test_grouping_sets_use_expand_not_replans(plans, name):
     """ROLLUP/CUBE must be one Expand + one aggregate shuffle — not a
