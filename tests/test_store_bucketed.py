@@ -204,6 +204,50 @@ def test_current_for_keys_plans_only_touched_bucket_files(spark):
     assert all(full[k] == v for k, v in got.items())
 
 
+def test_random_op_sequences_match_dict_model(spark):
+    """The store is now load-bearing for every streaming sink, so pin
+    its semantics against the obvious model: any interleaving of
+    upserts, deletes, and insert-only appends (fresh keys) must leave
+    ``current()`` equal to a plain dict replay — across bucket counts
+    that force both multi-key buckets and compaction."""
+    import itertools
+    import random
+
+    rng = random.Random(20260813)
+    for trial, n_buckets in ((0, 2), (1, 3), (2, 8)):
+        root = tempfile.mkdtemp(prefix=f"m4i_bstore_model_{trial}_")
+        store = BucketedParquetUpsertStore(
+            spark, root, ["k"], n_buckets=n_buckets, max_segments=2
+        )
+        model: dict[int, str] = {}
+        fresh = itertools.count(1000)
+        for step in range(6):
+            op = rng.choice(["upsert", "delete", "append"])
+            if op == "append":
+                keys = [next(fresh) for _ in range(rng.randint(1, 4))]
+                rows = [(k, f"a{step}_{k}") for k in keys]
+                store.merge(_mk(spark, rows), batch_id=step, insert_only=True)
+                model.update(dict(rows))
+            elif op == "upsert":
+                keys = rng.sample(range(16), rng.randint(1, 4)) + (
+                    rng.sample(sorted(model), min(2, len(model))) if model else []
+                )
+                rows = [(k, f"u{step}_{k}") for k in set(keys)]
+                store.merge(_mk(spark, rows), batch_id=step)
+                model.update(dict(rows))
+            else:
+                keys = rng.sample(sorted(model), min(3, len(model))) if model else [99]
+                store.delete(
+                    spark.createDataFrame([(k,) for k in keys], "k long"),
+                    batch_id=step,
+                )
+                for k in keys:
+                    model.pop(k, None)
+        cur = store.current()
+        got = {} if cur is None else dict(map(tuple, cur.collect()))
+        assert got == model, f"trial {trial} (n_buckets={n_buckets}) diverged"
+
+
 def test_delete_emptied_bucket_leaves_pointer_map(spark):
     root = tempfile.mkdtemp(prefix="m4i_bstore_empty_")
     store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=2)
