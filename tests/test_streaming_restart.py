@@ -149,6 +149,43 @@ def test_determine_change_entities_mid_stream_restart(spark, sf_dir):
     assert sorted(map(tuple, second.collect())) == expected
 
 
+def test_synchronize_docs_mid_stream_restart(spark, sf_dir):
+    """Crash the doc-graph dispatcher mid-stream and restart: batch ids
+    recorded in the bucketed store plus checkpointed offsets must
+    reproduce the one-shot final store, across a different batch
+    split."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.synchronize_docs import (
+        run_synchronize_appsearch,
+    )
+    from m4i_flink_tasks_spark.streaming.sources import stage_events
+
+    def rows(df):
+        return sorted(map(str, (tuple(r) for r in df.collect())))
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_sync_ref_")
+    expected = rows(run_synchronize_appsearch(spark, sf_dir, wd_ref))
+
+    wd = tempfile.mkdtemp(prefix="m4i_sync_restart_")
+    staging = stage_events(spark, sf_dir, os.path.join(wd, "staging_events"), 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    hidden = tempfile.mkdtemp(prefix="m4i_sync_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    run_synchronize_appsearch(spark, sf_dir, wd)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    final = run_synchronize_appsearch(spark, sf_dir, wd)
+    assert rows(final) == expected
+
+
 def test_synchronize_docs_restart_is_noop(spark, sf_dir):
     """Restarting the doc-graph dispatcher pipeline against its
     checkpoint must neither re-run batches nor write a store version:
