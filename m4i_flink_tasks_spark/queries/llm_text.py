@@ -196,12 +196,103 @@ ORDER BY doc_id
 """
 
 
+def training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end selection pass a training-data pipeline runs over
+    a raw corpus, composed from the already-proven kernels in ONE
+    dataflow: near-duplicate removal (MinHash-LSH verified pairs — the
+    higher doc_id of each pair drops, keep-first survivorship), a
+    language gate (stopword lang_id != 'und'), a quality floor, and a
+    token-length band. One documents scan feeds the gates; the LSH
+    pipeline adds its banded candidate join (never O(n²)); the drop
+    set applies as a broadcast anti-join."""
+    from ..operators import dedup as D
+    from ..sources.tables import table_num_rows
+    from .llm_dedup import _JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = (
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD,
+            rows_hint=table_num_rows(sf_dir, "documents"),
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    scored = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return (
+        scored.join(F.broadcast(dupes), "doc_id", "left_anti")
+        .filter(
+            (F.col("predicted_lang") != "und")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(5, 1000)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _training_corpus_sql() -> str:
+    from .llm_dedup import _JACCARD_THRESHOLD, _PAIRS_SQL
+
+    return rf"""
+WITH pairs AS ({_PAIRS_SQL}),
+dupes AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+lang_scored AS (
+    SELECT doc_id, {_LANG_SCORE_SQL}
+    FROM documents
+), lang AS (
+    SELECT doc_id,
+           CASE
+               WHEN greatest(score_de, score_en, score_es) = 0 THEN 'und'
+               WHEN score_de >= score_en AND score_de >= score_es THEN 'de'
+               WHEN score_en >= score_es THEN 'en'
+               ELSE 'es'
+           END AS predicted_lang
+    FROM lang_scored
+), feat AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\s+')        AS toks,
+           string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+           length(text)                                  AS n_chars,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+), ratios AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(ltoks, t -> list_contains({_ALL_STOPWORDS_SQL}, t)))::DOUBLE
+               / greatest(len(ltoks), 1) AS sw_ratio,
+           len(list_distinct(ltoks))::DOUBLE / greatest(len(ltoks), 1) AS d_ratio,
+           n_punct::DOUBLE / greatest(n_chars, 1) AS p_ratio
+    FROM feat
+), qual AS (
+    SELECT doc_id, n_tokens,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * d_ratio
+               + 0.3 * least(sw_ratio * 5, 1.0)
+               - 0.2 * least(p_ratio * 10, 1.0), 6) AS quality
+    FROM ratios
+)
+SELECT lang.doc_id, lang.predicted_lang, qual.n_tokens, qual.quality
+FROM lang JOIN qual USING (doc_id)
+WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+  AND predicted_lang <> 'und'
+  AND quality >= 0.5
+  AND n_tokens BETWEEN 5 AND 1000
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "token_stats": token_stats,
     "language_id": language_id,
     "quality_scores": quality_scores,
     "document_fingerprints": document_fingerprints,
+    "training_corpus_filter": training_corpus_filter,
 }
 
 ORACLES = {
@@ -210,4 +301,5 @@ ORACLES = {
     "language_id": LANGUAGE_ID_SQL,
     "quality_scores": QUALITY_SQL,
     "document_fingerprints": FINGERPRINT_SQL,
+    "training_corpus_filter": _training_corpus_sql(),
 }
