@@ -199,15 +199,74 @@ LIMIT {_TOPK}
 """
 
 
+_MQ_MOD = 97
+_MQ_TOPK = 5
+
+
+def ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN — exact top-5 for a whole BATCH of query vectors in
+    one corpus scan: broadcast the query batch, cosine per (row, query)
+    pair inside codegen, per-query window top-k. This is the
+    serving/dedup shape (kNN for many embeddings at once); the scan
+    amortizes across queries, and at scale the broadcast batch is the
+    natural unit of query admission. Query set = vec_id % 97 == 0."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _MQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("query_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MQ_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_MULTI_QUERY_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS query_emb
+    FROM embeddings WHERE vec_id % {_MQ_MOD} = 0
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           round({_cosine_sql('e.embedding', 'q.query_emb')}, 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != q.query_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank
+FROM ranked WHERE rank <= {_MQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_probe": ann_ivf_probe,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroids": embedding_centroids,
+    "ann_multi_query_topk": ann_multi_query_topk,
 }
 
 ORACLES = {
+    "ann_multi_query_topk": ANN_MULTI_QUERY_SQL,
     "ann_brute_force_topk": ANN_BRUTE_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_probe": ANN_IVF_SQL,
