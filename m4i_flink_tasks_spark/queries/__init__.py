@@ -29,6 +29,7 @@ from . import (
     doc_maintenance,
     extended_relational,
     graph,
+    llm_corpus,
     llm_dedup,
     llm_multimodal,
     llm_similarity,
@@ -53,6 +54,7 @@ _MODULES = (
     llm_dedup,
     llm_similarity,
     llm_text,
+    llm_corpus,
     llm_multimodal,
 )
 
@@ -69,6 +71,16 @@ _MODULES = (
 # sliding_window_activity, ann_ivf_probe — each has a green driver row
 # recorded in CORRECTNESS_r01/r02 and stays pytest-pinned; see
 # COVERAGE.md rotation log).
+#
+# ROTATION (round 4): the r3 rotations were never judged (no
+# CORRECTNESS_r03 was recorded), so the r3 rotated-in rows STAY declared
+# until they get their first driver attestation. Six NEW rows rotate in
+# (the r4 corpus-curation family: repetition_metrics, corpus_token_stats,
+# corpus_sampling_splits, pii_scrub; plus the r3-built extras
+# ann_multi_query_topk and training_corpus_filter) and six rows with
+# green CORRECTNESS_r01/r02 attestations rotate out to extras
+# (delete_by_id, language_id, dedup_simhash, skew_salted_join,
+# direct_change_classifier, text_metrics — all stay pytest-pinned).
 DRIVER_QUERIES: tuple[str, ...] = (
     # relational engine proofs (flagship bench queries; rotated in r3:
     # q3/q6/top-N/rollup/cube/set-op/as-of forms)
@@ -81,9 +93,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "cube_lineitem_stats",
     "set_operations",
     "asof_join_orders_events",
-    # S13/P6 + skew handling
-    "direct_change_classifier",
-    "skew_salted_join",
     # CDC / diff kernels (P2-P4, P12-P14 merged; P5-P11; D1-D8; S3)
     "row_transform_suite",
     "attribute_diff",
@@ -93,7 +102,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # state-store queries (Q1-Q7, S5-S8)
     "state_store_lookups",
     "store_filter_scan",
-    "delete_by_id",
     # graph / hierarchy dimensions (G1, G4, S14)
     "type_hierarchy_ops",
     # doc-graph maintenance (G9-G25, D9)
@@ -121,16 +129,20 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "neardup_components",
-    # LLM-pipeline: similarity family (IVF probe rotated to extras in r3)
+    # LLM-pipeline: similarity family (IVF probe rotated to extras in r3;
+    # batched multi-query top-k rotated in r4)
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "embedding_neardup_pairs",
-    # LLM-pipeline: text analysis
-    "text_metrics",
-    "language_id",
+    "ann_multi_query_topk",
+    # LLM-pipeline: text analysis + corpus curation (r4 family)
     "document_fingerprints",
+    "training_corpus_filter",
+    "repetition_metrics",
+    "corpus_token_stats",
+    "corpus_sampling_splits",
+    "pii_scrub",
     # LLM-pipeline: multimodal plumbing
     "multimodal_features",
     "multimodal_frame_sampling",

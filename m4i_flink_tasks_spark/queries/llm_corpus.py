@@ -1,0 +1,431 @@
+"""Corpus-curation queries for large-scale training-data pipelines
+(north-star extension; no reference counterpart — the reference is a
+metadata-governance ETL, see SURVEY.md §2.6).
+
+Four capabilities a 100 TB pretraining-corpus pipeline runs between raw
+ingest and tokenization, all expressed so Catalyst keeps them at scan
+speed and every shuffle is a map-side-combinable aggregation:
+
+- ``repetition_metrics``  — Gopher-style per-document repetition signals
+  (duplicate-token fraction, top-bigram fraction, duplicate-bigram
+  fraction). The bigram counts go through ``explode`` + two hash
+  aggregations instead of per-row O(n²) array lambdas, so cost stays
+  linear in corpus size and partial aggregation absorbs hot documents.
+- ``corpus_token_stats``  — two-pass global statistics: a token
+  document-frequency dimension (pass 1) broadcast back onto the exploded
+  corpus (pass 2) to score each document's rare-token and
+  boilerplate-token fractions. The vocabulary dimension is tiny relative
+  to the corpus (Heaps' law: ~millions of rows at 100 TB, tens of MB)
+  so the second pass is a broadcast join — no corpus-sized shuffle.
+- ``corpus_sampling_splits`` — deterministic train/val/test assignment
+  and per-language stratified downsampling via the cross-engine
+  polynomial hash (operators/text.py), so the exact same rows are
+  selected on any cluster size, any partitioning, and in the DuckDB
+  oracle. Hash-gating replaces ``sampleBy`` because reproducibility is a
+  correctness requirement for training corpora (rerunning the pipeline
+  must yield the same split).
+- ``pii_scrub``           — email/phone redaction with per-document
+  redaction counts. Patterns restricted to syntax shared by Java regex
+  (Spark) and RE2 (DuckDB oracle). The PII payloads are synthesized
+  deterministically from ``doc_id`` because the generated testdata
+  contains none — the scrub expressions themselves are the real
+  operator.
+
+All metrics are ratios of exact integers (or fixed-precision rounds of
+them) so Spark and DuckDB agree bit-for-bit after round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..sources import load_table
+from ..sources.tables import table_num_rows
+
+# --------------------------------------------------------------------------
+# shared DuckDB fragments
+# --------------------------------------------------------------------------
+
+
+def _poly_hash_sql(expr: str) -> str:
+    """DuckDB form of operators.text.poly_hash over an arbitrary string
+    expression (same fold, same constants)."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        "(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate-token fraction,
+    top-bigram fraction (share of bigram occurrences taken by the most
+    frequent bigram), duplicate-bigram fraction (share of bigram
+    occurrences whose bigram occurs more than once).
+
+    Scale shape: the bigram counting is explode → groupBy(doc, bigram)
+    → groupBy(doc). Both aggregations are hash aggregates with map-side
+    partial combine, so a pathological document with one bigram repeated
+    10^6 times contributes one partial row per task, not a skewed
+    shuffle. The per-row alternative (array lambdas counting occurrences
+    inside each row) is O(n²) per document and dies on long documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.round(
+            1
+            - F.size(F.array_distinct("t"))
+            / F.greatest(F.size("t"), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    # Bigrams via index sequence; guarded so size<2 yields an empty
+    # array (sequence(1, 0) would count DOWN, not produce empty).
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "          i -> concat_ws(' ', t[i-1], t[i])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total_bg"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_bg"
+            ),
+            F.count("*").alias("distinct_bg"),
+        )
+    )
+    return (
+        base.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("total_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_bg") / F.col("total_bg"), F.lit(0.0)), 6
+            ).alias("dup_bigram_frac"),
+            F.coalesce(F.col("distinct_bg"), F.lit(0).cast("long")).alias(
+                "n_distinct_bigrams"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(1 - len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6)
+               AS dup_token_frac
+    FROM toks
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' ')
+           )) AS bigram
+    FROM toks
+), cnt AS (
+    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+), stats AS (
+    SELECT doc_id,
+           max(c) AS top_c,
+           sum(c) AS total_bg,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg,
+           count(*) AS distinct_bg
+    FROM cnt GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+       round(coalesce(top_c::DOUBLE / total_bg, 0), 6) AS top_bigram_frac,
+       round(coalesce(dup_bg::DOUBLE / total_bg, 0), 6) AS dup_bigram_frac,
+       coalesce(distinct_bg, 0) AS n_distinct_bigrams
+FROM base b LEFT JOIN stats USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus-global token statistics (two-pass: DF dimension → per-doc scores)
+# --------------------------------------------------------------------------
+
+_RARE_DF_MAX = 2  # token is "rare" if it appears in <= 2 documents
+
+
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token and boilerplate-token fractions against a
+    corpus-wide token document-frequency dimension.
+
+    Pass 1 builds ``(token, df)`` — distinct (doc, token) pairs then a
+    hash aggregate. Pass 2 explodes the corpus again and broadcast-joins
+    the dimension: the vocabulary is sublinear in corpus size (Heaps'
+    law), so at 100 TB it is still a few tens of MB and the join never
+    shuffles the corpus. "Common" = token present in >= half the corpus
+    documents (integer comparison df*2 >= n_docs: no float threshold to
+    disagree on across engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = table_num_rows(sf_dir, "documents")
+    if n_docs is None:  # non-local path: one count job, still exact
+        n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    return (
+        tok.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("token").alias("n_distinct_tokens"),
+            F.round(F.avg("df"), 6).alias("mean_token_df"),
+            F.round(
+                F.sum(
+                    F.when(F.col("df") <= _RARE_DF_MAX, 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("rare_token_frac"),
+            F.round(
+                F.sum(
+                    F.when(F.col("df") * 2 >= n_docs, 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("common_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_TOKEN_STATS_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents
+), dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT token) AS n_distinct_tokens,
+       round(sum(df)::DOUBLE / count(*), 6) AS mean_token_df,
+       round(sum(CASE WHEN df <= {_RARE_DF_MAX} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS rare_token_frac,
+       round(sum(CASE WHEN df * 2 >= n_docs THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS common_token_frac
+FROM tok JOIN dfreq USING (token), n
+GROUP BY doc_id, n_docs
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling + splits
+# --------------------------------------------------------------------------
+
+# Per-language keep-rate (percent). English is downsampled to rebalance
+# the mixture; German mildly; everything else kept. Literal map so the
+# identical CASE embeds in the oracle.
+_SAMPLE_RATES = {"en": 40, "de": 75}
+_DEFAULT_RATE = 100
+
+_TRAIN_UPPER = 80  # bucket < 80        -> train  (80%)
+_VAL_UPPER = 90    # 80 <= bucket < 90  -> val    (10%)
+#                   bucket >= 90        -> test   (10%)
+
+
+def corpus_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split assignment + stratified downsampling.
+
+    Both gates hash a salted key with the cross-engine polynomial hash:
+    the split bucket hashes ``split:<doc_id>`` and the sampling bucket
+    hashes ``sample:<lang>:<doc_id>`` — independent salts so sampling
+    does not bias the split. Hash-gating (not ``sampleBy``/rand) means
+    the selection is a pure function of the row: stable under
+    re-partitioning, re-runs, cluster resizes, and reproducible by the
+    SQL oracle. Narrow projection + filter only — no shuffle at all;
+    the orderBy exists solely for the deterministic driver hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split_bucket = T.poly_hash(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    sample_bucket = T.poly_hash(
+        F.concat(
+            F.lit("sample:"),
+            F.col("lang"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    ) % 100
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            split_bucket.alias("split_bucket"),
+            sample_bucket.alias("sample_bucket"),
+            rate.alias("keep_rate"),
+        )
+        .filter(F.col("sample_bucket") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "split_bucket",
+            "sample_bucket",
+            F.when(F.col("split_bucket") < _TRAIN_UPPER, "train")
+            .when(F.col("split_bucket") < _VAL_UPPER, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sampling_splits_sql() -> str:
+    rate_cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}"
+        for lang, r in sorted(_SAMPLE_RATES.items())
+    )
+    split_hash = _poly_hash_sql("'split:' || doc_id::VARCHAR")
+    sample_hash = _poly_hash_sql(
+        "'sample:' || lang || ':' || doc_id::VARCHAR"
+    )
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, lang, source,
+           {split_hash} % 100 AS split_bucket,
+           {sample_hash} % 100 AS sample_bucket,
+           CASE {rate_cases} ELSE {_DEFAULT_RATE} END AS keep_rate
+    FROM documents
+)
+SELECT doc_id, lang, source, split_bucket, sample_bucket,
+       CASE WHEN split_bucket < {_TRAIN_UPPER} THEN 'train'
+            WHEN split_bucket < {_VAL_UPPER} THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed
+WHERE sample_bucket < keep_rate
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (character
+# classes, bounded repetition, \b): no lookaround, no backreferences.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and phone numbers, reporting per-doc match counts.
+
+    The testdata corpus contains no PII, so deterministic payloads are
+    synthesized from ``doc_id`` (same trick as the multimodal query's
+    codec payloads) — the redaction expressions are the operator under
+    test and run entirely in whole-stage codegen. One scan, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin@mail"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org phone 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" done"),
+    )
+    return (
+        docs.select("doc_id", dirty.alias("dirty"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("dirty", F.lit(_EMAIL_RE), 0)).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("dirty", F.lit(_PHONE_RE), 0)).alias(
+                "n_phones"
+            ),
+            F.regexp_replace(
+                F.regexp_replace("dirty", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            ).alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR
+                || '@example.com or admin@mail' || (doc_id % 10)::VARCHAR
+                || '.org phone 555-'
+                || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+                || ' done' AS dirty
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(dirty, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(dirty, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(
+           regexp_replace(dirty, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text
+FROM dirty
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "repetition_metrics": repetition_metrics,
+    "corpus_token_stats": corpus_token_stats,
+    "corpus_sampling_splits": corpus_sampling_splits,
+    "pii_scrub": pii_scrub,
+}
+
+ORACLES = {
+    "repetition_metrics": REPETITION_SQL,
+    "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
+    "corpus_sampling_splits": _sampling_splits_sql(),
+    "pii_scrub": PII_SCRUB_SQL,
+}
