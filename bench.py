@@ -81,6 +81,16 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # Drain GC debt left by the previous query before timing this
+        # one. Without this, whichever query follows a broadcast/shuffle
+        #-heavy neighbor pays that neighbor's collection pauses: the r4
+        # postmortem measured top_orders_per_customer at 3.7x its
+        # isolated latency purely from suite position, and the inflated
+        # query MOVED when the order changed. An explicit System.gc()
+        # between measurements (never clearCache — persisted operator
+        # state is part of a query's honest steady state) makes each
+        # query's number its own.
+        spark.sparkContext._jvm.System.gc()
         per_run, n = [], 0
         for _ in range(3):
             start = time.perf_counter()
