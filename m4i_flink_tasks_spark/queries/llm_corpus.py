@@ -416,11 +416,100 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences by
+    contiguous prefix-sum binning: within each shard, a document's
+    sequence id is ``floor(exclusive_prefix_tokens / budget)`` — the
+    standard best-effort contiguous packing where a sequence may
+    overflow by at most one document (the tokenizer truncates the
+    straddler downstream).
+
+    Scale shape: the prefix sum is a window ordered by ``doc_id``
+    WITHIN each ``source`` shard, never a global order — a global
+    prefix sum would serialize onto one partition, while per-shard
+    packing keeps every shard's window independent (training sequences
+    don't need cross-shard order). At 100 TB, shard count (or a salted
+    sub-shard key) scales with the cluster; each window task streams
+    its shard once, already co-partitioned for the per-sequence
+    aggregate that follows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET
+        ).alias("seq_id"),
+    )
+    return (
+        assigned.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH sized AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+), assigned AS (
+    SELECT doc_id, source, n_tokens,
+           floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {_PACK_BUDGET})::BIGINT AS seq_id
+    FROM sized
+)
+SELECT source, seq_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM assigned
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
 QUERIES = {
     "repetition_metrics": repetition_metrics,
     "corpus_token_stats": corpus_token_stats,
     "corpus_sampling_splits": corpus_sampling_splits,
     "pii_scrub": pii_scrub,
+    "sequence_packing": sequence_packing,
 }
 
 ORACLES = {
@@ -428,4 +517,5 @@ ORACLES = {
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
     "corpus_sampling_splits": _sampling_splits_sql(),
     "pii_scrub": PII_SCRUB_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
 }
