@@ -467,6 +467,81 @@ ORDER BY signup_event_id, purchase_event_id
 """
 
 
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (streaming/corpus_ingest.py): documents
+    arrive in doc_id-ordered micro-batches; each batch is scored with
+    the batch family's exact expressions (lang ID, quality, fingerprint,
+    PII scrub), gated, and exact-deduplicated against every previously
+    accepted document via the fingerprint-keyed insert-only store —
+    keep-first survivorship across batches, O(batch) merge cost."""
+    from ..streaming.corpus_ingest import run_corpus_ingest
+
+    final = run_corpus_ingest(spark, sf_dir, _workdir("corpus_ingest"))
+    return final.orderBy("doc_id")
+
+
+def _stream_corpus_ingest_sql() -> str:
+    from .llm_corpus import _EMAIL_RE, _PHONE_RE
+    from .llm_text import _ALL_STOPWORDS_SQL, _LANG_SCORE_SQL
+
+    return rf"""
+WITH lang_scored AS (
+    SELECT doc_id, {_LANG_SCORE_SQL}
+    FROM documents
+), lang AS (
+    SELECT doc_id,
+           CASE
+               WHEN greatest(score_de, score_en, score_es) = 0 THEN 'und'
+               WHEN score_de >= score_en AND score_de >= score_es THEN 'de'
+               WHEN score_en >= score_es THEN 'en'
+               ELSE 'es'
+           END AS predicted_lang
+    FROM lang_scored
+), feat AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(text), '\s+')        AS toks,
+           string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+           length(text)                                  AS n_chars,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(0.4 * least(len(toks) / 50.0, 1.0)
+               + 0.3 * (len(list_distinct(ltoks))::DOUBLE / greatest(len(ltoks), 1))
+               + 0.3 * least((len(list_filter(ltoks,
+                     t -> list_contains({_ALL_STOPWORDS_SQL}, t)))::DOUBLE
+                     / greatest(len(ltoks), 1)) * 5, 1.0)
+               - 0.2 * least((n_punct::DOUBLE / greatest(n_chars, 1)) * 10, 1.0),
+               6) AS quality,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(toks,
+                       w -> list_reduce(
+                                list_prepend(0::BIGINT,
+                                    list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                                (acc, ch) -> (acc * 31 + ch) % 1000000007))),
+               (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS fingerprint,
+           regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text
+    FROM feat
+), kept AS (
+    SELECT s.doc_id, l.predicted_lang, s.n_tokens, s.quality,
+           s.fingerprint, s.scrubbed_text
+    FROM scored s JOIN lang l USING (doc_id)
+    WHERE l.predicted_lang <> 'und' AND s.quality >= 0.5
+), first AS (
+    SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY 1
+)
+SELECT k.doc_id, k.predicted_lang, k.n_tokens, k.quality,
+       k.fingerprint, k.scrubbed_text
+FROM kept k JOIN first USING (fingerprint, doc_id)
+ORDER BY doc_id
+"""
+
+
 def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G26+G27 relationship-audit branches through the REAL dispatcher
     (``plans.synchronize_plan.synchronize_batch``) in one deterministic
@@ -747,6 +822,7 @@ QUERIES = {
     "stream_windowed_aggregation": stream_windowed_aggregation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_interval_join": stream_interval_join,
+    "stream_corpus_ingest": stream_corpus_ingest,
 }
 
 ORACLES = {
@@ -761,4 +837,5 @@ ORACLES = {
     "stream_windowed_aggregation": WINDOWED_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
+    "stream_corpus_ingest": _stream_corpus_ingest_sql(),
 }

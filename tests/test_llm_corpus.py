@@ -208,3 +208,79 @@ def test_pii_patterns_scrub_and_count(spark):
     assert "555-12345" in by_id[2]["s"] and "<PHONE>" in by_id[2]["s"]
     assert by_id[3]["e"] == 0 and by_id[3]["p"] == 0
     assert by_id[3]["s"] == "clean text only"
+
+
+# --------------------------------------------------------------------------
+# property tests (hypothesis): packing + repetition laws
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_PROP_SETTINGS
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=24),
+    budget=st.integers(min_value=1, max_value=600),
+)
+def test_packing_laws(spark, sizes, budget):
+    """For any doc-size list and budget: every doc lands in exactly one
+    sequence, sequence ids are monotone in doc order, and a sequence's
+    token total minus its LAST doc never exceeds the budget (the
+    overflow-by-at-most-one-straddler contract). Cross-checked against
+    a driver-side reference fold."""
+    bins = _pack(spark, sizes, budget=budget)
+    assert len(bins) == len(sizes)
+    assert bins == sorted(bins)
+    # reference: exclusive prefix sum // budget
+    prefix, expect = 0, []
+    for n in sizes:
+        expect.append(prefix // budget)
+        prefix += n
+    assert bins == expect
+    # per-sequence totals: removing the straddler (last doc of the
+    # sequence) must leave <= budget tokens
+    from collections import defaultdict
+
+    per_seq = defaultdict(list)
+    for n, b in zip(sizes, bins):
+        per_seq[b].append(n)
+    for b, docs in per_seq.items():
+        assert sum(docs[:-1]) <= budget
+
+
+@_PROP_SETTINGS
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_repetition_matches_reference_fold(spark, words):
+    """dup_token_frac and top_bigram_frac agree with a plain-Python
+    reference on arbitrary word sequences (incl. empty and 1-token)."""
+    text = " ".join(words)
+    got = _repetition_over(spark, [(1, text, "en", "s")])[1]
+    toks = text.strip().lower().split() if text.strip() else [""]
+    # Spark's split('', '\\s+') yields [''] — mirror that
+    assert got["n_tokens"] == len(toks)
+    assert got["dup_token_frac"] == pytest.approx(
+        1 - len(set(toks)) / max(len(toks), 1), abs=1e-6
+    )
+    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if bigrams:
+        from collections import Counter
+
+        top = Counter(bigrams).most_common(1)[0][1]
+        assert got["top_bigram_frac"] == pytest.approx(
+            top / len(bigrams), abs=1e-6
+        )
+    else:
+        assert got["top_bigram_frac"] == 0.0

@@ -208,3 +208,44 @@ def test_synchronize_docs_restart_is_noop(spark, sf_dir):
         [d for d in os.listdir(store_root) if d.startswith("v")]
     )
     assert versions_second == versions_first
+
+
+def test_corpus_ingest_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming corpus curation mid-stream and restart: the
+    fingerprint-keyed insert-only store plus checkpointed offsets must
+    reproduce the one-shot accepted corpus — including keep-first
+    dedup decisions that now straddle the crash point (a duplicate
+    arriving after the restart must still lose to a pre-crash
+    acceptance)."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.corpus_ingest import (
+        run_corpus_ingest,
+        stage_documents,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_ci_ref_")
+    expected = sorted(
+        map(tuple, run_corpus_ingest(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_ci_restart_")
+    staging = stage_documents(spark, sf_dir, os.path.join(wd, "staging_docs"), 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_ci_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_corpus_ingest(spark, sf_dir, wd)
+    n_first = first.count()
+    assert 0 < n_first < len(expected)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_corpus_ingest(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
