@@ -303,8 +303,97 @@ ORDER BY event_type
 """
 
 
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem x broadcast part dimension with a
+    conditional aggregate — the class-share-of-revenue pattern. The
+    part dimension broadcasts (SF x 2k rows; at 100 TB still a dim
+    table), so the fact table joins map-side and the only shuffle is
+    the month hash-aggregate, partial-combined per task."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0)),
+                2,
+            ).alias("economy_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p_type = 'ECONOMY'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2)                          AS economy_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)         AS total_revenue,
+       count(*)                                                  AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+ORDER BY ship_month
+"""
+
+
+def discounted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column predicates spanning the
+    fact and the broadcast dimension. The per-side conjuncts
+    (p_size/p_brand; l_quantity/l_discount) are pushable into their
+    respective scans before the join; only rows surviving BOTH local
+    prunes reach the OR evaluation."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 50)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_discount").between(0.02, 0.08)
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+DISCOUNTED_PART_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 5 AND 50)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+       AND l_discount BETWEEN 0.02 AND 0.08)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "set_operations": set_operations,
+    "promo_revenue_by_month": promo_revenue_by_month,
+    "discounted_part_revenue": discounted_part_revenue,
     "rollup_order_totals": rollup_order_totals,
     "cube_lineitem_stats": cube_lineitem_stats,
     "direct_change_classifier": direct_change_classifier,
@@ -314,6 +403,8 @@ QUERIES = {
 
 ORACLES = {
     "set_operations": SET_OPERATIONS_SQL,
+    "promo_revenue_by_month": PROMO_REVENUE_SQL,
+    "discounted_part_revenue": DISCOUNTED_PART_SQL,
     "rollup_order_totals": ROLLUP_SQL,
     "cube_lineitem_stats": CUBE_SQL,
     "direct_change_classifier": DIRECT_CHANGE_SQL,
