@@ -104,6 +104,31 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def word_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) of the document's word distribution — the
+    perplexity-proxy quality signal (low entropy = repetitive/templated
+    text, the shape n-gram-LM filters would down-weight).
+
+    Expression-native on purpose: per-row ``filter``-count over the
+    distinct-token array is O(tokens x distinct) INSIDE codegen, so the
+    whole corpus scores in one scan with no explode/shuffle — at 100 TB
+    that beats an explode + groupBy(doc, word) shuffle of every token
+    by orders of magnitude for typical document lengths.
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    dist = F.array_sort(F.array_distinct(toks))
+    probs = F.transform(
+        dist,
+        lambda d: F.size(F.filter(toks, lambda t: t == d)) / n,
+    )
+    return -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: rolling hash over per-token polynomial
     hashes — order-sensitive, whitespace-normalized."""

@@ -30,6 +30,7 @@ from . import (
     extended_relational,
     graph,
     llm_corpus,
+    llm_decontam,
     llm_dedup,
     llm_multimodal,
     llm_similarity,
@@ -55,6 +56,7 @@ _MODULES = (
     llm_similarity,
     llm_text,
     llm_corpus,
+    llm_decontam,
     llm_multimodal,
 )
 

@@ -256,6 +256,154 @@ ORDER BY query_id, rank
 """
 
 
+_HN_TOPK = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector
+    (vec_id % 97 == 0), the top-5 most-similar vectors with a DIFFERENT
+    label — the mining step that builds contrastive pairs for embedding
+    training. Same amortized-scan shape as ``ann_multi_query_topk``
+    (broadcast query batch, one corpus scan, per-query window top-k);
+    the label predicate rides inside the scan so codegen filters
+    positives before scoring ranks."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _MQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_emb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(S.cosine(F.col("embedding"), F.col("query_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label, embedding AS query_emb
+    FROM embeddings WHERE vec_id % {_MQ_MOD} = 0
+), scored AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           round({_cosine_sql('e.embedding', 'q.query_emb')}, 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.label != q.query_label
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, cosine_sim, rank
+FROM ranked WHERE rank <= {_HN_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's iteration of k-means over the embedding corpus —
+    the IVF coarse-quantizer TRAINING step (``embedding_centroids``
+    builds the codebook; this reassigns). Starting from the given
+    ``label`` assignment: compute per-label centroids (one map-side
+    partial aggregate), broadcast all k centroids, reassign every
+    vector to its max-cosine centroid inside codegen, and emit the
+    (old_label, new_label, n_vectors) movement matrix.
+
+    At 100 TB this iterates to convergence as repeated single scans —
+    centroids are always k x dim doubles (broadcastable by
+    construction), so no iteration shuffles the corpus; the oracle
+    pins one unrolled iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    cents = (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
+                    f"s{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.array(
+                *[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]
+            ).alias("centroid"),
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            S.cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max_by(
+                "c_label", F.struct(F.col("sim"), (-F.col("c_label")))
+            ).alias("new_label")
+        )
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").alias("old_label"), F.col("new_label")
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("old_label", "new_label")
+    )
+
+
+_KM_CENT_COLS = ", ".join(
+    f"sum(embedding[{i + 1}]::DOUBLE) / count(*) AS c{i}" for i in range(64)
+)
+_KM_DOT = " + ".join(f"c{i} * e.embedding[{i + 1}]::DOUBLE" for i in range(64))
+_KM_NORM_C = " + ".join(f"c{i} * c{i}" for i in range(64))
+_KM_NORM_E = " + ".join(
+    f"e.embedding[{i + 1}]::DOUBLE * e.embedding[{i + 1}]::DOUBLE"
+    for i in range(64)
+)
+
+KMEANS_REFINE_SQL = f"""
+WITH cent AS (
+    SELECT label AS c_label, {_KM_CENT_COLS}
+    FROM embeddings GROUP BY label
+), scored AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           ({_KM_DOT}) / (sqrt({_KM_NORM_C}) * sqrt({_KM_NORM_E})) AS sim
+    FROM embeddings e, cent c
+), assigned AS (
+    SELECT vec_id, label, c_label AS new_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, c_label) AS rn
+    FROM scored
+)
+SELECT label AS old_label, new_label, count(*) AS n_vectors
+FROM assigned
+WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY old_label, new_label
+"""
+
+
 QUERIES = {
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -263,9 +411,13 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_centroids": embedding_centroids,
     "ann_multi_query_topk": ann_multi_query_topk,
+    "hard_negative_mining": hard_negative_mining,
+    "kmeans_refine": kmeans_refine,
 }
 
 ORACLES = {
+    "hard_negative_mining": HARD_NEGATIVE_SQL,
+    "kmeans_refine": KMEANS_REFINE_SQL,
     "ann_multi_query_topk": ANN_MULTI_QUERY_SQL,
     "ann_brute_force_topk": ANN_BRUTE_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_TIMESTAMP_CONF_READY: set[str] = set()
+
 TABLES = (
     "region",
     "nation",
@@ -25,6 +27,20 @@ TABLES = (
 )
 
 
+def _ensure_timestamp_conf(spark: SparkSession) -> None:
+    """Once-per-session assertion of the parquet timestamp semantics
+    foreign sessions need (sessions from ``session.get_spark`` already
+    carry both in their builder config). Keyed by application id so
+    repeated ``load_table`` calls are conf-read-free and the session's
+    scan semantics cannot silently flip mid-run."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _TIMESTAMP_CONF_READY:
+        return
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _TIMESTAMP_CONF_READY.add(app_id)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Plain ``spark.read.parquet`` so Catalyst
     keeps pushdown/pruning; no caching here — callers decide lifetime.
@@ -35,23 +51,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as TIMESTAMP_NTZ by default — a type ``unix_millis`` and friends
     reject. Sessions built by ``session.get_spark`` already disable NTZ
     inference in the builder, next to the UTC session-timezone pin the
-    correctness argument depends on; the runtime ``conf.set`` below
-    re-asserts the same values ONLY so FOREIGN sessions work too (the
-    driver harness builds its own plain SparkSession and calls straight
-    into ``queries()``). Plain TIMESTAMP keeps filter pushdown intact —
-    a post-read ``cast`` would sit between the scan and every timestamp
-    predicate. The legacy nanos branch handles older testdata
-    generations where ``events.ts`` was a nanosecond timestamp
-    (PARQUET_TYPE_ILLEGAL unless read as long).
+    correctness argument depends on; ``_ensure_timestamp_conf`` asserts
+    the same values ONCE per session ONLY so FOREIGN sessions work too
+    (the driver harness builds its own plain SparkSession and calls
+    straight into ``queries()``) — not as a hidden per-call side effect.
+    Plain TIMESTAMP keeps filter pushdown intact — a post-read ``cast``
+    would sit between the scan and every timestamp predicate. The
+    legacy nanos branch handles older testdata generations where
+    ``events.ts`` was a nanosecond timestamp (PARQUET_TYPE_ILLEGAL
+    unless read as long).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _ensure_timestamp_conf(spark)
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
