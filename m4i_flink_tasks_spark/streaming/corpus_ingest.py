@@ -95,6 +95,31 @@ def curate_batch(batch: DataFrame) -> DataFrame:
     return kept.join(first, ["fingerprint", "doc_id"])
 
 
+def ingest_batch(
+    store: BucketedParquetUpsertStore, batch: DataFrame, batch_id: int
+) -> None:
+    """Curate one micro-batch and merge it keep-first into the store.
+
+    Cross-batch keep-first is enforced HERE, not assumed: a fingerprint
+    already accepted in a previous batch is anti-joined away against
+    the store's touched buckets before the ``insert_only`` append —
+    ``insert_only``'s contract requires batch keys to be new, and
+    re-arriving content is exactly the case a dedup sink exists for.
+    The screen is a bucket-pruned READ (``current_for_keys``), so the
+    merge stays O(batch + touched-bucket reads) with no store rewrite —
+    the Delta equivalent is ``MERGE … WHEN NOT MATCHED THEN INSERT``.
+    Files arrive in doc_id order, so "first" is also the lowest doc_id
+    globally, which is what the DuckDB oracle reproduces.
+    """
+    fresh = curate_batch(batch)
+    existing = store.current_for_keys(fresh.select("fingerprint"))
+    if existing is not None:
+        fresh = fresh.join(
+            existing.select("fingerprint"), "fingerprint", "left_anti"
+        )
+    store.merge(fresh, batch_id=batch_id, insert_only=True)
+
+
 def run_corpus_ingest(
     spark: SparkSession,
     sf_dir: str,
@@ -113,11 +138,7 @@ def run_corpus_ingest(
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        # insert_only: a fingerprint already accepted in a previous
-        # batch wins — cross-batch keep-first. Files arrive in doc_id
-        # order, so "first" is also the lowest doc_id globally, which
-        # is what the DuckDB oracle reproduces.
-        store.merge(curate_batch(batch), batch_id=batch_id, insert_only=True)
+        ingest_batch(store, batch, batch_id)
 
     reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
     if max_files_per_trigger is not None:

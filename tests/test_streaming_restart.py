@@ -210,6 +210,44 @@ def test_synchronize_docs_restart_is_noop(spark, sf_dir):
     assert versions_second == versions_first
 
 
+def test_corpus_ingest_keep_first_across_batches(spark):
+    """A duplicate text body arriving in a LATER batch must lose to the
+    first acceptance (and must not violate the insert-only store's
+    key-uniqueness invariant by appending a second row for the same
+    fingerprint). The driver corpus happens to contain no cross-batch
+    duplicates, so this pins the code path with synthetic ones."""
+    from m4i_flink_tasks_spark.streaming.corpus_ingest import (
+        DOC_STREAM_SCHEMA,
+        ingest_batch,
+    )
+    from m4i_flink_tasks_spark.streaming.store import (
+        BucketedParquetUpsertStore,
+    )
+
+    dup = "the cat and the dog of the house is to be good here"
+    other = "the red fox and the old owl of the barn is to be wise now"
+    store = BucketedParquetUpsertStore(
+        spark,
+        tempfile.mkdtemp(prefix="m4i_ci_keepfirst_"),
+        key_cols=["fingerprint"],
+    )
+    b1 = spark.createDataFrame(
+        [(1, dup, "en", "s0", len(dup))], DOC_STREAM_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(2, dup, "en", "s0", len(dup)), (3, other, "en", "s1", len(other))],
+        DOC_STREAM_SCHEMA,
+    )
+    ingest_batch(store, b1, 0)
+    ingest_batch(store, b2, 1)
+    rows = store.current().select("doc_id", "fingerprint").collect()
+    by_fp: dict[int, list[int]] = {}
+    for r in rows:
+        by_fp.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    assert all(len(ids) == 1 for ids in by_fp.values()), by_fp
+    assert sorted(d for ids in by_fp.values() for d in ids) == [1, 3]
+
+
 def test_corpus_ingest_mid_stream_restart(spark, sf_dir):
     """Kill the streaming corpus curation mid-stream and restart: the
     fingerprint-keyed insert-only store plus checkpointed offsets must
