@@ -173,19 +173,15 @@ def signature_partitions(df: DataFrame, rows_hint: int | None = None) -> int:
     return min(width, ideal)
 
 
-def ngram_jaccard_pairs(
+def minhash_frame(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.5,
     rows_hint: int | None = None,
 ) -> DataFrame:
-    """All-pairs near-dup by n-gram Jaccard, LSH-accelerated.
-
-    Candidates come from MinHash band buckets (no O(n²) cross join);
-    each candidate pair is verified with exact Jaccard. At 100 TB the
-    band-bucket shuffle is the only wide operation.
+    """``(doc_id, sh, bands)`` for every doc with at least one shingle —
+    the shared signature stage of batch AND streaming near-dedup.
 
     The signature kernel runs as ONE Arrow-batched pandas UDF rather
     than nested transform/aggregate lambdas: Catalyst evaluates
@@ -201,12 +197,31 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"sh": sh, "bands": band_keys})
 
     n_parts = signature_partitions(df, rows_hint=rows_hint)
-    sh = (
+    return (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .repartition(n_parts, "doc_id")
         .select("doc_id", minhash_udf(F.col("_text")).alias("mh"))
         .select("doc_id", F.col("mh.sh").alias("sh"), F.col("mh.bands").alias("bands"))
         .filter(F.size("sh") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """All-pairs near-dup by n-gram Jaccard, LSH-accelerated.
+
+    Candidates come from MinHash band buckets (no O(n²) cross join);
+    each candidate pair is verified with exact Jaccard. At 100 TB the
+    band-bucket shuffle is the only wide operation.
+    """
+    sh = (
+        minhash_frame(df, id_col, text_col, n=n, rows_hint=rows_hint)
         # Both the band join and the verify join read the signatures;
         # persist so the UDF kernel runs once (signatures are ~1% the
         # size of the text, so the cache is cheap at scale — the cluster

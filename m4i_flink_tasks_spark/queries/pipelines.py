@@ -542,6 +542,40 @@ ORDER BY doc_id
 """
 
 
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dedup (streaming/near_dedup.py):
+    documents arrive in doc_id-ordered micro-batches; each batch's docs
+    are dropped iff a verified 3-gram-Jaccard >= 0.5 pair exists against
+    ANY earlier-seen doc (band-index + signature state, bucket-pruned
+    reads) or a lower-id doc of the same batch — the batch operator's
+    keep-first rule, evaluated incrementally."""
+    from ..streaming.near_dedup import run_stream_near_dedup
+
+    final = run_stream_near_dedup(spark, sf_dir, _workdir("near_dedup"))
+    return final.orderBy("doc_id")
+
+
+def _stream_near_dedup_sql() -> str:
+    from .llm_dedup import _PAIRS_SQL
+
+    return rf"""
+WITH pairs AS ({_PAIRS_SQL}),
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           len(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS n_shingles
+    FROM toks
+)
+SELECT doc_id, n_shingles
+FROM sh
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+ORDER BY doc_id
+"""
+
+
 def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G26+G27 relationship-audit branches through the REAL dispatcher
     (``plans.synchronize_plan.synchronize_batch``) in one deterministic
@@ -823,6 +857,7 @@ QUERIES = {
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_interval_join": stream_interval_join,
     "stream_corpus_ingest": stream_corpus_ingest,
+    "stream_near_dedup": stream_near_dedup,
 }
 
 ORACLES = {
@@ -838,4 +873,5 @@ ORACLES = {
     "stream_dedup_within_watermark": STREAM_DEDUP_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "stream_corpus_ingest": _stream_corpus_ingest_sql(),
+    "stream_near_dedup": _stream_near_dedup_sql(),
 }

@@ -248,6 +248,45 @@ def test_corpus_ingest_keep_first_across_batches(spark):
     assert sorted(d for ids in by_fp.values() for d in ids) == [1, 3]
 
 
+def test_near_dedup_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming near-dedup mid-stream and restart: band-index,
+    signature and accepted stores plus checkpointed offsets must
+    reproduce the one-shot survivor set — including near-dup drops
+    whose earlier half was seen before the crash."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.corpus_ingest import stage_documents
+    from m4i_flink_tasks_spark.streaming.near_dedup import (
+        run_stream_near_dedup,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_nd_ref_")
+    expected = sorted(
+        map(tuple, run_stream_near_dedup(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_nd_restart_")
+    staging = stage_documents(spark, sf_dir, os.path.join(wd, "staging_docs"), 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_nd_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_near_dedup(spark, sf_dir, wd)
+    n_first = first.count()
+    assert 0 < n_first < len(expected)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_near_dedup(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
+
+
 def test_corpus_ingest_mid_stream_restart(spark, sf_dir):
     """Kill the streaming corpus curation mid-stream and restart: the
     fingerprint-keyed insert-only store plus checkpointed offsets must
