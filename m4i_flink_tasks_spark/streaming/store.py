@@ -212,6 +212,9 @@ class BucketedParquetUpsertStore:
     def _pointer(self) -> str:
         return os.path.join(self.root, "_CURRENT")
 
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.root, f"_SNAP.v{version:06d}.json")
+
     def _state(self) -> dict | None:
         try:
             with open(self._pointer, encoding="utf-8") as fh:
@@ -239,6 +242,16 @@ class BucketedParquetUpsertStore:
         self, buckets: dict[str, int], version: int, batch_id: int | None
     ) -> None:
         state = {"version": version, "batch_id": batch_id, "buckets": buckets}
+        # Immutable per-version snapshot BEFORE the pointer swap (the
+        # Delta transaction-log shape: one JSON per commit). A crash
+        # between the two writes leaves a snapshot whose version is
+        # ahead of the pointer — history()/read_version() filter to
+        # versions <= the pointer, so uncommitted snapshots are
+        # invisible and the next commit simply overwrites.
+        snap_tmp = f"{self._snap_path(version)}.tmp.{os.getpid()}"
+        with open(snap_tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        os.replace(snap_tmp, self._snap_path(version))
         tmp = f"{self._pointer}.tmp.{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(state, fh)
@@ -250,6 +263,9 @@ class BucketedParquetUpsertStore:
         state = self._state()
         if state is None:
             return None
+        return self._state_df(state)
+
+    def _state_df(self, state: dict) -> DataFrame | None:
         paths = [
             self._bucket_path(v, int(b))
             for b, versions in state["buckets"].items()
@@ -258,6 +274,79 @@ class BucketedParquetUpsertStore:
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    # -- time travel (the Delta DESCRIBE HISTORY / VERSION AS OF /
+    # VACUUM trio over the same snapshot-per-commit log) ---------------
+    def history(self) -> list[dict]:
+        """Committed versions, oldest first: ``{version, batch_id}`` —
+        ``DESCRIBE HISTORY``. Only snapshots at or below the current
+        pointer count (a crash can leave one uncommitted snapshot
+        ahead of it); vacuumed versions disappear."""
+        state = self._state()
+        if state is None:
+            return []
+        entries = []
+        for name in sorted(os.listdir(self.root)):
+            if not (name.startswith("_SNAP.v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.root, name), encoding="utf-8") as fh:
+                snap = json.load(fh)
+            if snap["version"] <= state["version"]:
+                entries.append(
+                    {"version": snap["version"], "batch_id": snap["batch_id"]}
+                )
+        return entries
+
+    def read_version(self, version: int) -> DataFrame | None:
+        """The store as of a committed version — ``VERSION AS OF``.
+        Raises KeyError for uncommitted or vacuumed versions."""
+        state = self._state()
+        if state is None or version > state["version"]:
+            raise KeyError(f"version {version} is not committed")
+        try:
+            with open(self._snap_path(version), encoding="utf-8") as fh:
+                snap = json.load(fh)
+        except FileNotFoundError:
+            raise KeyError(
+                f"version {version} was vacuumed (or never existed)"
+            ) from None
+        return self._state_df(snap)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop history older than the last ``keep_last`` committed
+        versions and delete version directories no retained snapshot
+        references — storage stays bounded while recent time travel
+        keeps working. Segment dirs still referenced by the CURRENT
+        bucket map are always kept (untouched buckets point at old
+        versions indefinitely — that is the design, not garbage).
+        Returns the vacuumed version numbers."""
+        import shutil
+
+        state = self._state()
+        if state is None:
+            return []
+        history = self.history()
+        retained = history[max(len(history) - keep_last, 0):]
+        retained_versions = {h["version"] for h in retained}
+        referenced: set[int] = set()
+        for h in retained:
+            with open(self._snap_path(h["version"]), encoding="utf-8") as fh:
+                snap = json.load(fh)
+            for versions in snap["buckets"].values():
+                referenced.update(int(v) for v in versions)
+        for versions in state["buckets"].values():
+            referenced.update(int(v) for v in versions)
+        dropped = []
+        for h in history:
+            if h["version"] not in retained_versions:
+                os.remove(self._snap_path(h["version"]))
+                dropped.append(h["version"])
+        for name in os.listdir(self.root):
+            if name.startswith("v") and name[1:].isdigit():
+                v = int(name[1:])
+                if v not in referenced and v <= state["version"]:
+                    shutil.rmtree(os.path.join(self.root, name))
+        return dropped
 
     def current_for_keys(self, keys: DataFrame) -> DataFrame | None:
         """Snapshot restricted to the buckets containing ``keys``'

@@ -255,3 +255,61 @@ def test_delete_emptied_bucket_leaves_pointer_map(spark):
     store.delete(spark.createDataFrame([(1,), (2,)], "k long"))
     cur = store.current()
     assert cur is None or cur.count() == 0
+
+
+def test_time_travel_reads_committed_versions(spark):
+    root = tempfile.mkdtemp(prefix="m4i_bstore_tt_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=4)
+    store.merge(_mk(spark, [(1, "a"), (2, "b")]), batch_id=0)
+    store.merge(_mk(spark, [(2, "B"), (3, "c")]), batch_id=1)
+    store.merge(_mk(spark, [(1, "A2")]), batch_id=2)
+
+    hist = store.history()
+    assert [h["batch_id"] for h in hist] == [0, 1, 2]
+    v0, v1, v2 = (h["version"] for h in hist)
+    assert sorted(map(tuple, store.read_version(v0).collect())) == [
+        (1, "a"), (2, "b")]
+    assert sorted(map(tuple, store.read_version(v1).collect())) == [
+        (1, "a"), (2, "B"), (3, "c")]
+    assert sorted(map(tuple, store.read_version(v2).collect())) == _rows(store)
+
+    import pytest
+    with pytest.raises(KeyError):
+        store.read_version(v2 + 1)  # never committed
+
+
+def test_vacuum_bounds_history_but_keeps_referenced_segments(spark):
+    root = tempfile.mkdtemp(prefix="m4i_bstore_vac_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=4)
+    # keys chosen so the second merge touches a strict subset of buckets:
+    store.merge(_mk(spark, [(k, f"v{k}") for k in range(8)]), batch_id=0)
+    before = _rows(store)
+    store.merge(_mk(spark, [(0, "V0")]), batch_id=1)
+    expected = [(0, "V0")] + [t for t in before if t[0] != 0]
+
+    hist = store.history()
+    dropped = store.vacuum(keep_last=1)
+    assert dropped == [hist[0]["version"]]
+    # old version unreadable, current intact INCLUDING untouched buckets
+    import pytest
+    with pytest.raises(KeyError):
+        store.read_version(hist[0]["version"])
+    assert _rows(store) == sorted(expected)
+    assert [h["version"] for h in store.history()] == [hist[1]["version"]]
+    # the v0 version dir must SURVIVE the vacuum: untouched buckets of
+    # the current map still point into it
+    assert os.path.isdir(os.path.join(root, f"v{hist[0]['version']:06d}"))
+
+
+def test_vacuum_removes_fully_unreferenced_version_dirs(spark):
+    root = tempfile.mkdtemp(prefix="m4i_bstore_vac2_")
+    store = BucketedParquetUpsertStore(spark, root, ["k"], n_buckets=2)
+    store.merge(_mk(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), batch_id=0)
+    # rewrite EVERY bucket so version 0's segments become unreferenced
+    store.merge(_mk(spark, [(1, "A"), (2, "B"), (3, "C"), (4, "D")]), batch_id=1)
+    hist = store.history()
+    v_old = hist[0]["version"]
+    assert os.path.isdir(os.path.join(root, f"v{v_old:06d}"))
+    store.vacuum(keep_last=1)
+    assert not os.path.isdir(os.path.join(root, f"v{v_old:06d}"))
+    assert _rows(store) == [(1, "A"), (2, "B"), (3, "C"), (4, "D")]
