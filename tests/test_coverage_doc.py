@@ -68,6 +68,8 @@ def test_documented_query_names_exist():
             "array_intersect",
             "max_by",
             "schema",
+            "word_entropy",
+            "pandas_udf",
         }
     }
     assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"
