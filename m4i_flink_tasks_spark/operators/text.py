@@ -49,6 +49,25 @@ def poly_hash(s: Column) -> Column:
     )
 
 
+# Knuth's multiplicative constant (TAOCP vol. 3 §6.4): the finisher for
+# scrambled_hash below.
+MIX_MULT = 2_654_435_761
+
+
+def scrambled_hash(s: Column) -> Column:
+    """poly_hash with a multiplicative finisher, for uses that need
+    DISPERSION rather than mere determinism (k-min sketches, mod-gate
+    sampling). poly_hash of sequential keys is locally linear —
+    ``hash('kmv:1204') == hash('kmv:1203') + 1`` for same-length ids —
+    so its k smallest values cluster and an order-statistics estimator
+    built on them is badly biased. Multiplying by a large odd constant
+    mod the prime sends unit steps to ``MIX_MULT mod M`` steps, an
+    equidistributed progression over the ring, while staying exact
+    BIGINT arithmetic the DuckDB oracle reproduces token-for-token
+    (max intermediate ≈ 2.7e18 < 2^63)."""
+    return (poly_hash(s) * MIX_MULT) % HASH_MOD
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 

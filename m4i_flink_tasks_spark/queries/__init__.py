@@ -37,6 +37,7 @@ from . import (
     llm_text,
     pipelines,
     relational,
+    sketches,
     state_store,
     streaming_like,
 )
@@ -58,6 +59,7 @@ _MODULES = (
     llm_corpus,
     llm_decontam,
     llm_multimodal,
+    sketches,
 )
 
 # The declared driver surface: every SURVEY §2 operator family has exactly

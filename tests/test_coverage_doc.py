@@ -70,6 +70,9 @@ def test_documented_query_names_exist():
             "schema",
             "word_entropy",
             "pandas_udf",
+            "percentile",
+            "percentile_approx",
+            "quantile_cont",
         }
     }
     assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"

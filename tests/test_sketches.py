@@ -1,0 +1,154 @@
+"""Statistical and structural properties of the sketch queries —
+the oracle-parity gate pins determinism; these pin that the sketches
+actually estimate what they claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from m4i_flink_tasks_spark.operators import text as T
+from m4i_flink_tasks_spark.queries import sketches
+from m4i_flink_tasks_spark.sources import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_kmv_estimate_within_theory_bound(spark):
+    """KMV with k=64 has relative standard error ~1/sqrt(k) = 12.5%;
+    every group must land within 3 sigma of exact."""
+    rows = sketches.approx_distinct_kmv(spark, SF01).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.rel_error_pct) < 37.5, r
+        # the reported error column must agree with its own inputs
+        recomputed = (
+            (r.est_distinct - r.exact_distinct) * 100.0 / r.exact_distinct
+        )
+        assert abs(recomputed - r.rel_error_pct) < 1e-4
+
+
+def test_kmv_sharded_build_equals_global_build(spark):
+    """Mergeability invariant: the k-th smallest hash recovered from
+    the union of per-shard k-min partials equals the k-th smallest over
+    all distinct hashes (computed directly, no sharding)."""
+    orders = load_table(spark, SF01, "orders")
+    hashed = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        T.scrambled_hash(
+            F.concat(F.lit("kmv:"), F.col("o_custkey"))
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("priority").orderBy("h")
+    direct = {
+        r.priority: r.h
+        for r in hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 64)
+        .collect()
+    }
+    via_shards = {
+        r.priority: r.kth_hash
+        for r in sketches.approx_distinct_kmv(spark, SF01).collect()
+    }
+    assert direct == via_shards
+
+
+def test_scrambled_hash_disperses_sequential_keys(spark):
+    """The reason scrambled_hash exists: over sequential integer keys,
+    poly_hash's minimum is tiny relative to the ring (locally linear
+    values cluster), while the scrambled minimum sits near M/n — the
+    uniform-order-statistics regime KMV's estimator assumes."""
+    df = spark.range(1, 2001).select(
+        T.poly_hash(F.concat(F.lit("kmv:"), F.col("id"))).alias("p"),
+        T.scrambled_hash(F.concat(F.lit("kmv:"), F.col("id"))).alias("s"),
+    )
+    row = df.agg(
+        F.min("p").alias("pmin"),
+        F.min("s").alias("smin"),
+        F.max("s").alias("smax"),
+    ).collect()[0]
+    expected_min = T.HASH_MOD / 2001  # E[min of n uniforms] = M/(n+1)
+    # scrambled min within 5x of the uniform expectation, and the
+    # values span most of the ring
+    assert row.smin < 5 * expected_min
+    assert row.smax > T.HASH_MOD * 0.95
+    assert 0 <= row.smin and row.smax < T.HASH_MOD
+
+
+def test_sampled_token_frequency_mass_unbiased(spark):
+    """The deterministic 5% gate must take ~5% of documents AND ~5% of
+    token mass (no length bias); top-k per-token errors may skew
+    positive (winner's curse, documented), but the overall scale-up
+    must be sound."""
+    docs = load_table(spark, SF01, "documents")
+    gate = (
+        T.scrambled_hash(F.concat(F.lit("vocab:"), F.col("doc_id"))) % 20
+        == 0
+    )
+    n_tok = T.token_count(F.lower(F.col("text")))
+    row = docs.select(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(gate, 1).otherwise(0)).alias("sampled"),
+        F.sum(n_tok).alias("tok_total"),
+        F.sum(F.when(gate, n_tok).otherwise(0)).alias("tok_sampled"),
+    ).collect()[0]
+    assert 0.03 < row.sampled / row.total < 0.08
+    assert 0.03 < row.tok_sampled / row.tok_total < 0.08
+
+
+def test_sampled_token_frequency_estimates(spark):
+    out = sketches.sampled_token_frequency(spark, SF01).collect()
+    # top-50 cap; the 26-doc sample's vocabulary is smaller than that
+    assert 10 < len(out) <= 50
+    for r in out:
+        assert r.est_count == r.sampled_count * 20
+        # relative error is only meaningful with sampling support;
+        # rare tokens (a handful of sampled hits) legitimately land
+        # far off and production would not act on them
+        if r.sampled_count >= 20:
+            assert abs(r.rel_error_pct) < 60.0, r
+
+
+def test_pagerank_mass_conserved(spark):
+    """Over ALL nodes (pre-top-k), one damped iteration must conserve
+    probability mass: sum(rank') = 1 up to fixed-point truncation
+    (each `div` floors away < 1/SCALE per term)."""
+    from m4i_flink_tasks_spark.queries.graph import pagerank_full
+
+    full = pagerank_full(spark, SF01)
+    row = full.agg(
+        F.sum("rank").alias("mass"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert row.n > 1000
+    assert abs(row.mass - 1.0) < 1e-3
+    # suppliers (no in-edges) all share the dangling-only floor rank;
+    # customers sit strictly above the teleport floor
+    floor = 0.15 / row.n
+    ranks = full.collect()
+    assert all(r.rank >= floor * 0.999 for r in ranks)
+    assert any(r.in_scaled > 0 for r in ranks)
+
+
+def test_group_quantiles_monotone_and_bounded(spark):
+    rows = sketches.group_quantiles(spark, SF01).collect()
+    li = load_table(spark, SF01, "lineitem")
+    bounds = {
+        r.flag: (r.lo, r.hi)
+        for r in li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        ).collect()
+    }
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.flag, []).append(r)
+    assert sorted(by_flag) == sorted(bounds)
+    for flag, rs in by_flag.items():
+        rs.sort(key=lambda r: r.quantile)
+        qs = [r.quantile for r in rs]
+        assert qs == [0.25, 0.5, 0.75, 0.95]
+        prices = [r.price for r in rs]
+        assert prices == sorted(prices)
+        lo, hi = bounds[flag]
+        assert lo <= prices[0] and prices[-1] <= hi
