@@ -576,6 +576,46 @@ ORDER BY doc_id
 """
 
 
+def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-count (streaming/sketch_state.py): orders
+    arrive in micro-batches; each batch folds its bounded k-min partial
+    into per-priority array state, and the final estimate equals the
+    batch computation over all data — the mergeability property that
+    makes the sketch stream-capable."""
+    from ..streaming.sketch_state import run_stream_distinct_sketch
+
+    final = run_stream_distinct_sketch(
+        spark, sf_dir, _workdir("distinct_sketch")
+    )
+    return final.orderBy("priority")
+
+
+def _stream_distinct_sketch_sql() -> str:
+    from .sketches import _KMV_K, _scrambled_hash_sql
+
+    scramble = _scrambled_hash_sql("'kmv:' || o_custkey::VARCHAR")
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT o_orderpriority AS priority, {scramble} AS h
+    FROM orders
+), ranked AS (
+    SELECT priority, h,
+           row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+    FROM hashed
+)
+SELECT priority,
+       {_KMV_K} AS k,
+       count(*) AS sketch_size,
+       max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash,
+       ({_KMV_K - 1}::BIGINT * 1000000007)
+           // max(CASE WHEN rn = {_KMV_K} THEN h END) AS est_distinct
+FROM ranked
+WHERE rn <= {_KMV_K}
+GROUP BY priority
+ORDER BY priority
+"""
+
+
 def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G26+G27 relationship-audit branches through the REAL dispatcher
     (``plans.synchronize_plan.synchronize_batch``) in one deterministic
@@ -858,6 +898,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_near_dedup": stream_near_dedup,
+    "stream_distinct_sketch": stream_distinct_sketch,
 }
 
 ORACLES = {
@@ -874,4 +915,5 @@ ORACLES = {
     "stream_interval_join": INTERVAL_JOIN_SQL,
     "stream_corpus_ingest": _stream_corpus_ingest_sql(),
     "stream_near_dedup": _stream_near_dedup_sql(),
+    "stream_distinct_sketch": _stream_distinct_sketch_sql(),
 }

@@ -130,6 +130,70 @@ def test_pagerank_mass_conserved(spark):
     assert any(r.in_scaled > 0 for r in ranks)
 
 
+def test_stream_sketch_equals_batch(spark, sf_dir):
+    """Mergeability across micro-batches: the streamed per-priority
+    sketch state must yield the SAME k-th hash and estimate as the
+    batch query computes in one pass (modulo the batch query's extra
+    columns)."""
+    import tempfile
+
+    from m4i_flink_tasks_spark.streaming.sketch_state import (
+        run_stream_distinct_sketch,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_sketch_stream_")
+    streamed = {
+        r.priority: (r.kth_hash, r.est_distinct)
+        for r in run_stream_distinct_sketch(spark, sf_dir, wd).collect()
+    }
+    batch = {
+        r.priority: (r.kth_hash, r.est_distinct)
+        for r in sketches.approx_distinct_kmv(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_sketch_mid_stream_restart(spark, sf_dir):
+    """Kill the sketch stream mid-way and restart against the same
+    checkpoint + state store: the final sketch must equal the one-shot
+    answer (batch-id replay contract on the combine path)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from m4i_flink_tasks_spark.streaming.sketch_state import (
+        run_stream_distinct_sketch,
+        stage_orders,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_sketch_ref_")
+    expected = sorted(
+        map(tuple, run_stream_distinct_sketch(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_sketch_restart_")
+    import os
+
+    staging = stage_orders(spark, sf_dir, os.path.join(wd, "staging_orders"), 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_sketch_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_distinct_sketch(spark, sf_dir, wd)
+    # partial stream: sketches exist but need not match the full answer
+    assert first.count() > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_distinct_sketch(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
+
+
 def test_group_quantiles_monotone_and_bounded(spark):
     rows = sketches.group_quantiles(spark, SF01).collect()
     li = load_table(spark, SF01, "lineitem")
