@@ -324,14 +324,106 @@ GROUP_QUANTILES_SQL = (
 )
 
 
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (runtime-filter pattern)
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 64
+_BLOOM_NATION = 9
+
+
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a tiny Bloom filter: build a bit-set
+    from the dim side's join keys (suppliers of one nation), screen the
+    fact scan with membership BEFORE the real join, and report exactly
+    how much the screen admitted vs what truly joins.
+
+    This is the runtime-filter / DPP pattern Spark applies natively
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the
+    same shape automatically); building it explicitly from the
+    cross-engine hash makes the reduction DETERMINISTIC and
+    oracle-checkable, and the stats row quantifies the screen: at scale
+    the candidates (matched + false positives) are all that reaches the
+    join's shuffle, so fact traffic drops by ~(1 - bits-set/m) for
+    non-matching rows. One fact scan, two broadcast joins (the
+    position set is ≤ m rows; the dim is small by selection), one
+    aggregate — false positives cost only wasted screen passage, never
+    wrong results, because the exact join still decides membership.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = sup.filter(F.col("s_nationkey") == _BLOOM_NATION).select(
+        "s_suppkey"
+    )
+    pos_of = lambda col: (  # noqa: E731 - tiny local expression builder
+        T.scrambled_hash(F.concat(F.lit("bloom:"), col)) % _BLOOM_BITS
+    )
+    positions = (
+        dim.select(pos_of(F.col("s_suppkey")).alias("pos"))
+        .distinct()
+        .withColumn("in_bloom", F.lit(1))
+    )
+    flagged = (
+        li.select("l_suppkey", "l_extendedprice")
+        .withColumn("pos", pos_of(F.col("l_suppkey")))
+        .join(F.broadcast(positions), "pos", "left")
+        .join(
+            F.broadcast(dim.withColumn("matched", F.lit(1))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count("in_bloom").alias("n_candidates"),
+        F.count("matched").alias("n_matched"),
+        (F.count("in_bloom") - F.count("matched")).alias("n_false_positive"),
+        F.round(
+            F.sum(
+                F.when(F.col("matched") == 1, F.col("l_extendedprice"))
+            ),
+            2,
+        ).alias("matched_revenue"),
+    )
+
+
+BLOOM_SEMIJOIN_SQL = f"""
+WITH dim AS (
+    SELECT s_suppkey FROM supplier WHERE s_nationkey = {_BLOOM_NATION}
+), positions AS (
+    SELECT DISTINCT {_scrambled_hash_sql("'bloom:' || s_suppkey::VARCHAR")}
+               % {_BLOOM_BITS} AS pos
+    FROM dim
+), flagged AS (
+    SELECT l.l_extendedprice,
+           p.pos IS NOT NULL AS in_bloom,
+           d.s_suppkey IS NOT NULL AS matched
+    FROM lineitem l
+    LEFT JOIN positions p
+      ON {_scrambled_hash_sql("'bloom:' || l.l_suppkey::VARCHAR")}
+             % {_BLOOM_BITS} = p.pos
+    LEFT JOIN dim d ON l.l_suppkey = d.s_suppkey
+)
+SELECT count(*) AS n_fact,
+       count(*) FILTER (in_bloom) AS n_candidates,
+       count(*) FILTER (matched) AS n_matched,
+       count(*) FILTER (in_bloom) - count(*) FILTER (matched)
+           AS n_false_positive,
+       round(sum(l_extendedprice) FILTER (matched), 2) AS matched_revenue
+FROM flagged
+"""
+
+
 QUERIES = {
     "approx_distinct_kmv": approx_distinct_kmv,
+    "bloom_semijoin_reduction": bloom_semijoin_reduction,
     "sampled_token_frequency": sampled_token_frequency,
     "group_quantiles": group_quantiles,
 }
 
 ORACLES = {
     "approx_distinct_kmv": APPROX_DISTINCT_KMV_SQL,
+    "bloom_semijoin_reduction": BLOOM_SEMIJOIN_SQL,
     "sampled_token_frequency": SAMPLED_TOKEN_FREQUENCY_SQL,
     "group_quantiles": GROUP_QUANTILES_SQL,
 }

@@ -110,6 +110,41 @@ def test_sampled_token_frequency_estimates(spark):
             assert abs(r.rel_error_pct) < 60.0, r
 
 
+def test_bloom_screen_sound_and_useful(spark):
+    """The Bloom screen must never drop a true match (candidates ⊇
+    matches — no false negatives by construction, pinned here), must
+    actually reduce the fact side, and must not change the exact join
+    answer."""
+    from m4i_flink_tasks_spark.queries.sketches import (
+        _BLOOM_NATION,
+        bloom_semijoin_reduction,
+    )
+
+    row = bloom_semijoin_reduction(spark, SF01).collect()[0]
+    assert row.n_candidates >= row.n_matched
+    assert row.n_false_positive == row.n_candidates - row.n_matched
+    # the screen is useful: it rejects most non-matching fact rows
+    assert row.n_candidates < row.n_fact * 0.5
+    # and approximate: with 64 bits some false positives exist here
+    assert row.n_false_positive > 0
+    # ground truth via the plain join, no bloom involved
+    sup = load_table(spark, SF01, "supplier")
+    li = load_table(spark, SF01, "lineitem")
+    dim = sup.filter(F.col("s_nationkey") == _BLOOM_NATION).select(
+        "s_suppkey"
+    )
+    truth = (
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .collect()[0]
+    )
+    assert truth.n == row.n_matched
+    assert abs(truth.rev - row.matched_revenue) < 0.01
+
+
 def test_pagerank_mass_conserved(spark):
     """Over ALL nodes (pre-top-k), one damped iteration must conserve
     probability mass: sum(rank') = 1 up to fixed-point truncation
