@@ -235,6 +235,42 @@ _PR_DAMP_DEN = 100
 _PR_TOP = 100
 
 
+def _purchase_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(edges, outdeg, nodes, totals) of the supplier → customer
+    purchase graph. The edge relation feeds out-degree, the node set
+    (both sides), and every iteration's contribution join — without
+    persisting, the physical plan recomputes the lineitem ⋈ orders
+    join once per consumer (verified via explain). Caching edges is
+    the iterative-graph baseline."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    totals = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        outdeg.agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    return edges, outdeg, nodes, totals
+
+
 def pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PageRank iteration from uniform init over the supplier →
     customer purchase graph (distinct pairs from lineitem ⋈ orders) —
@@ -258,36 +294,7 @@ def pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. rank' = (1-d)/N + d*(Σ 1/outdeg(u) + D/N)/N with
     D dangling nodes' uniform-rank mass redistributed.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("S"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("C"), F.col("o_custkey")).alias("dst"),
-        )
-        .distinct()
-        # The edge relation feeds out-degree, the node set (both
-        # sides), and the contribution join — without persisting, the
-        # physical plan recomputes the lineitem ⋈ orders join four
-        # times (verified via explain). Caching edges is the iterative-
-        # graph baseline: every further PageRank iteration reuses the
-        # same persisted relation.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    totals = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-        outdeg.agg(F.count(F.lit(1)).alias("n_src"))
-    )
+    edges, outdeg, nodes, totals = _purchase_graph(spark, sf_dir)
     contrib = edges.join(F.broadcast(outdeg), "src").select(
         "dst", F.expr(f"{_PR_SCALE}L div outdeg").alias("c")
     )
@@ -357,9 +364,134 @@ LIMIT {_PR_TOP}
 """
 
 
+_PR_N_ITER = 3
+
+
+def pagerank_power_iterations(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = _PR_N_ITER,
+    top: int | None = _PR_TOP,
+) -> DataFrame:
+    """PageRank by ``n_iter`` power iterations, ENTIRELY in fixed-point
+    BIGINT arithmetic — rank mass lives as ``r = round(rank * SCALE)``
+    and every update is integer: contributions ``r div outdeg``,
+    damping ``(85 * x) div 100``, teleport ``(15*SCALE) div (100*N)``.
+    No float ever enters the loop, so the result is bit-identical
+    across partitionings, engines, and cluster layouts — which is what
+    lets a 3-iteration DuckDB oracle (the same updates unrolled as
+    CTEs) hash-match exactly.
+
+    Scale shape: the persisted edge relation is built once; each
+    iteration is one join of the rank state against the edges (the
+    only data-sized shuffle), one integer aggregation, and a 1-row
+    dangling-mass action — the same per-iteration profile as the
+    label-propagation loop in operators/components.py, with
+    ``localCheckpoint`` flattening lineage so iteration N's plan does
+    not replay iterations 1..N-1.
+    """
+    edges, outdeg, nodes, totals = _purchase_graph(spark, sf_dir)
+    n_nodes = totals.collect()[0].n_nodes  # one-row action, by design
+    teleport = (15 * _PR_SCALE) // (100 * n_nodes)
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = nodes.select(
+        "node", F.lit(_PR_SCALE // n_nodes).cast("long").alias("r")
+    )
+    for _ in range(n_iter):
+        d_mass = (
+            ranks.join(F.broadcast(dangling), "node", "leftsemi")
+            .agg(F.sum("r"))
+            .collect()[0][0]
+            or 0
+        )
+        share = d_mass // n_nodes
+        contrib = (
+            edges.join(F.broadcast(outdeg), "src")
+            .join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("r").alias("r_src")
+                ),
+                "src",
+            )
+            .select("dst", F.expr("r_src div outdeg").alias("c"))
+        )
+        in_s = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("in_s")
+        )
+        ranks = (
+            nodes.join(in_s, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport}L + (85 * (coalesce(in_s, 0L) + {share}L))"
+                    " div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 9).alias("rank"),
+    ).orderBy(F.col("rank_scaled").desc(), F.col("node"))
+    return out if top is None else out.limit(top)
+
+
+def _pagerank_power_sql(n_iter: int = _PR_N_ITER) -> str:
+    """The same integer updates unrolled as CTE stages."""
+    parts = [
+        f"""
+WITH edges AS (
+    SELECT DISTINCT 'S' || l_suppkey::VARCHAR AS src,
+           'C' || o_custkey::VARCHAR AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), outdeg AS (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+    SELECT src AS node FROM edges
+    UNION
+    SELECT dst AS node FROM edges
+), totals AS (
+    SELECT count(*) AS n_nodes FROM nodes
+), r0 AS (
+    SELECT node, {_PR_SCALE} // t.n_nodes AS r FROM nodes, totals t
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""", d{i} AS (
+    SELECT coalesce(sum(r), 0) AS dm FROM r{p}
+    WHERE node NOT IN (SELECT src FROM outdeg)
+), i{i} AS (
+    SELECT e.dst AS node, sum(r.r // o.outdeg) AS in_s
+    FROM edges e JOIN outdeg o USING (src) JOIN r{p} r ON r.node = e.src
+    GROUP BY e.dst
+), r{i} AS (
+    SELECT n.node,
+           (15::BIGINT * {_PR_SCALE}) // (100 * t.n_nodes)
+           + (85 * (coalesce(i.in_s, 0) + d.dm // t.n_nodes)) // 100 AS r
+    FROM nodes n LEFT JOIN i{i} i USING (node), d{i} d, totals t
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       r AS rank_scaled,
+       round(r / {_PR_SCALE}::DOUBLE, 9) AS rank
+FROM r{n_iter}
+ORDER BY rank_scaled DESC, node
+LIMIT {_PR_TOP}"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "type_hierarchy_ops": type_hierarchy_ops,
     "pagerank_step": pagerank_step,
+    "pagerank_power_iterations": pagerank_power_iterations,
     "supertype_closure": supertype_closure,
     "source_type_classification": source_type_classification,
     "breadcrumb_paths": breadcrumb_paths,
@@ -369,6 +501,7 @@ QUERIES = {
 ORACLES = {
     "type_hierarchy_ops": TYPE_HIERARCHY_OPS_SQL,
     "pagerank_step": PAGERANK_STEP_SQL,
+    "pagerank_power_iterations": _pagerank_power_sql(),
     "supertype_closure": SUPERTYPE_CLOSURE_SQL,
     "source_type_classification": SOURCE_TYPE_SQL,
     "breadcrumb_paths": BREADCRUMB_SQL,

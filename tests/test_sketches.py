@@ -229,6 +229,37 @@ def test_stream_sketch_mid_stream_restart(spark, sf_dir):
     assert sorted(map(tuple, second.collect())) == expected
 
 
+def test_pagerank_power_iterations_converge(spark):
+    """Fixed-point power iteration: total mass stays ~SCALE at every
+    depth (integer truncation leaks < 1 unit per node per iteration),
+    and successive iterations move less rank mass (contraction — the
+    damped operator's Lipschitz constant is 0.85)."""
+    from m4i_flink_tasks_spark.queries.graph import (
+        _PR_SCALE,
+        pagerank_power_iterations,
+    )
+
+    outs = {
+        n: {
+            r.node: r.rank_scaled
+            for r in pagerank_power_iterations(
+                spark, SF01, n_iter=n, top=None
+            ).collect()
+        }
+        for n in (1, 2, 3)
+    }
+    n_nodes = len(outs[1])
+    for n, ranks in outs.items():
+        mass = sum(ranks.values())
+        # truncation only ever LEAKS mass (never creates it), at most
+        # ~1 unit per edge per iteration: < 1e-7 relative here
+        assert 0 <= _PR_SCALE - mass < n * 1e-7 * _PR_SCALE, (n, mass)
+    delta12 = sum(abs(outs[1][v] - outs[2][v]) for v in outs[1])
+    delta23 = sum(abs(outs[2][v] - outs[3][v]) for v in outs[2])
+    assert delta23 < delta12
+    assert delta23 < 0.85 * delta12 + 2 * n_nodes
+
+
 def test_group_quantiles_monotone_and_bounded(spark):
     rows = sketches.group_quantiles(spark, SF01).collect()
     li = load_table(spark, SF01, "lineitem")
