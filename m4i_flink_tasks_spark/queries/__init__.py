@@ -40,6 +40,7 @@ from . import (
     sketches,
     state_store,
     streaming_like,
+    warehouse,
 )
 
 
@@ -60,6 +61,7 @@ _MODULES = (
     llm_decontam,
     llm_multimodal,
     sketches,
+    warehouse,
 )
 
 # The declared driver surface: every SURVEY §2 operator family has exactly

@@ -1,0 +1,358 @@
+"""Warehouse-completeness queries: SCD2 dimension build, pivot,
+decile analysis, funnel sequencing, and calendar gap-fill.
+
+These are the remaining classic warehouse shapes a user migrating an
+analytics workload expects from an engine (SURVEY §2.6 notes the
+reference has no SQL surface at all — window functions, pivots, and
+set-based history tracking are all driver-added capabilities). Every
+query is expression-native (window functions + hash aggregates, no
+Python in the hot path) and oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+# --------------------------------------------------------------------------
+# SCD2 (type-2 slowly changing dimension) build
+# --------------------------------------------------------------------------
+
+
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 dimension of each user's event-type "status"
+    history from the raw event stream: consecutive duplicates collapse,
+    each surviving change gets ``valid_from``/``valid_to`` (NULL = the
+    current row) and a version number.
+
+    The standard warehouse history-tracking shape: one
+    ``lag``-to-detect-change window + one ``lead``-for-interval window,
+    both over the same (user, time) partitioning, so the whole build is
+    a single shuffle on user_id regardless of history length. At scale
+    the dimension lands in a keyed store and new events extend it
+    incrementally with the same expressions inside a MERGE.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("status")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.withColumn("prev", F.lag("status").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("status"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "status",
+            F.unix_millis("ts").alias("valid_from_ms"),
+            F.unix_millis(F.lead("ts").over(w2)).alias("valid_to_ms"),
+            F.row_number().over(w2).alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_SQL = """
+WITH changes AS (
+    SELECT user_id, ts, event_id, event_type AS status
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       status,
+       epoch_ms(ts) AS valid_from_ms,
+       epoch_ms(lead(ts) OVER w2) AS valid_to_ms,
+       row_number() OVER w2 AS version
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot (nation × order-year revenue matrix)
+# --------------------------------------------------------------------------
+
+_PIVOT_YEARS = tuple(range(1992, 1999))
+
+
+def revenue_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue pivoted to one column per order year, one row per
+    customer nation — ``groupBy().pivot()`` with the year list given
+    EXPLICITLY: Spark otherwise runs an extra distinct-scan job to
+    discover the pivot values, and the output column order would
+    depend on data. Explicit values keep the plan to one scan + one
+    shuffle and the schema static, which is also what the oracle's
+    conditional aggregation reproduces."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            "o_totalprice",
+        )
+    )
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("yr", list(_PIVOT_YEARS))
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renamed = pivoted.select(
+        "n_name",
+        *[F.col(str(y)).alias(f"y{y}") for y in _PIVOT_YEARS],
+    )
+    return renamed.orderBy("n_name")
+
+
+REVENUE_PIVOT_SQL = (
+    "SELECT n_name,\n"
+    + ",\n".join(
+        f"       round(sum(o_totalprice) FILTER (year(o_orderdate) = {y}),"
+        f" 2) AS y{y}"
+        for y in _PIVOT_YEARS
+    )
+    + """
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# decile analysis (ntile / distribution windows)
+# --------------------------------------------------------------------------
+
+
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ranked into revenue deciles (ntile over total spend,
+    ties broken by key for determinism), then per-decile summary — the
+    standard cohort/LTV segmentation shape. Two shuffles total: the
+    per-customer aggregate, then the decile assignment; the ntile
+    window is a single global ordering, which at 100 TB becomes a
+    range-partitioned sort (Spark plans exactly that) rather than a
+    single-partition bottleneck only if the per-customer relation is
+    still large — here it is customers, already 1/30th of orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+REVENUE_DECILES_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+), deciled AS (
+    SELECT *,
+           ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+    FROM per_cust
+)
+SELECT decile,
+       count(*) AS n_customers,
+       sum(n_orders) AS n_orders,
+       round(sum(revenue), 2) AS total_revenue,
+       round(min(revenue), 2) AS min_revenue,
+       round(max(revenue), 2) AS max_revenue
+FROM deciled
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# funnel sequencing (ordered multi-step conversion)
+# --------------------------------------------------------------------------
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel per user: each stage's
+    timestamp must follow the previous stage's (a click before the
+    first view does not count). Three bounded aggregates, each joined
+    back broadcast (the per-user relation is keys, not events); no
+    self-join of the event table against itself. Users who never
+    viewed are excluded; later stages are NULL where the funnel
+    stalls."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = events.filter(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("view_ts"))
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_millis("view_ts").alias("first_view_ms"),
+            F.unix_millis("click_ts").alias("first_click_after_ms"),
+            F.unix_millis("purchase_ts").alias("first_purchase_after_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS view_ts
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS click_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.view_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS purchase_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_ms(view_ts) AS first_view_ms,
+       epoch_ms(click_ts) AS first_click_after_ms,
+       epoch_ms(purchase_ts) AS first_purchase_after_ms
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# calendar gap-fill (resample + cumulative)
+# --------------------------------------------------------------------------
+
+
+def daily_activity_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event counts with MISSING days zero-filled from a
+    generated calendar spine, plus a per-user running total — the
+    time-series resample shape dashboards and feature pipelines need
+    (a groupBy alone silently omits empty buckets).
+
+    The spine is users × days built with ``sequence`` + ``explode``
+    from a one-row min/max aggregate — rows generated, not stored, and
+    the explode is partition-parallel. The left join back to the
+    day-aggregated facts is a shuffle of (users × days) rows, which is
+    the OUTPUT size — no plan reads the raw events more than once."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    users = events.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .withColumn("cum_events", F.sum("n_events").over(w))
+        .select(
+            "user_id",
+            F.unix_date("day").alias("day_num"),
+            "n_events",
+            "cum_events",
+        )
+        .orderBy("user_id", "day_num")
+    )
+
+
+GAP_FILL_SQL = """
+WITH bounds AS (
+    SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+), spine AS (
+    SELECT u.user_id, s.day::DATE AS day
+    FROM (SELECT DISTINCT user_id FROM events) u,
+         bounds,
+         unnest(generate_series(bounds.d0, bounds.d1,
+                                INTERVAL 1 DAY)) AS s(day)
+), daily AS (
+    SELECT user_id, ts::DATE AS day, count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT s.user_id,
+       date_diff('day', DATE '1970-01-01', s.day) AS day_num,
+       coalesce(d.n_events, 0) AS n_events,
+       sum(coalesce(d.n_events, 0))
+           OVER (PARTITION BY s.user_id ORDER BY s.day) AS cum_events
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, day_num
+"""
+
+
+QUERIES = {
+    "scd2_user_status": scd2_user_status,
+    "revenue_pivot_by_year": revenue_pivot_by_year,
+    "customer_revenue_deciles": customer_revenue_deciles,
+    "event_funnel": event_funnel,
+    "daily_activity_gap_fill": daily_activity_gap_fill,
+}
+
+ORACLES = {
+    "scd2_user_status": SCD2_SQL,
+    "revenue_pivot_by_year": REVENUE_PIVOT_SQL,
+    "customer_revenue_deciles": REVENUE_DECILES_SQL,
+    "event_funnel": EVENT_FUNNEL_SQL,
+    "daily_activity_gap_fill": GAP_FILL_SQL,
+}
