@@ -616,6 +616,24 @@ ORDER BY priority
 """
 
 
+def stream_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming type-2 dimension maintenance (streaming/scd2.py):
+    time-ordered event micro-batches extend the per-user status
+    history in place through the bucketed store's combine path; the
+    maintained dimension equals the one-shot batch build, so the batch
+    SCD2 oracle checks it directly."""
+    from ..streaming.scd2 import run_stream_scd2
+
+    final = run_stream_scd2(spark, sf_dir, _workdir("scd2"))
+    return final.orderBy("user_id", "version")
+
+
+def _stream_scd2_sql() -> str:
+    from .warehouse import SCD2_SQL
+
+    return SCD2_SQL
+
+
 def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G26+G27 relationship-audit branches through the REAL dispatcher
     (``plans.synchronize_plan.synchronize_batch``) in one deterministic
@@ -899,6 +917,7 @@ QUERIES = {
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_near_dedup": stream_near_dedup,
     "stream_distinct_sketch": stream_distinct_sketch,
+    "stream_scd2_dimension": stream_scd2_dimension,
 }
 
 ORACLES = {
@@ -916,4 +935,5 @@ ORACLES = {
     "stream_corpus_ingest": _stream_corpus_ingest_sql(),
     "stream_near_dedup": _stream_near_dedup_sql(),
     "stream_distinct_sketch": _stream_distinct_sketch_sql(),
+    "stream_scd2_dimension": _stream_scd2_sql(),
 }

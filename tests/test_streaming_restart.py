@@ -326,3 +326,46 @@ def test_corpus_ingest_mid_stream_restart(spark, sf_dir):
         os.utime(p, (mtimes[p], mtimes[p]))
     second = run_corpus_ingest(spark, sf_dir, wd)
     assert sorted(map(tuple, second.collect())) == expected
+
+
+def test_scd2_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming SCD2 maintenance mid-way and restart: the
+    user-keyed dimension store plus checkpointed offsets must
+    reproduce the one-shot dimension — including interval closes and
+    version renumbers that straddle the crash point (a user whose
+    status changes again after the restart must get the pre-crash open
+    row closed)."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.scd2 import (
+        run_stream_scd2,
+        stage_events,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_scd2_ref_")
+    expected = sorted(
+        map(tuple, run_stream_scd2(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_scd2_restart_")
+    staging = stage_events(
+        spark, sf_dir, os.path.join(wd, "staging_events"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_scd2_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_scd2(spark, sf_dir, wd)
+    n_first = first.count()
+    assert 0 < n_first < len(expected)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_scd2(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
