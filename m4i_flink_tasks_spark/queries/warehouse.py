@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..sources import load_table
 
@@ -213,15 +214,23 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
-    v = events.filter(F.col("event_type") == "view").groupBy(
-        "user_id"
-    ).agg(F.min("ts").alias("view_ts"))
+    # each stage frame is per-user (tiny) but feeds BOTH the next
+    # stage's gate and the final join — persist so the event scan
+    # behind it runs once, not once per consumer (explain showed the
+    # view aggregate's scan replicated 3x without this)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     c = (
         events.filter(F.col("event_type") == "click")
         .join(F.broadcast(v), "user_id")
         .filter(F.col("ts") > F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
