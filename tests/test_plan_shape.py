@@ -241,3 +241,40 @@ def test_exactly_one_aggregate_exchange_for_q1(plans):
     plan = plans["q1_pricing_summary"].split("\n\n")[0]
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, f"q1 has {n_exchanges} exchanges:\n{plan}"
+
+
+def test_scd2_is_single_key_shuffle(plans):
+    """Both SCD2 windows (lag change-detect, lead/version) share one
+    user_id hash partitioning; anything beyond that plus the
+    presentational final sort means the windows stopped sharing their
+    sort."""
+    tree = plans["scd2_user_status"].split("\n\n")[0]
+    n = tree.count("Exchange")
+    assert n <= 2, f"scd2 has {n} exchanges:\n{tree}"
+
+
+def test_bloom_screen_stays_broadcast(plans):
+    """The position set (<= m rows) and the dim must broadcast; a
+    sort-merge join here means the screen itself started shuffling the
+    fact table."""
+    plan = plans["bloom_semijoin_reduction"]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pagerank_reuses_cached_edges(plans):
+    """The purchase-graph edge relation must come from the persisted
+    cache in every consumer — a plan without it recomputes the
+    lineitem ⋈ orders join per consumer. (The power-iteration variant
+    returns a checkpointed relation whose plan is the final RDD scan,
+    so the invariant is only visible in the single-step plan.)"""
+    assert "InMemoryTableScan" in plans["pagerank_step"]
+
+
+def test_pivot_is_single_aggregate_shuffle(plans):
+    """Explicit pivot values: one scan, broadcast dims, one hash
+    exchange for the n_name aggregate (plus the presentational sort)."""
+    plan = plans["revenue_pivot_by_year"]
+    assert "SortMergeJoin" not in plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 1, f"pivot has {n_hash} hash exchanges"
