@@ -350,8 +350,112 @@ ORDER BY s.user_id, day_num
 """
 
 
+# --------------------------------------------------------------------------
+# point-in-time dimension lookup (temporal join against SCD2 intervals)
+# --------------------------------------------------------------------------
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the user's activity status AT that moment
+    — the temporal-dimension lookup every SCD2 dimension exists to
+    serve. The dimension is the status history built from the NON-error
+    events; the fact side is the errors.
+
+    Plan: because SCD2 intervals are contiguous per key, the interval
+    join ``valid_from <= ts < valid_to`` is exactly an as-of join on
+    ``valid_from`` — so this reuses ``operators.asof.asof_join``'s
+    union trick: ONE shuffle on user_id and a linear window pass,
+    versus the naive range join the oracle runs (which explodes the
+    (fact × dim-rows-per-user) product before pruning). The oracle
+    checking equality IS the proof the rewrite is semantics-preserving.
+
+    Changes are deduplicated to one per (user, instant) keeping the
+    highest event_id ("final status at that instant") so the as-of
+    carry is deterministic under equal timestamps.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.filter(F.col("event_type") != "error")
+        .select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("status"),
+        )
+        .withColumn("prev", F.lag("status").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "status")).alias("_last"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("_last.status").alias("status"),
+            F.unix_millis("ts").alias("status_since_ms"),
+        )
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    from ..operators.asof import asof_join
+
+    joined = asof_join(
+        errors,
+        changes,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["status", "status_since_ms"],
+        strict=False,
+        suffix="",
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.unix_millis("ts").alias("error_ts_ms"),
+        F.col("status").alias("status_at_error"),
+        "status_since_ms",
+    ).orderBy("user_id", "error_event_id")
+
+
+SCD2_POINT_IN_TIME_SQL = """
+WITH collapsed AS (
+    SELECT user_id, ts, event_id, event_type AS status
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WHERE event_type <> 'error'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE prev IS NULL OR prev <> event_type
+), changes AS (
+    SELECT user_id, ts,
+           max_by(status, event_id) AS status,
+           epoch_ms(ts) AS status_since_ms
+    FROM collapsed
+    GROUP BY user_id, ts
+), intervals AS (
+    SELECT user_id, ts AS valid_from, status, status_since_ms,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes
+)
+SELECT e.user_id,
+       e.event_id AS error_event_id,
+       epoch_ms(e.ts) AS error_ts_ms,
+       i.status AS status_at_error,
+       i.status_since_ms
+FROM events e
+LEFT JOIN intervals i
+  ON e.user_id = i.user_id
+ AND i.valid_from <= e.ts
+ AND (i.valid_to IS NULL OR e.ts < i.valid_to)
+WHERE e.event_type = 'error'
+ORDER BY e.user_id, error_event_id
+"""
+
+
 QUERIES = {
     "scd2_user_status": scd2_user_status,
+    "scd2_point_in_time": scd2_point_in_time,
     "revenue_pivot_by_year": revenue_pivot_by_year,
     "customer_revenue_deciles": customer_revenue_deciles,
     "event_funnel": event_funnel,
@@ -360,6 +464,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2_user_status": SCD2_SQL,
+    "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
     "revenue_pivot_by_year": REVENUE_PIVOT_SQL,
     "customer_revenue_deciles": REVENUE_DECILES_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
