@@ -36,6 +36,7 @@ from . import (
     llm_similarity,
     llm_text,
     pipelines,
+    profiling,
     relational,
     sketches,
     state_store,
@@ -62,6 +63,7 @@ _MODULES = (
     llm_multimodal,
     sketches,
     warehouse,
+    profiling,
 )
 
 # The declared driver surface: every SURVEY §2 operator family has exactly

@@ -1,0 +1,207 @@
+"""Data profiling and constraint validation (deequ/dbt-test-style).
+
+The operational counterpart of the analytics queries: before a 100 TB
+corpus is trusted, a pipeline profiles it (per-column null rates,
+cardinalities, extremes, dominant values) and asserts its contracts
+(key uniqueness, referential integrity, value ranges). The reference
+has no analogue — its only validation is the per-record structure
+check (P4); these are driver-added capabilities, expression-native and
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One profile row per column of ``documents``: null count, exact
+    distinct count, min/max (as strings, so one schema fits every
+    column), and the dominant value with its frequency.
+
+    Plan: the unpivot (``stack``) turns the scan into (column, value)
+    pairs — one pass over the table regardless of column count — and
+    both aggregates (per-column stats, per-(column,value) counts for
+    the mode) group on keys with column-count-bounded cardinality.
+    The mode's tie is broken by value so the profile is deterministic.
+    At scale the exact distinct count is the expensive aggregate;
+    the KMV sketch (queries/sketches.py) is the drop-in when an
+    estimate suffices."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.expr(
+            "stack({n}, {args}) as (col_name, value)".format(
+                n=len(_PROFILE_COLS),
+                args=", ".join(
+                    f"'{c}', cast({c} as string)" for c in _PROFILE_COLS
+                ),
+            )
+        )
+    )
+    stats = pairs.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "n_nulls"
+        ),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    by_count = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("value")
+    )
+    mode = (
+        pairs.filter(F.col("value").isNotNull())
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(by_count))
+        .filter(F.col("rn") == 1)
+        .select(
+            "col_name",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+    )
+    return (
+        stats.join(mode, "col_name")
+        .orderBy("col_name")
+    )
+
+
+TABLE_PROFILE_SQL = f"""
+WITH pairs AS (
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {c}::VARCHAR AS value FROM documents"
+        for c in _PROFILE_COLS
+    )}
+), stats AS (
+    SELECT col_name,
+           count(*) AS n_rows,
+           count(*) FILTER (value IS NULL) AS n_nulls,
+           count(DISTINCT value) AS n_distinct,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM pairs
+    GROUP BY col_name
+), mode AS (
+    SELECT col_name, value AS top_value, cnt AS top_count
+    FROM (
+        SELECT col_name, value, count(*) AS cnt,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY count(*) DESC, value) AS rn
+        FROM pairs
+        WHERE value IS NOT NULL
+        GROUP BY col_name, value
+    )
+    WHERE rn = 1
+)
+SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
+       top_value, top_count
+FROM stats JOIN mode USING (col_name)
+ORDER BY col_name
+"""
+
+
+def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract assertions over the relational tables, one row per
+    check with its violation count — the dbt-test / deequ shape. Each
+    check is a single aggregate or anti-join (orphan FKs surface as
+    left-anti rows, never a row-explosion), unioned into one result so
+    a scheduler gates on ``max(n_violations) == 0``."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    dup_orders = check(
+        "orders_pk_unique",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1),
+    )
+    orphan_orders = check(
+        "orders_custkey_fk",
+        orders.join(
+            customer,
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ),
+    )
+    orphan_lineitem = check(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ),
+    )
+    bad_price = check(
+        "orders_totalprice_positive",
+        orders.filter(F.col("o_totalprice") <= 0),
+    )
+    bad_qty = check(
+        "lineitem_quantity_range",
+        lineitem.filter(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ),
+    )
+    bad_dates = check(
+        "lineitem_ship_after_order",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+    )
+    out = dup_orders
+    for c in (orphan_orders, orphan_lineitem, bad_price, bad_qty, bad_dates):
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+INTEGRITY_CHECKS_SQL = """
+SELECT 'orders_pk_unique' AS check_name,
+       count(*) AS n_violations
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_fk',
+       count(*)
+FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       count(*)
+FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       count(*)
+FROM orders WHERE o_totalprice <= 0
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       count(*)
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'lineitem_ship_after_order',
+       count(*)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+ORDER BY check_name
+"""
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "integrity_checks": integrity_checks,
+}
+
+ORACLES = {
+    "table_profile": TABLE_PROFILE_SQL,
+    "integrity_checks": INTEGRITY_CHECKS_SQL,
+}
