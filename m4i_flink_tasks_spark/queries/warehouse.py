@@ -453,9 +453,174 @@ ORDER BY e.user_id, error_event_id
 """
 
 
+# --------------------------------------------------------------------------
+# cohort retention matrix
+# --------------------------------------------------------------------------
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic product-analytics cohort matrix: users grouped by
+    first-active week, tracked by how many are active N weeks later.
+    Two aggregates (first-seen per user, active user-weeks) joined on
+    the user key — the cohort assignment broadcasts because it is one
+    row per user, already reduced from the event volume. Week index is
+    integer arithmetic on epoch days, identical in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id", (F.unix_date(F.to_date("ts")) / 7).cast("long").alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH weekly AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', ts::DATE) // 7 AS week
+    FROM events
+), cohorts AS (
+    SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS weeks_since,
+       count(DISTINCT w.user_id) AS n_active
+FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, weeks_since
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_Z_WINDOW = 7  # trailing days
+_Z_THRESHOLD = 2.0
+
+
+def daily_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates from the trailing 7-day mean by
+    more than 2 sample standard deviations — the rolling z-score
+    monitor every ingestion pipeline runs. One aggregate to daily
+    grain, then a single ordered window per metric (here: global daily
+    counts, so the window is one tiny partition; per-key monitors
+    partition by the key and scale out). The frame EXCLUDES the
+    current day (trailing stats), so an anomaly cannot suppress
+    itself."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-_Z_WINDOW, -1)
+    )
+    scored = daily.select(
+        F.unix_date("day").alias("day_num"),
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.avg("n_events").over(w), 6).alias("trailing_mean"),
+        F.round(F.stddev_samp("n_events").over(w), 6).alias("trailing_std"),
+    ).filter(F.col("n_trailing") == _Z_WINDOW)
+    z = F.round(
+        (F.col("n_events") - F.col("trailing_mean"))
+        / F.col("trailing_std"),
+        6,
+    )
+    return (
+        scored.select(
+            "day_num",
+            "n_events",
+            "trailing_mean",
+            "trailing_std",
+            z.alias("zscore"),
+            (F.abs(z) > _Z_THRESHOLD).alias("is_anomaly"),
+        )
+        .orderBy("day_num")
+    )
+
+
+ANOMALY_ZSCORES_SQL = f"""
+WITH daily AS (
+    SELECT ts::DATE AS day, count(*) AS n_events
+    FROM events
+    GROUP BY 1
+), scored AS (
+    SELECT date_diff('day', DATE '1970-01-01', day) AS day_num,
+           n_events,
+           count(*) OVER w AS n_trailing,
+           round(avg(n_events) OVER w, 6) AS trailing_mean,
+           round(stddev_samp(n_events) OVER w, 6) AS trailing_std
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_Z_WINDOW} PRECEDING
+                 AND 1 PRECEDING)
+)
+SELECT day_num,
+       n_events,
+       trailing_mean,
+       trailing_std,
+       round((n_events - trailing_mean) / trailing_std, 6) AS zscore,
+       abs(round((n_events - trailing_mean) / trailing_std, 6))
+           > {_Z_THRESHOLD} AS is_anomaly
+FROM scored
+WHERE n_trailing = {_Z_WINDOW}
+ORDER BY day_num
+"""
+
+
+# --------------------------------------------------------------------------
+# histogram (width-bucket binned aggregation)
+# --------------------------------------------------------------------------
+
+_HIST_BUCKET = 10_000.0
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price histogram at a fixed bucket width — binning is a
+    scan-stage projection (floor division), so the whole histogram is
+    one map-side-combinable aggregate; no sort, no window."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(_HIST_BUCKET)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .withColumn("bucket_low", F.col("bucket") * _HIST_BUCKET)
+        .drop("bucket")
+        .orderBy("bucket_low")
+    )
+
+
+PRICE_HISTOGRAM_SQL = f"""
+SELECT count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       floor(o_totalprice / {_HIST_BUCKET}) * {_HIST_BUCKET} AS bucket_low
+FROM orders
+GROUP BY floor(o_totalprice / {_HIST_BUCKET})
+ORDER BY bucket_low
+"""
+
+
 QUERIES = {
     "scd2_user_status": scd2_user_status,
     "scd2_point_in_time": scd2_point_in_time,
+    "weekly_retention": weekly_retention,
+    "daily_anomaly_zscores": daily_anomaly_zscores,
+    "price_histogram": price_histogram,
     "revenue_pivot_by_year": revenue_pivot_by_year,
     "customer_revenue_deciles": customer_revenue_deciles,
     "event_funnel": event_funnel,
@@ -465,6 +630,9 @@ QUERIES = {
 ORACLES = {
     "scd2_user_status": SCD2_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
+    "weekly_retention": WEEKLY_RETENTION_SQL,
+    "daily_anomaly_zscores": ANOMALY_ZSCORES_SQL,
+    "price_histogram": PRICE_HISTOGRAM_SQL,
     "revenue_pivot_by_year": REVENUE_PIVOT_SQL,
     "customer_revenue_deciles": REVENUE_DECILES_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
