@@ -404,7 +404,108 @@ ORDER BY old_label, new_label
 """
 
 
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimension reduction)
+# --------------------------------------------------------------------------
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """The ±1 projection matrix, derived from the cross-engine hash so
+    it is a deterministic constant (seeded at build time, inlined as
+    literals into BOTH the Spark expressions and the oracle SQL —
+    no runtime randomness anywhere)."""
+    from ..operators.text import HASH_BASE, HASH_MOD, MIX_MULT
+
+    def h(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+        return (acc * MIX_MULT) % HASH_MOD
+
+    return [
+        [1 if h(f"jl:{j}:{i}") % 2 == 0 else -1 for i in range(_JL_IN_DIM)]
+        for j in range(_JL_OUT_DIM)
+    ]
+
+
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the 64-dim embeddings to 16 dims with a ±1
+    Achlioptas/JL matrix — the dimension-reduction step that makes
+    IVF/LSH indexes cheaper while approximately preserving pairwise
+    distances (guaranteed within 1±eps for eps ~ sqrt(ln n / d_out);
+    pinned empirically by tests). Output exploded to (vec_id, dim_idx,
+    value) rows so the driver hash covers every component.
+
+    Plan: pure scan-stage projection — each output dim is a
+    sequential fold over the input array inside codegen, no shuffle
+    at all before the presentational sort. The fold order is pinned
+    ascending so the float sum is bit-identical to the oracle's
+    list_reduce. At much larger d, the same projection becomes one
+    Arrow-batched Pandas UDF against a broadcast numpy matrix — same
+    contract, vectorized kernel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    scale = 1.0 / (_JL_OUT_DIM ** 0.5)
+    dims = [
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(_JL_IN_DIM)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at("embedding", i).cast("double")
+                * F.element_at(F.array(*[F.lit(s) for s in signs[j]]), i),
+            )
+            * F.lit(scale),
+            6,
+        ).alias(f"d{j}")
+        for j in range(_JL_OUT_DIM)
+    ]
+    wide = emb.select("vec_id", "label", *dims)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("dim_idx"), F.col(f"d{j}").alias("value")
+            )
+            for j in range(_JL_OUT_DIM)
+        ]
+    )
+    return (
+        wide.select("vec_id", "label", F.explode(pairs).alias("p"))
+        .select("vec_id", "label", "p.dim_idx", "p.value")
+        .orderBy("vec_id", "dim_idx")
+    )
+
+
+def _jl_projection_sql() -> str:
+    signs = _jl_signs()
+    scale = 1.0 / (_JL_OUT_DIM ** 0.5)
+    terms = ",\n        ".join(
+        "round(list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range(1, {n} + 1), i -> embedding[i]::DOUBLE * "
+        "([{s}]::BIGINT[])[i])), (a, b) -> a + b) * {scale}, 6)".format(
+            n=_JL_IN_DIM,
+            s=", ".join(str(s) for s in signs[j]),
+            scale=scale,
+        )
+        for j in range(_JL_OUT_DIM)
+    )
+    return f"""
+WITH wide AS (
+    SELECT vec_id, label,
+           [{terms}] AS proj
+    FROM embeddings
+)
+SELECT vec_id, label, i - 1 AS dim_idx, proj[i] AS value
+FROM wide, unnest(range(1, {_JL_OUT_DIM} + 1)) AS t(i)
+ORDER BY vec_id, dim_idx
+"""
+
+
 QUERIES = {
+    "jl_random_projection": jl_random_projection,
     "ann_brute_force_topk": ann_brute_force_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_probe": ann_ivf_probe,
@@ -416,6 +517,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "jl_random_projection": _jl_projection_sql(),
     "hard_negative_mining": HARD_NEGATIVE_SQL,
     "kmeans_refine": KMEANS_REFINE_SQL,
     "ann_multi_query_topk": ANN_MULTI_QUERY_SQL,

@@ -260,6 +260,47 @@ def test_pagerank_power_iterations_converge(spark):
     assert delta23 < 0.85 * delta12 + 2 * n_nodes
 
 
+def test_jl_projection_preserves_distances(spark):
+    """The JL guarantee the projection exists for: pairwise distances
+    after the 64 → 16 ±1 projection stay within a constant factor of
+    the originals for the overwhelming majority of pairs (eps ~
+    sqrt(ln n / d_out) ≈ 0.62 here, so a generous band)."""
+    import numpy as np
+
+    from m4i_flink_tasks_spark.queries.llm_similarity import (
+        _JL_OUT_DIM,
+        _jl_signs,
+        jl_random_projection,
+    )
+
+    emb = load_table(spark, SF01, "embeddings").orderBy("vec_id").limit(60)
+    X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    S = np.array(_jl_signs(), dtype=np.float64)  # (16, 64)
+    P = (X @ S.T) / np.sqrt(_JL_OUT_DIM)
+    n = len(X)
+    ratios = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d0 = np.linalg.norm(X[i] - X[j])
+            d1 = np.linalg.norm(P[i] - P[j])
+            if d0 > 1e-9:
+                ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    # distances neither collapse nor blow up
+    assert np.median(ratios) > 0.5 and np.median(ratios) < 2.0
+    assert ((ratios > 0.25) & (ratios < 3.0)).mean() > 0.95
+    # and the Spark query computes THIS projection (spot-check row 0)
+    out = jl_random_projection(spark, SF01).filter(F.col("vec_id") == 0)
+    got = {r.dim_idx: r.value for r in out.collect()}
+    first = emb.filter(F.col("vec_id") == 0).collect()
+    if first:
+        expect = (
+            np.array(first[0].embedding, dtype=np.float64) @ S.T
+        ) / np.sqrt(_JL_OUT_DIM)
+        for j, val in got.items():
+            assert abs(val - round(float(expect[j]), 6)) < 1e-5
+
+
 def test_group_quantiles_monotone_and_bounded(spark):
     rows = sketches.group_quantiles(spark, SF01).collect()
     li = load_table(spark, SF01, "lineitem")
