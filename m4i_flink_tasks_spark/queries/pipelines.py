@@ -628,6 +628,47 @@ def stream_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("user_id", "version")
 
 
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hourly-window distinct users as streamed KMV sketches
+    (streaming/sketch_state.py): exact below k (the sketch IS the
+    distinct set), estimator above k; window state bounded by windows
+    seen × k longs instead of every (window, user) pair."""
+    from ..streaming.sketch_state import run_stream_windowed_distinct
+
+    final = run_stream_windowed_distinct(
+        spark, sf_dir, _workdir("windowed_distinct")
+    )
+    return final.orderBy("window_start_ms")
+
+
+def _stream_windowed_distinct_sql() -> str:
+    from .sketches import _KMV_K, _scrambled_hash_sql
+
+    scramble = _scrambled_hash_sql("'wdu:' || user_id::VARCHAR")
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           {scramble} AS h
+    FROM events
+), ranked AS (
+    SELECT window_start_ms, h,
+           row_number() OVER (PARTITION BY window_start_ms ORDER BY h)
+               AS rn
+    FROM hashed
+)
+SELECT window_start_ms,
+       count(*) AS sketch_size,
+       CASE WHEN count(*) < {_KMV_K} THEN count(*)
+            ELSE ({_KMV_K - 1}::BIGINT * 1000000007)
+                 // max(CASE WHEN rn = {_KMV_K} THEN h END)
+       END AS est_distinct
+FROM ranked
+WHERE rn <= {_KMV_K}
+GROUP BY window_start_ms
+ORDER BY window_start_ms
+"""
+
+
 def _stream_scd2_sql() -> str:
     from .warehouse import SCD2_SQL
 
@@ -918,6 +959,7 @@ QUERIES = {
     "stream_near_dedup": stream_near_dedup,
     "stream_distinct_sketch": stream_distinct_sketch,
     "stream_scd2_dimension": stream_scd2_dimension,
+    "stream_windowed_distinct": stream_windowed_distinct,
 }
 
 ORACLES = {
@@ -936,4 +978,5 @@ ORACLES = {
     "stream_near_dedup": _stream_near_dedup_sql(),
     "stream_distinct_sketch": _stream_distinct_sketch_sql(),
     "stream_scd2_dimension": _stream_scd2_sql(),
+    "stream_windowed_distinct": _stream_windowed_distinct_sql(),
 }

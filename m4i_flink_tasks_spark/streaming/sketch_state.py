@@ -81,20 +81,23 @@ def batch_partial(batch: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
-def merge_sketches(cur: DataFrame, batch: DataFrame, k: int = KMV_K) -> DataFrame:
-    """Sketch union: per priority, keep the k smallest distinct hashes
-    of (stored ∪ partial). Pure array expressions — the combine runs
+def merge_sketches(
+    cur: DataFrame,
+    batch: DataFrame,
+    k: int = KMV_K,
+    key: str = "priority",
+) -> DataFrame:
+    """Sketch union: per key, keep the k smallest distinct hashes of
+    (stored ∪ partial). Pure array expressions — the combine runs
     inside the store's touched-bucket rewrite."""
-    merged = cur.select(
-        "priority", F.col("sketch").alias("_old")
-    ).join(
-        batch.select("priority", F.col("sketch").alias("_new")),
-        "priority",
+    merged = cur.select(key, F.col("sketch").alias("_old")).join(
+        batch.select(key, F.col("sketch").alias("_new")),
+        key,
         "full_outer",
     )
     empty = F.array().cast("array<long>")
     return merged.select(
-        "priority",
+        key,
         F.slice(
             F.array_sort(
                 F.array_distinct(
@@ -163,4 +166,85 @@ def run_stream_distinct_sketch(
         F.expr(f"({k - 1} * {T.HASH_MOD}L) div element_at(sketch, {k})").alias(
             "est_distinct"
         ),
+    )
+
+
+def run_stream_windowed_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct users per hourly event-time window, maintained as
+    per-window KMV sketches across micro-batches — the composition of
+    event-time windowing with the mergeable sketch that replaces
+    exact per-window distinct state at scale.
+
+    Below k distinct values the sketch IS the distinct set, so the
+    estimate is exact (the standard KMV regime split); above k it
+    switches to the (k-1)*M/h_k estimator. Window state is bounded by
+    (windows seen × k longs) — contrast exact streaming distinct,
+    whose state carries every (window, user) pair.
+    """
+    from .sources import events_file_stream, stage_events
+
+    staging = stage_events(
+        spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
+    )
+    store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "window_sketches"),
+        key_cols=["window_start_ms"],
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        hashed = batch.select(
+            F.unix_millis(
+                F.date_trunc("hour", F.timestamp_millis(F.col("ts_ms")))
+            ).alias("window_start_ms"),
+            T.scrambled_hash(
+                F.concat(F.lit("wdu:"), F.col("user_id"))
+            ).alias("h"),
+        ).distinct()
+        w = Window.partitionBy("window_start_ms").orderBy("h")
+        return (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("window_start_ms")
+            .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
+        )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(
+            partial(batch),
+            combine=lambda cur, b: merge_sketches(
+                cur, b, k, key="window_start_ms"
+            ),
+            batch_id=batch_id,
+        )
+
+    query = (
+        events_file_stream(spark, staging, max_files_per_trigger)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_wdu")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    final = store.current()
+    assert final is not None
+    size = F.size("sketch")
+    est = F.when(size < k, size.cast("long")).otherwise(
+        F.expr(f"({k - 1} * {T.HASH_MOD}L) div element_at(sketch, {k})")
+    )
+    return final.select(
+        "window_start_ms",
+        size.alias("sketch_size"),
+        est.alias("est_distinct"),
     )
