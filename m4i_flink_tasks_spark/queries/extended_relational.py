@@ -127,6 +127,47 @@ ORDER BY order_year, o_orderpriority
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for: exactly (year), (priority), and () totals in one pass, WITHOUT
+    the (year, priority) cell a rollup would also compute. Same Expand-
+    based plan as the rollup: one scan, one shuffle, each input row
+    replicated once per set. A grouping_id column disambiguates the
+    NULL-as-total rows from genuine NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["order_year"], ["o_orderpriority"], []],
+            "order_year",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("grouping_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("grouping_id", "order_year", "o_orderpriority")
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       o_orderpriority,
+       grouping(order_year) * 2 + grouping(o_orderpriority)
+           AS grouping_id,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())
+ORDER BY grouping_id, order_year, o_orderpriority
+"""
+
+
 def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 2^2 grouping combinations."""
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -608,6 +649,7 @@ QUERIES = {
     "promo_revenue_by_month": promo_revenue_by_month,
     "discounted_part_revenue": discounted_part_revenue,
     "rollup_order_totals": rollup_order_totals,
+    "grouping_sets_revenue": grouping_sets_revenue,
     "cube_lineitem_stats": cube_lineitem_stats,
     "direct_change_classifier": direct_change_classifier,
     "asof_join_orders_events": asof_join_orders_events,
@@ -623,6 +665,7 @@ ORACLES = {
     "promo_revenue_by_month": PROMO_REVENUE_SQL,
     "discounted_part_revenue": DISCOUNTED_PART_SQL,
     "rollup_order_totals": ROLLUP_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
     "cube_lineitem_stats": CUBE_SQL,
     "direct_change_classifier": DIRECT_CHANGE_SQL,
     "asof_join_orders_events": ASOF_JOIN_SQL,
