@@ -41,6 +41,7 @@ from . import (
     sketches,
     state_store,
     streaming_like,
+    subqueries,
     warehouse,
 )
 
@@ -48,6 +49,7 @@ from . import (
 _MODULES = (
     relational,
     extended_relational,
+    subqueries,
     cdc,
     state_store,
     graph,

@@ -278,3 +278,40 @@ def test_pivot_is_single_aggregate_shuffle(plans):
     assert "SortMergeJoin" not in plan
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 1, f"pivot has {n_hash} hash exchanges"
+
+
+def test_subquery_shapes_decorrelate(plans):
+    """The EXISTS / NOT EXISTS family must plan as LeftSemi/LeftAnti
+    hash joins — never a cartesian/nested-loop fallback, which at 100 TB
+    is O(n*m). q21's compound non-equi term rides the equi-join on
+    l_orderkey, so it must still hash-partition, with the inequality as
+    a join residual."""
+    semi = plans["q4_priority_exists"]
+    assert "LeftSemi" in semi, f"q4 lost its semi join:\n{semi}"
+    anti = plans["q22_idle_customers"]
+    assert "LeftAnti" in anti, f"q22 lost its anti join:\n{anti}"
+    q21 = plans["q21_sole_returner_suppliers"]
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    for name in ("q4_priority_exists", "q21_sole_returner_suppliers",
+                 "q22_idle_customers", "q17_small_quantity_revenue",
+                 "q13_customer_distribution"):
+        plan = plans[name]
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        # q22's one-row scalar-average broadcast is the single sanctioned
+        # nested-loop: a cross join against a 1-row aggregate. Any other
+        # BNLJ (or a second one anywhere) is a data-sized blowup.
+        budget = 1 if name == "q22_idle_customers" else 0
+        # Formatted explain repeats every node in the details section —
+        # count in the tree block only.
+        n_bnlj = plan.split("\n\n")[0].count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= budget, (
+            f"{name} has {n_bnlj} nested-loop joins (budget {budget})"
+        )
+
+
+def test_q17_threshold_join_broadcasts(plans):
+    """The correlated-scalar rewrite must broadcast both the brand
+    filter and the per-part thresholds — lineitem is never shuffled."""
+    plan = plans["q17_small_quantity_revenue"]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -62,6 +62,17 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if only:
+        # Named queries may be extras (pytest-pinned, not declared) —
+        # pull those in too so new work can be pre-flighted by name.
+        from m4i_flink_tasks_spark.queries import extra_oracles, extra_queries
+
+        queries = {**queries, **extra_queries()}
+        oracles = {**oracles, **extra_oracles()}
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
     results: dict[str, dict] = {}
     n_bad = 0
     for name, fn in queries.items():
