@@ -29,6 +29,7 @@ from . import (
     doc_maintenance,
     extended_relational,
     graph,
+    graph_analytics,
     llm_corpus,
     llm_decontam,
     llm_dedup,
@@ -53,6 +54,7 @@ _MODULES = (
     cdc,
     state_store,
     graph,
+    graph_analytics,
     doc_maintenance,
     doc_lifecycle,
     streaming_like,

@@ -1,0 +1,317 @@
+"""Graph-analytics queries over the supplier co-occurrence graph.
+
+The reference's graph surface is hierarchy maintenance (G1-G28:
+supertype closures, breadcrumbs) — no whole-graph analytics. This module
+adds the analytics a data-platform team runs NEXT on the same entity
+graph: degree profiles, triangle counting, and common-neighbor link
+prediction, each expressed as pure DataFrame joins/aggregations so
+Catalyst/AQE pick the physical strategy.
+
+Graph construction: the raw "co-supplied ≥1 order" relation is
+COMPLETE on this data (every supplier pair shares some order), so the
+graph is sparsified the way production similarity graphs are: each
+node keeps only its top-k strongest neighbors by co-supply weight
+(k=3, ties broken by suppkey), and the union of those directed picks
+is the undirected edge set. That keeps degree bounded regardless of
+data scale — the same reason ANN pipelines emit k-NN graphs rather
+than thresholded ones. Orders carry a bounded number of lines, so the
+per-order pair fan-out is O(lines²) with a small constant — at 100 TB
+the edge build shuffles lineitem once on l_orderkey, the weight
+aggregation once on the pair key, and the top-k is a per-node window
+(shuffle on node), all with map-side partial aggregation.
+
+Triangle counting uses the degree-ordered orientation (the classic
+"compact-forward" scheme, e.g. Latapy, TCS 2008; also the standard
+vertex-ordering MapReduce formulation in Suri & Vassilvitskii, WWW
+2011): orient every undirected edge from the (degree, id)-smaller
+endpoint to the larger, so each triangle is counted exactly once and
+the wedge join fans out from LOW-degree vertices only — the skewed
+high-degree hub never enumerates its neighbor pairs, which is what
+makes the join survive power-law graphs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+_K_NEIGHBORS = 3
+
+_EDGES_SQL = f"""
+li AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+pair_w AS (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS wt
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+),
+sym_w AS (
+    SELECT s1 AS u, s2 AS v, wt FROM pair_w
+    UNION ALL
+    SELECT s2 AS u, s1 AS v, wt FROM pair_w
+),
+knn AS (
+    SELECT u, v
+    FROM (SELECT u, v,
+                 row_number() OVER (PARTITION BY u
+                                    ORDER BY wt DESC, v) AS r
+          FROM sym_w)
+    WHERE r <= {_K_NEIGHBORS}
+),
+edges AS (
+    SELECT DISTINCT least(u, v) AS s1, greatest(u, v) AS s2 FROM knn
+)
+"""
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (s1 < s2) undirected top-k co-supply edges."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pair_w = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    sym_w = pair_w.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v"), "wt"
+    ).unionAll(
+        pair_w.select(F.col("s2").alias("u"), F.col("s1").alias("v"), "wt")
+    )
+    win = Window.partitionBy("u").orderBy(F.desc("wt"), F.asc("v"))
+    knn = (
+        sym_w.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= _K_NEIGHBORS)
+        .select("u", "v")
+    )
+    return knn.select(
+        F.least("u", "v").alias("s1"), F.greatest("u", "v").alias("s2")
+    ).distinct()
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree over the undirected edge set."""
+    return (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-supply graph.
+
+    Two aggregations: node degree (shuffle on node), then histogram
+    (shuffle on degree — tiny). The degree profile is the first thing
+    to check before any graph workload: it tells you whether the wedge
+    join needs the degree-ordered orientation at all.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    return (
+        _degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy("degree")
+    )
+
+
+DEGREE_DISTRIBUTION_SQL = f"""
+WITH {_EDGES_SQL},
+deg AS (
+    SELECT node, count(*) AS degree
+    FROM (SELECT s1 AS node FROM edges
+          UNION ALL
+          SELECT s2 AS node FROM edges) both_ends
+    GROUP BY node
+)
+SELECT degree, count(*) AS n_suppliers
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle / wedge census via degree-ordered orientation.
+
+    Each undirected edge is oriented from its (degree, id)-smaller
+    endpoint to the larger; wedges are enumerated by joining oriented
+    edges head-to-tail and closed by a LeftSemi probe for the third
+    edge. Every triangle is produced exactly once. The degree map is
+    node-sized (a dimension), so both rank joins broadcast; the wedge
+    and closure joins shuffle on a single key each.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    # Orientation key: (degree, node) lexicographic, encoded as a
+    # single comparable struct per endpoint via two broadcast joins.
+    d1 = deg.select(
+        F.col("node").alias("s1"),
+        F.col("degree").alias("deg1"),
+    )
+    d2 = deg.select(
+        F.col("node").alias("s2"),
+        F.col("degree").alias("deg2"),
+    )
+    ranked = edges.join(F.broadcast(d1), "s1").join(F.broadcast(d2), "s2")
+    fwd = F.struct(F.col("deg1"), F.col("s1")) < F.struct(
+        F.col("deg2"), F.col("s2")
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("lo"),
+        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("hi"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2, F.col("e1.hi") == F.col("e2.lo")
+    ).select(
+        F.col("e1.lo").alias("u"),
+        F.col("e1.hi").alias("v"),
+        F.col("e2.hi").alias("w"),
+    )
+    closing = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w")
+    )
+    triangles = wedges.join(closing, ["u", "w"], "left_semi")
+    return (
+        triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(
+            F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        )
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH {_EDGES_SQL},
+deg AS (
+    SELECT node, count(*) AS degree
+    FROM (SELECT s1 AS node FROM edges
+          UNION ALL
+          SELECT s2 AS node FROM edges) both_ends
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN (d1.degree, e.s1) < (d2.degree, e.s2)
+                THEN e.s1 ELSE e.s2 END AS lo,
+           CASE WHEN (d1.degree, e.s1) < (d2.degree, e.s2)
+                THEN e.s2 ELSE e.s1 END AS hi
+    FROM edges e
+    JOIN deg d1 ON d1.node = e.s1
+    JOIN deg d2 ON d2.node = e.s2
+),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e1.hi = e2.lo
+    WHERE EXISTS (SELECT 1 FROM oriented e3
+                  WHERE e3.lo = e1.lo AND e3.hi = e2.hi)
+)
+SELECT (SELECT count(*) FROM deg)   AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+def common_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction: top supplier pairs by shared neighbors.
+
+    The wedge join enumerates length-2 paths u—v—w (u < w, canonical),
+    counts them per (u, w), and drops pairs already connected with a
+    LeftAnti probe — i.e. recommend the strongest NOT-yet-existing
+    link. Same join skeleton as the triangle census, so the same
+    degree-skew reasoning applies; top-k is a TakeOrdered, not a full
+    sort.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    # Symmetrize so every wedge center sees its full neighborhood.
+    sym = edges.select("s1", "s2").unionAll(
+        edges.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    p1 = sym.alias("p1")
+    p2 = sym.alias("p2")
+    paths = p1.join(
+        p2,
+        (F.col("p1.s2") == F.col("p2.s1"))
+        & (F.col("p1.s1") < F.col("p2.s2")),
+    ).select(
+        F.col("p1.s1").alias("u"),
+        F.col("p2.s2").alias("w"),
+    )
+    counted = paths.groupBy("u", "w").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    existing = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("w")
+    )
+    return (
+        counted.join(existing, ["u", "w"], "left_anti")
+        .orderBy(F.desc("common_neighbors"), "u", "w")
+        .limit(10)
+        .select(
+            F.col("u").alias("suppkey_a"),
+            F.col("w").alias("suppkey_b"),
+            "common_neighbors",
+        )
+    )
+
+
+COMMON_NEIGHBOR_SQL = f"""
+WITH {_EDGES_SQL},
+sym AS (
+    SELECT s1, s2 FROM edges
+    UNION ALL
+    SELECT s2 AS s1, s1 AS s2 FROM edges
+),
+paths AS (
+    SELECT p1.s1 AS u, p2.s2 AS w
+    FROM sym p1
+    JOIN sym p2 ON p1.s2 = p2.s1 AND p1.s1 < p2.s2
+),
+counted AS (
+    SELECT u, w, count(*) AS common_neighbors
+    FROM paths
+    GROUP BY u, w
+)
+SELECT u AS suppkey_a, w AS suppkey_b, common_neighbors
+FROM counted
+WHERE NOT EXISTS (SELECT 1 FROM edges
+                  WHERE edges.s1 = counted.u AND edges.s2 = counted.w)
+ORDER BY common_neighbors DESC, u, w
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "degree_distribution": degree_distribution,
+    "triangle_count": triangle_count,
+    "common_neighbor_topk": common_neighbor_topk,
+}
+
+ORACLES = {
+    "degree_distribution": DEGREE_DISTRIBUTION_SQL,
+    "triangle_count": TRIANGLE_COUNT_SQL,
+    "common_neighbor_topk": COMMON_NEIGHBOR_SQL,
+}

@@ -315,3 +315,28 @@ def test_q17_threshold_join_broadcasts(plans):
     plan = plans["q17_small_quantity_revenue"]
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_census_broadcasts_degree_map(plans):
+    """The degree map is node-sized (a dimension): both rank joins in
+    the triangle census must broadcast, and nothing may fall back to a
+    cartesian/nested-loop — the wedge and closure joins hash-partition
+    on their single keys."""
+    plan = plans["triangle_count"]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # The only sanctioned nested-loops are the two one-row census
+    # attachments (edge count, node count) cross-joined onto the
+    # single-row triangle aggregate.
+    n_bnlj = tree.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 2, f"triangle census has {n_bnlj} nested-loop joins"
+
+
+def test_common_neighbor_topk_is_takeordered(plans):
+    """Top-k link prediction must plan TakeOrderedAndProject — a full
+    global sort of the candidate pairs would materialize O(wedges)
+    rows through a single-partition exchange."""
+    plan = plans["common_neighbor_topk"]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
