@@ -43,6 +43,7 @@ from . import (
     state_store,
     streaming_like,
     subqueries,
+    text_ranking,
     warehouse,
 )
 
@@ -62,6 +63,7 @@ _MODULES = (
     llm_dedup,
     llm_similarity,
     llm_text,
+    text_ranking,
     llm_corpus,
     llm_decontam,
     llm_multimodal,

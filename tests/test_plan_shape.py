@@ -340,3 +340,15 @@ def test_common_neighbor_topk_is_takeordered(plans):
     plan = plans["common_neighbor_topk"]
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_ranking_broadcasts_vocabulary(plans):
+    """TF-IDF / BM25 score joins attach vocabulary-sized (df) and
+    single-row (corpus stats) relations — all must broadcast; the token
+    stream is shuffled once for the TF aggregate and never again for a
+    join."""
+    for name in ("tfidf_top_terms", "bm25_search"):
+        plan = plans[name]
+        assert "BroadcastHashJoin" in plan, f"{name}: df join not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: token stream re-shuffled"
+    assert "TakeOrderedAndProject" in plans["bm25_search"]
