@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analytic_windows,
     cdc,
     doc_lifecycle,
     doc_maintenance,
@@ -69,6 +70,7 @@ _MODULES = (
     llm_multimodal,
     sketches,
     warehouse,
+    analytic_windows,
     profiling,
 )
 

@@ -352,3 +352,14 @@ def test_text_ranking_broadcasts_vocabulary(plans):
         assert "BroadcastHashJoin" in plan, f"{name}: df join not broadcast"
         assert "SortMergeJoin" not in plan, f"{name}: token stream re-shuffled"
     assert "TakeOrderedAndProject" in plans["bm25_search"]
+
+
+def test_range_frame_single_shuffle(plans):
+    """The trailing-30-day RANGE window must cost exactly one hash
+    exchange (the o_custkey partitioning) plus the presentational final
+    sort — a second hash exchange means the frame stopped riding the
+    partition sort."""
+    tree = plans["rolling_30d_customer_revenue"].split("\n\n")[0]
+    n_hash = tree.count("Exchange hashpartitioning")
+    assert n_hash <= 1, f"range frame has {n_hash} hash exchanges:\n{tree}"
+    assert "Window" in tree
