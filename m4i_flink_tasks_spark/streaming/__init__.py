@@ -24,6 +24,7 @@ from .determine_change import (
     run_determine_change,
     run_determine_change_entities,
 )
+from .heavy_hitters import run_stream_heavy_hitters
 from .synchronize import run_synchronize
 from .synchronize_docs import run_synchronize_appsearch
 from .windowed import run_windowed_counts
@@ -38,6 +39,7 @@ __all__ = [
     "run_publish_state",
     "run_determine_change",
     "run_determine_change_entities",
+    "run_stream_heavy_hitters",
     "run_synchronize",
     "run_synchronize_appsearch",
     "run_windowed_counts",
