@@ -504,10 +504,74 @@ ORDER BY source, seq_id
 """
 
 
+# --------------------------------------------------------------------------
+# exact-size stratified sample (fixed k per stratum)
+# --------------------------------------------------------------------------
+
+_FIXED_K = 25
+
+
+def stratified_fixed_k_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) documents per language, by hash order.
+
+    Rate-gating (``corpus_sampling_splits``) yields binomial sample
+    sizes; class-balancing a training mix needs GUARANTEED counts.
+    Ordering each stratum by a salted cross-engine hash and keeping
+    ``row_number() <= k`` is a uniform without-replacement sample that
+    is a pure function of the data — stable under re-partitioning and
+    reproducible by the SQL oracle (doc_id breaks hash ties).
+
+    Scale: one shuffle on the stratum key. The window sorts each
+    stratum, which at 100 TB is wasteful for k << |stratum|; the
+    standard refinement pre-filters with an approximate per-stratum
+    k-th-hash threshold (computed from a sample, semantics unchanged
+    because the final row_number re-checks exactly) so the sort sees
+    only ~k rows per stratum. Not needed at test scale; the filter
+    would slot between the hash projection and the window.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = T.poly_hash(
+        F.concat(F.lit("fixk:"), F.col("doc_id").cast("string"))
+    )
+    win = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= _FIXED_K)
+        .select("lang", "sample_rank", "doc_id", "h")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def _fixed_k_sql() -> str:
+    h = _poly_hash_sql("'fixk:' || doc_id::VARCHAR")
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, lang, {h} AS h
+    FROM documents
+),
+ranked AS (
+    SELECT lang, doc_id, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS sample_rank
+    FROM hashed
+)
+SELECT lang, sample_rank, doc_id, h
+FROM ranked
+WHERE sample_rank <= {_FIXED_K}
+ORDER BY lang, sample_rank
+"""
+
+
 QUERIES = {
     "repetition_metrics": repetition_metrics,
     "corpus_token_stats": corpus_token_stats,
     "corpus_sampling_splits": corpus_sampling_splits,
+    "stratified_fixed_k_sample": stratified_fixed_k_sample,
     "pii_scrub": pii_scrub,
     "sequence_packing": sequence_packing,
 }
@@ -516,6 +580,7 @@ ORACLES = {
     "repetition_metrics": REPETITION_SQL,
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
     "corpus_sampling_splits": _sampling_splits_sql(),
+    "stratified_fixed_k_sample": _fixed_k_sql(),
     "pii_scrub": PII_SCRUB_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
 }
