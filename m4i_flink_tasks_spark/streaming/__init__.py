@@ -25,6 +25,7 @@ from .determine_change import (
     run_determine_change_entities,
 )
 from .heavy_hitters import run_stream_heavy_hitters
+from .session_state import run_stream_sessions
 from .synchronize import run_synchronize
 from .synchronize_docs import run_synchronize_appsearch
 from .windowed import run_windowed_counts
@@ -40,6 +41,7 @@ __all__ = [
     "run_determine_change",
     "run_determine_change_entities",
     "run_stream_heavy_hitters",
+    "run_stream_sessions",
     "run_synchronize",
     "run_synchronize_appsearch",
     "run_windowed_counts",
