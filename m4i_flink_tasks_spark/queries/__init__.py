@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     analytic_windows,
     cdc,
+    collocations,
     doc_lifecycle,
     doc_maintenance,
     extended_relational,
@@ -65,6 +66,7 @@ _MODULES = (
     llm_similarity,
     llm_text,
     text_ranking,
+    collocations,
     llm_corpus,
     llm_decontam,
     llm_multimodal,
