@@ -101,15 +101,20 @@ _MODULES = (
 # direct_change_classifier, text_metrics — all stay pytest-pinned).
 #
 # ROTATION PLAN (next round, once the current 50 are attested): rotate
-# in the strongest of this round's new families —
+# in the strongest of the newer families —
 # approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, scd2_user_status, scd2_point_in_time,
 # stream_scd2_dimension, stream_distinct_sketch, table_profile,
-# integrity_checks, jl_random_projection — against rows that will then
-# hold fresh attestations (candidates: q6_forecast_revenue,
-# rollup_order_totals, cube_lineitem_stats, set_operations,
-# tumbling_window_counts, breadcrumb_prefix_ops, store_filter_scan,
-# corpus_token_stats, pii_scrub, multimodal_frame_sampling).
+# integrity_checks, jl_random_projection, and from the later r3 wave:
+# q4_priority_exists / q21_sole_returner_suppliers (semi/anti shapes),
+# q17_small_quantity_revenue (correlated-scalar rewrite),
+# triangle_count, tfidf_top_terms, bm25_search, pmi_collocations,
+# rolling_30d_customer_revenue, stratified_fixed_k_sample —
+# against rows that will then hold fresh attestations (candidates:
+# q6_forecast_revenue, rollup_order_totals, cube_lineitem_stats,
+# set_operations, tumbling_window_counts, breadcrumb_prefix_ops,
+# store_filter_scan, corpus_token_stats, pii_scrub,
+# multimodal_frame_sampling).
 DRIVER_QUERIES: tuple[str, ...] = (
     # relational engine proofs (flagship bench queries; rotated in r3:
     # q3/q6/top-N/rollup/cube/set-op/as-of forms)
