@@ -25,6 +25,7 @@ from .determine_change import (
     run_determine_change_entities,
 )
 from .heavy_hitters import run_stream_heavy_hitters
+from .incremental_agg import run_incremental_pricing_summary
 from .session_state import run_stream_sessions
 from .synchronize import run_synchronize
 from .synchronize_docs import run_synchronize_appsearch
@@ -40,6 +41,7 @@ __all__ = [
     "run_publish_state",
     "run_determine_change",
     "run_determine_change_entities",
+    "run_incremental_pricing_summary",
     "run_stream_heavy_hitters",
     "run_stream_sessions",
     "run_synchronize",
