@@ -43,6 +43,11 @@ LINEITEM_STREAM_SCHEMA = (
     "l_shipdate_ms bigint"
 )
 
+# Retract-stream variant: every record carries an op — 'insert' adds its
+# measures to the view, 'retract' subtracts them (the Flink retract-stream
+# contract; the reference engine's dynamic-table updates work this way).
+RETRACT_STREAM_SCHEMA = LINEITEM_STREAM_SCHEMA + ", op string"
+
 _CUTOFF_MS = 904694400000  # 1998-09-02 UTC — q1's shipdate cutoff
 
 
@@ -75,21 +80,29 @@ def stage_lineitem(
     return staging_dir
 
 
-def batch_partial(batch: DataFrame) -> DataFrame:
+def batch_partial(batch: DataFrame, signed: bool = False) -> DataFrame:
     """Additive partial of the q1 aggregate for one micro-batch — the
     identical filter and measures as the batch query, with avg kept as
-    (sum, count) parts."""
+    (sum, count) parts. With ``signed``, each record's ``op`` column
+    weights its contribution (+1 insert / -1 retract), which is ALL
+    that retraction support requires for distributive aggregates: a
+    retraction is a negative delta flowing through the same combine."""
+    sign = (
+        F.when(F.col("op") == "retract", F.lit(-1.0)).otherwise(F.lit(1.0))
+        if signed
+        else F.lit(1.0)
+    )
     return (
         batch.filter(F.col("l_shipdate_ms") <= _CUTOFF_MS)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(sign * F.col("l_quantity")).alias("sum_qty"),
+            F.sum(sign * F.col("l_extendedprice")).alias("sum_base_price"),
             F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                sign * F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.sum("l_discount").alias("sum_discount"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(sign * F.col("l_discount")).alias("sum_discount"),
+            F.sum(sign.cast("long")).alias("count_order"),
         )
     )
 
@@ -161,6 +174,105 @@ def run_incremental_pricing_summary(
         .writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", os.path.join(workdir, "ckpt_q1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    final = store.current()
+    assert final is not None
+    return final.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round(F.col("sum_discount") / F.col("count_order"), 6).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+RETRACT_ORDERKEY_MOD = 10
+RETRACT_ORDERKEY_REM = 3
+
+
+def stage_retract_feed(
+    spark: SparkSession, sf_dir: str, staging_dir: str
+) -> str:
+    """Stage a 4-file retract stream: files 1-3 insert the fact in
+    orderkey ranges; file 4 retracts every row with
+    ``l_orderkey % 10 == 3`` (all inserted earlier). Idempotent."""
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        return staging_dir
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        F.unix_millis("l_shipdate").alias("l_shipdate_ms"),
+    )
+    inserts = li.withColumn("op", F.lit("insert")).repartitionByRange(
+        3, "l_orderkey"
+    )
+    inserts.write.mode("overwrite").parquet(staging_dir)
+    retracts = li.filter(
+        F.col("l_orderkey") % RETRACT_ORDERKEY_MOD == RETRACT_ORDERKEY_REM
+    ).withColumn("op", F.lit("retract"))
+    (
+        retracts.coalesce(1)
+        .write.mode("append")
+        .parquet(staging_dir)
+    )
+    parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
+    # order files: the 3 insert ranges first, then the retract file —
+    # the append wrote the newest file last, so mtime order already
+    # matches; pin it explicitly for restart determinism.
+    t0 = time.time() - len(parts) - 1
+    for i, path in enumerate(parts):
+        os.utime(path, (t0 + i, t0 + i))
+    return staging_dir
+
+
+def run_incremental_with_retractions(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Maintain the q1 view over a retract stream; the final view must
+    equal the batch aggregate over the NET rows (inserted minus
+    retracted)."""
+    staging = stage_retract_feed(
+        spark, sf_dir, os.path.join(workdir, "staging_retract")
+    )
+    store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "q1_view_retract"),
+        key_cols=["l_returnflag", "l_linestatus"],
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(
+            batch_partial(batch, signed=True),
+            combine=merge_partials,
+            batch_id=batch_id,
+        )
+
+    reader = spark.readStream.schema(RETRACT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    query = (
+        reader.parquet(staging)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_q1_retract")
+        )
         .trigger(availableNow=True)
         .start()
     )

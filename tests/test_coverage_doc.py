@@ -61,6 +61,7 @@ def test_documented_query_names_exist():
             "from_json",
             "to_json",
             "map_zip_with",
+            "run_incremental_with_retractions",
             "kafka_events_stream",
             "kafka_events_writer",
             "parse_kafka_events",

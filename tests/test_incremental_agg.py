@@ -73,3 +73,64 @@ def test_incremental_view_mid_stream_restart(spark, sf_dir):
     )
     bat = sorted(map(tuple, q1_pricing_summary(spark, sf_dir).collect()))
     assert final == bat
+
+
+def test_retract_stream_nets_out(spark, sf_dir):
+    """Flink-style retract stream: inserts then retractions of the
+    orderkey%10==3 slice must leave the view equal to the batch
+    aggregate over the surviving rows — a retraction is just a negative
+    delta through the same additive combine."""
+    from pyspark.sql import functions as F
+
+    from m4i_flink_tasks_spark.sources import load_table
+    from m4i_flink_tasks_spark.streaming.incremental_agg import (
+        RETRACT_ORDERKEY_MOD,
+        RETRACT_ORDERKEY_REM,
+        run_incremental_with_retractions,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_ivm_retract_")
+    got = sorted(
+        map(
+            tuple,
+            run_incremental_with_retractions(spark, sf_dir, wd).collect(),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % RETRACT_ORDERKEY_MOD != RETRACT_ORDERKEY_REM
+    )
+    expected = sorted(
+        map(
+            tuple,
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02").cast("timestamp")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias(
+                    "sum_base_price"
+                ),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect(),
+        )
+    )
+    # Insert-then-subtract leaves float residue the never-added batch
+    # path doesn't have, which can flip a value sitting exactly on the
+    # round() boundary (observed: half a cent on a 2.2e7 sum). Group
+    # keys and counts must be exact; each double must agree within one
+    # rounding quantum.
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[0] == e[0] and g[1] == e[1] and g[6] == e[6], (g, e)
+        for i, tol in ((2, 0.011), (3, 0.011), (4, 0.011), (5, 2e-6)):
+            assert abs(g[i] - e[i]) <= tol, (i, g, e)
