@@ -291,3 +291,87 @@ def run_incremental_with_retractions(
         ),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+def run_backfill_then_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_backfill_files: int = 2,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Kappa-style migration: bootstrap the view from a BATCH read of
+    the historical files, then continue incrementally from the live
+    tail — the deployment path for moving an existing warehouse
+    aggregate onto streaming maintenance without a full replay.
+
+    The history and the tail are separate directories (modeling "the
+    lake" vs "the topic, whose retention no longer covers history");
+    the batch bootstrap is one aggregate + one store merge, and the
+    stream starts with NO knowledge of history beyond the state. The
+    result must equal the batch aggregate over ALL data — pinned by
+    test against ``q1_pricing_summary``.
+    """
+    staging = stage_lineitem(
+        spark, sf_dir, os.path.join(workdir, "staging_lineitem"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    history, tail = parts[:n_backfill_files], parts[n_backfill_files:]
+    tail_dir = os.path.join(workdir, "topic_tail")
+    if not os.path.exists(os.path.join(tail_dir, "_marker")):
+        os.makedirs(tail_dir, exist_ok=True)
+        for p in tail:
+            dst = os.path.join(tail_dir, os.path.basename(p))
+            if not os.path.exists(dst):
+                os.link(p, dst)
+            os.utime(dst, (os.stat(p).st_mtime, os.stat(p).st_mtime))
+        open(os.path.join(tail_dir, "_marker"), "w").close()
+
+    store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "q1_view_kappa"),
+        key_cols=["l_returnflag", "l_linestatus"],
+    )
+    if store.current() is None:
+        # Batch bootstrap: ONE aggregate over history, one merge. The
+        # negative batch_id keeps the stream's ids (0, 1, ...) strictly
+        # above it so replay dedup stays monotone.
+        bootstrap = batch_partial(spark.read.parquet(*history))
+        store.merge(bootstrap, combine=merge_partials, batch_id=-1)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store.merge(
+            batch_partial(batch),
+            combine=merge_partials,
+            batch_id=batch_id,
+        )
+
+    reader = spark.readStream.schema(LINEITEM_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    query = (
+        reader.parquet(tail_dir)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_kappa")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    final = store.current()
+    assert final is not None
+    return final.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round(F.col("sum_discount") / F.col("count_order"), 6).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")

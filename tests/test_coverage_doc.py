@@ -62,6 +62,7 @@ def test_documented_query_names_exist():
             "to_json",
             "map_zip_with",
             "run_incremental_with_retractions",
+            "run_backfill_then_stream",
             "kafka_events_stream",
             "kafka_events_writer",
             "parse_kafka_events",

@@ -134,3 +134,23 @@ def test_retract_stream_nets_out(spark, sf_dir):
         assert g[0] == e[0] and g[1] == e[1] and g[6] == e[6], (g, e)
         for i, tol in ((2, 0.011), (3, 0.011), (4, 0.011), (5, 2e-6)):
             assert abs(g[i] - e[i]) <= tol, (i, g, e)
+
+
+def test_backfill_then_stream_equals_batch(spark, sf_dir):
+    """Kappa migration: batch bootstrap over history + streaming tail
+    must equal the batch aggregate over all data, and re-running the
+    composition must be a no-op."""
+    from m4i_flink_tasks_spark.streaming.incremental_agg import (
+        run_backfill_then_stream,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_ivm_kappa_")
+    got = sorted(
+        map(tuple, run_backfill_then_stream(spark, sf_dir, wd).collect())
+    )
+    bat = sorted(map(tuple, q1_pricing_summary(spark, sf_dir).collect()))
+    assert got == bat
+    again = sorted(
+        map(tuple, run_backfill_then_stream(spark, sf_dir, wd).collect())
+    )
+    assert again == got
