@@ -567,7 +567,24 @@ ORDER BY lang, sample_rank
 """
 
 
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 12 BPE merges learned from the
+    corpus (operators/bpe.py). Iterative (argmax per merge), so there
+    is no single-statement SQL oracle — the trainer is instead pinned
+    merge-for-merge against an independent pure-Python BPE model
+    (tests/test_bpe.py). The per-iteration ``collect`` is ONE argmax
+    row (dimension-sized control flow, like the PageRank loop)."""
+    from ..operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _vocab = train_bpe(spark, docs, n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")
+
+
 QUERIES = {
+    "bpe_merge_table": bpe_merge_table,
     "repetition_metrics": repetition_metrics,
     "corpus_token_stats": corpus_token_stats,
     "corpus_sampling_splits": corpus_sampling_splits,

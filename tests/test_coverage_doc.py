@@ -80,6 +80,19 @@ def test_documented_query_names_exist():
     assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"
 
 
+# Iterative trainers whose per-step argmax cannot be one SQL statement;
+# each is pinned against an independent non-Spark model instead (the
+# driver records these as rows-only checks). Keep this list tiny and
+# justified per entry.
+_NON_SQL_EXPRESSIBLE = {
+    "bpe_merge_table",  # merge-for-merge vs pure-Python BPE (tests/test_bpe.py)
+}
+
+
 def test_all_queries_have_oracles():
     assert set(all_queries()) == set(all_oracles())
-    assert set(extra_queries()) == set(extra_oracles())
+    assert set(extra_queries()) - _NON_SQL_EXPRESSIBLE == set(
+        extra_oracles()
+    )
+    # every exception must still be a registered, runnable query
+    assert _NON_SQL_EXPRESSIBLE <= set(extra_queries())
