@@ -133,3 +133,38 @@ def greedy_merge_python(symbols: list[str], left: str, right: str) -> list[str]:
         else:
             out.append(s)
     return out
+
+
+def encode_vocab(vocab: DataFrame, merges: list[tuple]) -> DataFrame:
+    """Apply a trained merge sequence (in rank order) to the vocabulary's
+    symbol arrays — encoding runs on the VOCAB table, never the corpus;
+    documents get their tokens by a broadcast join on the word."""
+    for m in merges:
+        left, right = m[1], m[2]
+        vocab = _apply_merge(vocab, left, right)
+    return vocab
+
+
+def bpe_token_counts(
+    docs: DataFrame, encoded_vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Tokens per document under the trained BPE: explode words, join
+    the vocabulary-sized (word -> n_subwords) map broadcast, sum. The
+    corpus is touched once; no Python anywhere."""
+    word_tokens = F.broadcast(
+        encoded_vocab.select(
+            "word", F.size("symbols").alias("n_subwords")
+        )
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(word_tokens, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_subwords").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )

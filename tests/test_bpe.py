@@ -60,3 +60,39 @@ def test_bpe_merge_sequence_matches_python_model(spark, sf_dir):
         assert got[w] == (exp_freqs[w], syms), w
     # the merges actually compressed something
     assert any(len(s) < len(w) + 1 for w, (_, s) in got.items())
+
+
+def test_bpe_encoding_matches_python_model(spark, sf_dir):
+    """Applying the trained merges: per-word subword arrays and per-doc
+    token counts must match the Python model applying the same merges."""
+    from m4i_flink_tasks_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_vocab,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(spark, docs, N_MERGES)
+    vocab = word_frequencies(docs)
+    encoded = encode_vocab(vocab, merges)
+    got_vocab = {
+        r.word: list(r.symbols)
+        for r in encoded.select("word", "symbols").collect()
+    }
+    texts = [r.text for r in docs.select("text").collect()]
+    _, exp_vocab, _ = _python_bpe(texts, N_MERGES)
+    assert got_vocab == exp_vocab
+
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(docs, encoded).collect()
+    }
+    exp_counts: dict = {}
+    for r in docs.select("doc_id", "text").collect():
+        n = sum(
+            len(exp_vocab[w])
+            for w in r.text.strip().lower().split()
+            if w
+        )
+        exp_counts[r.doc_id] = n
+    assert counts == exp_counts
