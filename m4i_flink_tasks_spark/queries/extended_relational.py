@@ -485,7 +485,7 @@ NATION_VOLUME_SQL = """
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        year(l_shipdate) AS ship_year,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
            AS revenue_cents,
        count(*) AS n_items
 FROM lineitem

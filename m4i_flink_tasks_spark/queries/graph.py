@@ -346,7 +346,7 @@ WITH edges AS (
     SELECT (SELECT count(*) FROM nodes) AS n_nodes,
            (SELECT count(*) FROM outdeg) AS n_src
 ), in_scaled AS (
-    SELECT dst AS node, sum({_PR_SCALE} // outdeg) AS in_scaled
+    SELECT dst AS node, sum({_PR_SCALE} // outdeg)::BIGINT AS in_scaled
     FROM edges JOIN outdeg USING (src)
     GROUP BY dst
 )
@@ -479,7 +479,7 @@ WITH edges AS (
     parts.append(
         f"""
 SELECT node,
-       r AS rank_scaled,
+       r::BIGINT AS rank_scaled,
        round(r / {_PR_SCALE}::DOUBLE, 9) AS rank
 FROM r{n_iter}
 ORDER BY rank_scaled DESC, node

@@ -494,7 +494,7 @@ WITH sized AS (
 )
 SELECT source, seq_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens,
        min(doc_id) AS first_doc_id,
        max(doc_id) AS last_doc_id,
        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids

@@ -149,7 +149,7 @@ MIXTURE_WEIGHTS_SQL = f"""
 WITH s AS (
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens
+           sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
     FROM documents
     GROUP BY source
 )

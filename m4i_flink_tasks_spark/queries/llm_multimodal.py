@@ -121,7 +121,7 @@ def multimodal_metadata_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 METADATA_PRUNING_SQL = f"""
 SELECT {_MODALITY_SQL} AS modality,
        count(*) AS n_docs,
-       sum(n_chars) AS total_declared_bytes
+       sum(n_chars)::BIGINT AS total_declared_bytes
 FROM documents
 GROUP BY 1
 ORDER BY modality

@@ -188,7 +188,7 @@ WITH per_cust AS (
 )
 SELECT decile,
        count(*) AS n_customers,
-       sum(n_orders) AS n_orders,
+       sum(n_orders)::BIGINT AS n_orders,
        round(sum(revenue), 2) AS total_revenue,
        round(min(revenue), 2) AS min_revenue,
        round(max(revenue), 2) AS max_revenue
@@ -343,8 +343,8 @@ WITH bounds AS (
 SELECT s.user_id,
        date_diff('day', DATE '1970-01-01', s.day) AS day_num,
        coalesce(d.n_events, 0) AS n_events,
-       sum(coalesce(d.n_events, 0))
-           OVER (PARTITION BY s.user_id ORDER BY s.day) AS cum_events
+       (sum(coalesce(d.n_events, 0))
+           OVER (PARTITION BY s.user_id ORDER BY s.day))::BIGINT AS cum_events
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 ORDER BY s.user_id, day_num
 """

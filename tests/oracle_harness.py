@@ -67,27 +67,57 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def canonical_hash(df) -> str:
+    """The driver's pandas-based canonicalization: columns sorted by
+    name, float columns rounded, rows sorted, CSV-serialized, hashed.
+    CRITICALLY this is dtype-sensitive — an int64 column on one side
+    and float64 on the other (e.g. DuckDB HUGEINT sums coming back as
+    float64) hash differently even with equal values, so oracles must
+    cast aggregates to the dtype Spark produces."""
+    import hashlib
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == "float64" or df[c].dtype == "float32":
+            df[c] = df[c].round(6)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    payload = df.to_csv(index=False, float_format="%.6f")
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
 def compare(spark, query_fn, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
-    sdf = query_fn(spark, sf_dir)
-    s_cols = [c.lower() for c in sdf.columns]
-    s_rows = [tuple(r) for r in sdf.collect()]
+    """Driver-faithful comparison: BOTH sides go through pandas
+    (``toPandas`` / ``fetchdf``) and the same canonical hash, so dtype
+    drift surfaces here before a CORRECTNESS_r{N}.json row does. The
+    cell-level ``normalize`` diff runs only after a hash mismatch, to
+    say WHERE the results differ (value vs dtype-only)."""
+    sdf_df = query_fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf_df.columns]
+    spd = sdf_df.toPandas()
 
     con = duck_connection(sf_dir)
     res = con.execute(oracle_sql)
     d_cols = [d[0].lower() for d in res.description]
-    d_rows = res.fetchall()
+    dpd = res.fetchdf()
     con.close()
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    if len(spd) != len(dpd):
+        return False, f"row count mismatch: spark={len(spd)} duck={len(dpd)}"
 
-    sn = normalize(s_cols, s_rows)
-    dn = normalize(d_cols, d_rows)
+    if canonical_hash(spd) == canonical_hash(dpd):
+        return True, "ok"
+
+    # Hash mismatch — localize it: dtype-only, or a real value diff?
+    sn = normalize(s_cols, [tuple(r) for r in spd.itertuples(index=False)])
+    dn = normalize(d_cols, [tuple(r) for r in dpd.itertuples(index=False)])
     for i, (a, b) in enumerate(zip(sn, dn)):
         if a != b:
             return False, (
                 f"first diff at normalized row {i}:\n  spark={a}\n  duck ={b}"
             )
-    return True, "ok"
+    return False, (
+        "driver-canonical hash mismatch with no cell-level diff — "
+        f"dtype drift: spark={spd.dtypes.to_dict()} duck={dpd.dtypes.to_dict()}"
+    )
