@@ -323,3 +323,47 @@ def test_group_quantiles_monotone_and_bounded(spark):
         assert prices == sorted(prices)
         lo, hi = bounds[flag]
         assert lo <= prices[0] and prices[-1] <= hi
+
+
+def test_percentile_approx_swap_stays_within_gk_bound(spark, sf_dir):
+    """SCALE.md names percentile_approx (GK sketch) as the
+    high-cardinality swap for the exact quantiles — pin that claim: at
+    accuracy a, the approx estimate's RANK error must be within n/a of
+    the exact quantile's rank (the GK guarantee), per group."""
+    from pyspark.sql import functions as F
+
+    from m4i_flink_tasks_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    accuracy = 1000
+    both = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+            ).alias("exact"),
+            F.expr(
+                "percentile_approx(l_extendedprice, "
+                f"array(0.25, 0.5, 0.75), {accuracy})"
+            ).alias("approx"),
+            F.sort_array(F.collect_list("l_extendedprice")).alias("all_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert both
+    import bisect
+
+    for r in both:
+        # GK guarantee: rank error <= n/accuracy; +2 absorbs the
+        # discretization of mapping the returned VALUE back to a rank
+        # (a duplicated value occupies a rank interval).
+        max_rank_err = r.n / accuracy + 2
+        for q, (e, a) in zip((0.25, 0.5, 0.75), zip(r.exact, r.approx)):
+            target_rank = q * r.n
+            lo = bisect.bisect_left(r.all_v, a)
+            hi = bisect.bisect_right(r.all_v, a)
+            dist = max(lo - target_rank, target_rank - hi, 0)
+            assert dist <= max_rank_err, (
+                r.l_returnflag, q, e, a, lo, hi, target_rank
+            )
