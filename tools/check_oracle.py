@@ -12,8 +12,8 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
 from __future__ import annotations
 
-import hashlib
 import json
+import os
 import sys
 
 import duckdb
@@ -24,15 +24,12 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def _canon(df: pd.DataFrame) -> str:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == "float64" or df[c].dtype == "float32":
-            df[c] = df[c].round(6)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    payload = df.to_csv(index=False, float_format="%.6f")
-    return hashlib.sha256(payload.encode()).hexdigest()
+# ONE canonicalizer for the pre-flight tool and the pytest gate — any
+# drift between the two would let a dtype mismatch hide again (the 8
+# HUGEINT-sum oracles were exactly that failure mode).
+from tests.oracle_harness import canonical_hash as _canon  # noqa: E402
 
 
 def main() -> int:
