@@ -196,12 +196,46 @@ ORDER BY check_name
 """
 
 
+def zorder_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for the part table's (p_partkey, p_size) — the
+    clustering key a multi-dimension-filtered layout would sort by
+    (operators/zorder.py; skipping effect pinned by
+    tests/test_zorder_skipping.py against parquet footer stats). Pure
+    shift/mask integer arithmetic, identical in DuckDB."""
+    from ..operators.zorder import z_value
+
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            "p_size",
+            z_value("p_partkey", "p_size", 10).alias("z"),
+        )
+        .orderBy("z", "p_partkey")
+        .limit(500)
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import z_sql_duckdb
+
+    return f"""
+SELECT p_partkey, p_size,
+       {z_sql_duckdb("p_partkey", "p_size", 10)} AS z
+FROM part
+ORDER BY z, p_partkey
+LIMIT 500
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "integrity_checks": integrity_checks,
+    "zorder_mapping": zorder_mapping,
 }
 
 ORACLES = {
     "table_profile": TABLE_PROFILE_SQL,
     "integrity_checks": INTEGRITY_CHECKS_SQL,
+    "zorder_mapping": _zorder_sql(),
 }
