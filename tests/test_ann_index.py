@@ -1,0 +1,89 @@
+"""Streaming LSH index: probes against the maintained index must equal
+the batch LSH top-k over the same corpus, under re-runs and mid-stream
+restarts (the index materializes the same bucket function, and the
+combine dedups by vec_id, so ingest order cannot change the answer)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from m4i_flink_tasks_spark.operators.similarity import lsh_bucketed_topk
+from m4i_flink_tasks_spark.sources import load_table
+from m4i_flink_tasks_spark.streaming.ann_index import (
+    probe_topk,
+    run_stream_ann_index,
+    stage_embeddings,
+)
+
+# vec_id 4 sits in a multi-member LSH bucket at both test SFs, so the
+# probe (which excludes the query itself) returns a non-vacuous top-k.
+QUERY_VEC_ID = 4
+
+
+def _query_embedding(spark, sf_dir):
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()
+    )
+    assert row, "query vector missing from testdata"
+    return list(row[0].embedding)
+
+
+def _batch_answer(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sorted(
+        map(tuple, lsh_bucketed_topk(emb, QUERY_VEC_ID).collect())
+    )
+
+
+def test_index_probe_equals_batch_lsh(spark, sf_dir):
+    wd = tempfile.mkdtemp(prefix="m4i_ann_idx_")
+    store = run_stream_ann_index(spark, sf_dir, wd)
+    got = sorted(
+        map(
+            tuple,
+            probe_topk(
+                spark, store, QUERY_VEC_ID, _query_embedding(spark, sf_dir)
+            ).collect(),
+        )
+    )
+    assert got == _batch_answer(spark, sf_dir)
+    assert got, "probe returned nothing"
+
+
+def test_index_survives_mid_stream_restart(spark, sf_dir):
+    wd = tempfile.mkdtemp(prefix="m4i_ann_idx_restart_")
+    staging = stage_embeddings(
+        spark, sf_dir, os.path.join(wd, "staging_embeddings"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_ann_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    partial_store = run_stream_ann_index(spark, sf_dir, wd)
+    assert partial_store.current() is not None
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    store = run_stream_ann_index(spark, sf_dir, wd)
+    got = sorted(
+        map(
+            tuple,
+            probe_topk(
+                spark, store, QUERY_VEC_ID, _query_embedding(spark, sf_dir)
+            ).collect(),
+        )
+    )
+    assert got == _batch_answer(spark, sf_dir)

@@ -61,6 +61,8 @@ def test_documented_query_names_exist():
             "from_json",
             "to_json",
             "map_zip_with",
+            "probe_topk",
+            "run_stream_ann_index",
             "encode_vocab",
             "bpe_token_counts",
             "run_incremental_with_retractions",
