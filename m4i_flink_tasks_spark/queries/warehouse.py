@@ -615,7 +615,62 @@ ORDER BY bucket_low
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts and probabilities —
+    the sequence-analytics pass behind behavior models and funnels.
+
+    One window (lag over the per-user event order — the same keyed
+    shuffle every sequence feature shares) pairs each event with its
+    predecessor; transition counts are a tiny |types|² aggregate, and
+    the row-normalized probabilities ride a second window over that
+    dimension-sized relation. Determinism: ties in event order break
+    on event_id, probabilities round before output.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(row_total),
+            6,
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
+
+
+TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+), counted AS (
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions::DOUBLE
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+           AS p_transition
+FROM counted
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
     "scd2_user_status": scd2_user_status,
     "scd2_point_in_time": scd2_point_in_time,
     "weekly_retention": weekly_retention,
@@ -628,6 +683,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transition_matrix": TRANSITION_MATRIX_SQL,
     "scd2_user_status": SCD2_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
     "weekly_retention": WEEKLY_RETENTION_SQL,
