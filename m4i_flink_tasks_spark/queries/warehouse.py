@@ -615,6 +615,49 @@ ORDER BY bucket_low
 """
 
 
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution in weekly buckets, per
+    linestatus — the fulfillment-SLA profile. The latency is a
+    scan-stage datediff against the broadcast-joined order date, so
+    the histogram is one fact scan + one map-side-combinable aggregate
+    (orders is the smaller side and broadcasts; lineitem never
+    shuffles for the join)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    lat_days = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_linestatus",
+            F.floor(lat_days / 7).cast("long").alias("latency_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(lat_days).alias("min_days"),
+            F.max(lat_days).alias("max_days"),
+        )
+        .orderBy("l_linestatus", "latency_week")
+    )
+
+
+SHIP_LATENCY_SQL = """
+SELECT l_linestatus,
+       CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7.0)
+            AS BIGINT)                                    AS latency_week,
+       count(*)                                           AS n_lines,
+       min(date_diff('day', o_orderdate, l_shipdate))     AS min_days,
+       max(date_diff('day', o_orderdate, l_shipdate))     AS max_days
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+ORDER BY l_linestatus, latency_week
+"""
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition counts and probabilities —
     the sequence-analytics pass behind behavior models and funnels.
@@ -670,6 +713,7 @@ ORDER BY from_type, to_type
 
 
 QUERIES = {
+    "ship_latency_histogram": ship_latency_histogram,
     "event_transition_matrix": event_transition_matrix,
     "scd2_user_status": scd2_user_status,
     "scd2_point_in_time": scd2_point_in_time,
@@ -683,6 +727,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ship_latency_histogram": SHIP_LATENCY_SQL,
     "event_transition_matrix": TRANSITION_MATRIX_SQL,
     "scd2_user_status": SCD2_SQL,
     "scd2_point_in_time": SCD2_POINT_IN_TIME_SQL,
