@@ -675,6 +675,56 @@ def _stream_scd2_sql() -> str:
     return SCD2_SQL
 
 
+def stream_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles via a mergeable bottom-k uniform sample
+    (streaming/quantile_state.py): each micro-batch contributes its
+    k-smallest (tag, value) pairs per event type, the store keeps the k
+    smallest of the union — a set operation, so batch boundaries and
+    restarts cannot change the sample — and quantiles are rank-indexed
+    values of the value-sorted sample."""
+    from ..streaming.quantile_state import run_stream_quantile_sample
+
+    return run_stream_quantile_sample(
+        spark, sf_dir, _workdir("quantile_sample")
+    )
+
+
+def _stream_quantile_sample_sql() -> str:
+    from ..streaming.quantile_state import _QS, SAMPLE_K
+    from .sketches import _scrambled_hash_sql
+
+    scramble = _scrambled_hash_sql("'qs:' || event_id::VARCHAR")
+    # 0.x::DOUBLE * n keeps DuckDB's ceil on the same IEEE doubles Spark
+    # uses (decimal literals would round 0.99*100 to 99 where doubles
+    # give 99.000...01 -> 100).
+    q_cols = ",\n       ".join(
+        f"vals[greatest(CAST(ceil({q}::DOUBLE * n_sample) AS INT), 1)]"
+        f" AS q{int(q * 100)}"
+        for q in _QS
+    )
+    return f"""
+WITH tagged AS (
+    SELECT event_type, {scramble} AS tag, round(value, 6) AS v
+    FROM events
+), ranked AS (
+    SELECT event_type, tag, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY tag, v)
+               AS rn
+    FROM tagged
+), samp AS (
+    SELECT event_type, list_sort(list(v)) AS vals,
+           CAST(count(*) AS INT) AS n_sample
+    FROM ranked
+    WHERE rn <= {SAMPLE_K}
+    GROUP BY event_type
+)
+SELECT event_type, n_sample,
+       {q_cols}
+FROM samp
+ORDER BY event_type
+"""
+
+
 def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G26+G27 relationship-audit branches through the REAL dispatcher
     (``plans.synchronize_plan.synchronize_batch``) in one deterministic
@@ -960,6 +1010,7 @@ QUERIES = {
     "stream_distinct_sketch": stream_distinct_sketch,
     "stream_scd2_dimension": stream_scd2_dimension,
     "stream_windowed_distinct": stream_windowed_distinct,
+    "stream_quantile_sample": stream_quantile_sample,
 }
 
 ORACLES = {
@@ -979,4 +1030,5 @@ ORACLES = {
     "stream_distinct_sketch": _stream_distinct_sketch_sql(),
     "stream_scd2_dimension": _stream_scd2_sql(),
     "stream_windowed_distinct": _stream_windowed_distinct_sql(),
+    "stream_quantile_sample": _stream_quantile_sample_sql(),
 }
