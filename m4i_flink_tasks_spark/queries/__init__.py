@@ -46,6 +46,7 @@ from . import (
     streaming_like,
     subqueries,
     text_ranking,
+    tpch_tail,
     warehouse,
 )
 
@@ -54,6 +55,7 @@ _MODULES = (
     relational,
     extended_relational,
     subqueries,
+    tpch_tail,
     cdc,
     state_store,
     graph,
@@ -109,6 +111,8 @@ _MODULES = (
 # integrity_checks, jl_random_projection, and from the later r3 wave:
 # q4_priority_exists / q21_sole_returner_suppliers (semi/anti shapes),
 # q17_small_quantity_revenue (correlated-scalar rewrite),
+# q11_important_parts / q12_shipclass_priority / q16_supplier_part_counts /
+# q20_promotion_suppliers (the TPC-H tail — all 22 shapes now covered),
 # triangle_count, tfidf_top_terms, bm25_search, pmi_collocations,
 # rolling_30d_customer_revenue, stratified_fixed_k_sample —
 # against rows that will then hold fresh attestations (candidates:
