@@ -583,8 +583,80 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+
+_WRS_K = 100
+
+
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample without replacement: k documents
+    drawn with inclusion odds proportional to token count — the
+    source/quality-weighted mixing step of a training-data pipeline.
+
+    Efraimidis–Spirakis (2006) priority sampling: each row gets
+    ``key = u ** (1/w)`` for a uniform ``u`` and weight ``w``; the k
+    LARGEST keys are exactly a weighted sample without replacement.
+    ``u`` comes from the cross-engine scrambled hash of the salted
+    doc id (``(h+1)/M`` ∈ (0,1]), so the draw is a pure function of the
+    row — stable under re-partitioning, re-runs and cluster resizes,
+    and reproducible by the SQL oracle. The key is rounded before
+    ranking (house rule: cross-engine ``pow`` ulp noise must not
+    reorder the cut) with doc_id as the total-order tie-break.
+
+    Scale: one scan, zero shuffles — weight, hash and key are
+    whole-stage-codegen expressions and the global top-k is
+    TakeOrdered (per-partition heaps of k, driver merges k×partitions
+    rows). The priority-key trick is also how the sample stays
+    MERGEABLE: top-k-by-key of a union of per-partition top-ks equals
+    the top-k of the whole, the same set property the bottom-k
+    quantile state exploits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(T.token_count(F.col("text")), F.lit(1))
+    h = T.scrambled_hash(
+        F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))
+    )
+    u = (h + 1).cast("double") / F.lit(float(T.HASH_MOD))
+    key = F.round(F.pow(u, 1.0 / w.cast("double")), 9)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            w.alias("n_tokens"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+def _weighted_sample_sql() -> str:
+    scramble = _scrambled_hash_sql_local("'wrs:' || doc_id::VARCHAR")
+    return rf"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           greatest(len(string_split_regex(trim(text), '\s+')), 1)
+               AS n_tokens,
+           ({scramble} + 1)::DOUBLE / {T.HASH_MOD} AS u
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       round(pow(u, 1.0 / n_tokens::DOUBLE), 9) AS sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {_WRS_K}
+"""
+
+
+def _scrambled_hash_sql_local(expr: str) -> str:
+    return f"(({_poly_hash_sql(expr)}) * {T.MIX_MULT}) % {T.HASH_MOD}"
+
+
 QUERIES = {
     "bpe_merge_table": bpe_merge_table,
+    "weighted_corpus_sample": weighted_corpus_sample,
     "repetition_metrics": repetition_metrics,
     "corpus_token_stats": corpus_token_stats,
     "corpus_sampling_splits": corpus_sampling_splits,
@@ -594,6 +666,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_corpus_sample": _weighted_sample_sql(),
     "repetition_metrics": REPETITION_SQL,
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
     "corpus_sampling_splits": _sampling_splits_sql(),

@@ -166,6 +166,33 @@ def test_sampling_is_partitioning_invariant(spark, sf_dir):
         assert rate < 100  # this test assumes downsampling rates
 
 
+def test_weighted_sample_is_length_biased_and_stable(spark, sf_dir):
+    from m4i_flink_tasks_spark.queries.llm_corpus import (
+        _WRS_K,
+        weighted_corpus_sample,
+    )
+    from m4i_flink_tasks_spark.operators import text as T
+    from m4i_flink_tasks_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    a = weighted_corpus_sample(spark, sf_dir).collect()
+    assert len(a) == _WRS_K
+    # Pure row function: repartitioning cannot change the drawn set.
+    b = weighted_corpus_sample(spark, sf_dir)
+    assert a == b.repartition(7).orderBy(
+        F.desc("sample_key"), "doc_id"
+    ).collect()
+    # Weighting bites: the length-weighted sample overrepresents long
+    # documents (margin far below the ~1.2-1.3x observed at every SF).
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg(F.greatest(T.token_count(F.col("text")), F.lit(1))))
+        .first()[0]
+    )
+    sample_mean = sum(r["n_tokens"] for r in a) / len(a)
+    assert sample_mean > 1.05 * corpus_mean
+
+
 def test_split_fractions_roughly_match_design(spark, sf_dir):
     from m4i_flink_tasks_spark.queries.llm_corpus import corpus_sampling_splits
 
