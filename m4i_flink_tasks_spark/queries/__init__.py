@@ -107,7 +107,7 @@ _MODULES = (
 # approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, scd2_user_status, scd2_point_in_time,
 # stream_scd2_dimension, stream_distinct_sketch, stream_quantile_sample,
-# table_profile,
+# stream_weighted_sample, table_profile,
 # integrity_checks, jl_random_projection, and from the later r3 wave:
 # q4_priority_exists / q21_sole_returner_suppliers (semi/anti shapes),
 # q17_small_quantity_revenue (correlated-scalar rewrite),

@@ -614,21 +614,28 @@ def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile state exploits.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        es_keyed(docs)
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+def es_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, sample_key) — the ES priority-key
+    projection shared by the batch query above and the streaming
+    reservoir (streaming/weighted_sample_state.py)."""
     w = F.greatest(T.token_count(F.col("text")), F.lit(1))
     h = T.scrambled_hash(
         F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))
     )
     u = (h + 1).cast("double") / F.lit(float(T.HASH_MOD))
     key = F.round(F.pow(u, 1.0 / w.cast("double")), 9)
-    return (
-        docs.select(
-            "doc_id",
-            "lang",
-            w.alias("n_tokens"),
-            key.alias("sample_key"),
-        )
-        .orderBy(F.desc("sample_key"), "doc_id")
-        .limit(_WRS_K)
+    return docs.select(
+        "doc_id",
+        "lang",
+        w.alias("n_tokens"),
+        key.alias("sample_key"),
     )
 
 

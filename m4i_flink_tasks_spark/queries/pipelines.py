@@ -675,6 +675,49 @@ def _stream_scd2_sql() -> str:
     return SCD2_SQL
 
 
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-language weighted reservoir
+    (streaming/weighted_sample_state.py): each micro-batch contributes
+    its top-k documents by Efraimidis–Spirakis priority, the store
+    keeps the k largest of the union — a set operation, so the
+    maintained reservoir exactly equals the batch draw."""
+    from ..streaming.weighted_sample_state import run_stream_weighted_sample
+
+    return run_stream_weighted_sample(
+        spark, sf_dir, _workdir("weighted_sample")
+    )
+
+
+def _stream_weighted_sample_sql() -> str:
+    from ..streaming.weighted_sample_state import SAMPLE_K
+    from .llm_corpus import _scrambled_hash_sql_local
+
+    scramble = _scrambled_hash_sql_local("'wrs:' || doc_id::VARCHAR")
+    from ..operators import text as T
+
+    return rf"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           greatest(len(string_split_regex(trim(text), '\s+')), 1)
+               AS n_tokens,
+           ({scramble} + 1)::DOUBLE / {T.HASH_MOD} AS u
+    FROM documents
+), prioritized AS (
+    SELECT doc_id, lang, n_tokens,
+           round(pow(u, 1.0 / n_tokens::DOUBLE), 9) AS sample_key
+    FROM keyed
+), ranked AS (
+    SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn
+    FROM prioritized
+)
+SELECT lang, doc_id, n_tokens, sample_key
+FROM ranked
+WHERE rn <= {SAMPLE_K}
+ORDER BY lang, sample_key DESC, doc_id
+"""
+
+
 def stream_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantiles via a mergeable bottom-k uniform sample
     (streaming/quantile_state.py): each micro-batch contributes its
@@ -1011,6 +1054,7 @@ QUERIES = {
     "stream_scd2_dimension": stream_scd2_dimension,
     "stream_windowed_distinct": stream_windowed_distinct,
     "stream_quantile_sample": stream_quantile_sample,
+    "stream_weighted_sample": stream_weighted_sample,
 }
 
 ORACLES = {
@@ -1031,4 +1075,5 @@ ORACLES = {
     "stream_scd2_dimension": _stream_scd2_sql(),
     "stream_windowed_distinct": _stream_windowed_distinct_sql(),
     "stream_quantile_sample": _stream_quantile_sample_sql(),
+    "stream_weighted_sample": _stream_weighted_sample_sql(),
 }

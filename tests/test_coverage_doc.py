@@ -65,6 +65,7 @@ def test_documented_query_names_exist():
             "run_stream_ann_index",
             "encode_vocab",
             "bpe_token_counts",
+            "es_keyed",
             "run_incremental_with_retractions",
             "run_backfill_then_stream",
             "kafka_events_stream",
