@@ -28,7 +28,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries.llm_corpus import es_keyed
 from .corpus_ingest import DOC_STREAM_SCHEMA, stage_documents
 from .store import BucketedParquetUpsertStore
 
@@ -39,7 +38,12 @@ _ENTRY = "array<struct<neg_key:double,doc_id:bigint,n_tokens:int>>"
 
 def _negated(batch: DataFrame) -> DataFrame:
     """Priority negated so ascending struct order = descending priority
-    with doc_id as the deterministic tie-break."""
+    with doc_id as the deterministic tie-break. (The shared-projection
+    import is deferred: the queries package's oracle table imports this
+    module's ``SAMPLE_K`` at init, so a module-level import back into
+    ``queries`` would be circular.)"""
+    from ..queries.llm_corpus import es_keyed
+
     return es_keyed(batch).select(
         "lang",
         (-F.col("sample_key")).alias("neg_key"),
