@@ -115,7 +115,7 @@ _MODULES = (
 # q20_promotion_suppliers (the TPC-H tail — all 22 shapes now covered),
 # triangle_count, tfidf_top_terms, bm25_search, pmi_collocations,
 # rolling_30d_customer_revenue, stratified_fixed_k_sample,
-# weighted_corpus_sample —
+# weighted_corpus_sample, temperature_mixture_sample —
 # against rows that will then hold fresh attestations (candidates:
 # q6_forecast_revenue, rollup_order_totals, cube_lineitem_stats,
 # set_operations, tumbling_window_counts, breadcrumb_prefix_ops,

@@ -37,7 +37,7 @@ them) so Spark and DuckDB agree bit-for-bit after round(…, 6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -661,9 +661,120 @@ def _scrambled_hash_sql_local(expr: str) -> str:
     return f"(({_poly_hash_sql(expr)}) * {T.MIX_MULT}) % {T.HASH_MOD}"
 
 
+# --------------------------------------------------------------------------
+# temperature-scaled mixture sampling
+# --------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.5
+_TEMP_K = 100
+
+
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened corpus mix: draw K documents with
+    per-language quotas proportional to ``n_lang ** alpha`` — the
+    sampling-temperature reweighting LLM data recipes use to keep a
+    dominant language/source from swamping the mix (alpha=1 is natural
+    proportions, alpha=0 uniform; 0.5 here flattens the testdata's
+    ~40% English share to ~30%).
+
+    Real-valued quotas become integer ones by largest-remainder
+    apportionment (floor everyone, hand the leftover seats to the
+    largest fractional parts — fractions rounded before ranking per
+    the house cross-engine rule, language as tie-break), capped at the
+    stratum size. Within a language, membership is the first
+    ``k_lang`` documents by scrambled salted hash — a pure row
+    function, so the draw is stable under re-partitioning and re-runs.
+
+    Scale: the apportionment runs on the |languages|-row aggregate
+    (driver-trivial); the pick is one keyed shuffle for the per-stratum
+    row_number with the quota dimension broadcast back. At extreme
+    stratum sizes swap the full sort for the k-th-hash pre-filter
+    documented in stratified_fixed_k_sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    everything = Window.partitionBy()
+    quotas = (
+        counts.withColumn(
+            "w", F.pow(F.col("n_docs").cast("double"), F.lit(_TEMP_ALPHA))
+        )
+        .withColumn(
+            "q", F.lit(_TEMP_K) * F.col("w") / F.sum("w").over(everything)
+        )
+        .withColumn("base", F.floor("q").cast("int"))
+        .withColumn("frac", F.round(F.col("q") - F.floor("q"), 9))
+        .withColumn("rem", F.lit(_TEMP_K) - F.sum("base").over(everything))
+        .withColumn(
+            "fr",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("frac"), "lang")
+            ),
+        )
+        .select(
+            "lang",
+            F.least(
+                F.col("base")
+                + (F.col("fr") <= F.col("rem")).cast("int"),
+                F.col("n_docs").cast("int"),
+            ).alias("k_lang"),
+        )
+    )
+    h = T.scrambled_hash(
+        F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))
+    )
+    per_lang = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(per_lang))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("rn") <= F.col("k_lang"))
+        .select("lang", "doc_id", "k_lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    scramble = _scrambled_hash_sql_local("'tmix:' || doc_id::VARCHAR")
+    return f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+), quota AS (
+    SELECT lang, n_docs,
+           {_TEMP_K} * pow(n_docs::DOUBLE, {_TEMP_ALPHA})
+               / sum(pow(n_docs::DOUBLE, {_TEMP_ALPHA})) OVER () AS q
+    FROM counts
+), parts AS (
+    SELECT lang, n_docs,
+           CAST(floor(q) AS INT) AS base,
+           round(q - floor(q), 9) AS frac
+    FROM quota
+), alloc AS (
+    SELECT lang, n_docs, base,
+           {_TEMP_K} - sum(base) OVER () AS rem,
+           row_number() OVER (ORDER BY frac DESC, lang) AS fr
+    FROM parts
+), quotas AS (
+    SELECT lang,
+           least(base + CASE WHEN fr <= rem THEN 1 ELSE 0 END,
+                 CAST(n_docs AS INT)) AS k_lang
+    FROM alloc
+), ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY {scramble}, doc_id) AS rn
+    FROM documents
+)
+SELECT r.lang, r.doc_id, q.k_lang
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rn <= q.k_lang
+ORDER BY r.lang, r.doc_id
+"""
+
+
 QUERIES = {
     "bpe_merge_table": bpe_merge_table,
     "weighted_corpus_sample": weighted_corpus_sample,
+    "temperature_mixture_sample": temperature_mixture_sample,
     "repetition_metrics": repetition_metrics,
     "corpus_token_stats": corpus_token_stats,
     "corpus_sampling_splits": corpus_sampling_splits,
@@ -674,6 +785,7 @@ QUERIES = {
 
 ORACLES = {
     "weighted_corpus_sample": _weighted_sample_sql(),
+    "temperature_mixture_sample": _temperature_mixture_sql(),
     "repetition_metrics": REPETITION_SQL,
     "corpus_token_stats": CORPUS_TOKEN_STATS_SQL,
     "corpus_sampling_splits": _sampling_splits_sql(),

@@ -193,6 +193,33 @@ def test_weighted_sample_is_length_biased_and_stable(spark, sf_dir):
     assert sample_mean > 1.05 * corpus_mean
 
 
+def test_temperature_flattens_dominant_language(spark, sf_dir):
+    from m4i_flink_tasks_spark.queries.llm_corpus import (
+        _TEMP_K,
+        temperature_mixture_sample,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    rows = temperature_mixture_sample(spark, sf_dir).collect()
+    assert len(rows) == _TEMP_K  # largest-remainder quotas sum exactly
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(corpus.values())
+    sampled = {}
+    for r in rows:
+        sampled[r["lang"]] = sampled.get(r["lang"], 0) + 1
+    # every language present, and alpha=0.5 pulls the dominant
+    # language's share strictly toward uniform (en is ~40% of the
+    # corpus at every SF; the flattened mix sits near 30%).
+    assert set(sampled) == set(corpus)
+    dom = max(corpus, key=corpus.get)
+    assert sampled[dom] / _TEMP_K < corpus[dom] / total
+    assert sampled[dom] > _TEMP_K / len(corpus)  # but not flattened to uniform
+
+
 def test_split_fractions_roughly_match_design(spark, sf_dir):
     from m4i_flink_tasks_spark.queries.llm_corpus import corpus_sampling_splits
 
