@@ -113,11 +113,15 @@ def nation_revenue_distribution(
             F.col("c_nationkey") == nation.n_nationkey,
         )
     )
+    # Rank by the ROUNDED revenue (repo rule: round before ranking —
+    # Spark and DuckDB summation order can differ in the last ulp, and
+    # near-tied nations must order identically in both engines).
+    per_nation = per_nation.withColumn("revenue", F.round("revenue", 2))
     win = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
     total = Window.partitionBy()
     return per_nation.select(
         "n_name",
-        F.round("revenue", 2).alias("revenue"),
+        "revenue",
         F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(win), 6).alias("cume_dist"),
         F.round(
@@ -132,13 +136,13 @@ def nation_revenue_distribution(
 
 NATION_DISTRIBUTION_SQL = """
 WITH per_nation AS (
-    SELECT c_nationkey, sum(o_totalprice) AS revenue
+    SELECT c_nationkey, round(sum(o_totalprice), 2) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
 )
 SELECT n_name,
-       round(revenue, 2) AS revenue,
+       revenue,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist()   OVER w, 6) AS cume_dist,
        round(sum(revenue) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING

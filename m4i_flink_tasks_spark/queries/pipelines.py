@@ -747,11 +747,12 @@ def _stream_quantile_sample_sql() -> str:
     )
     return f"""
 WITH tagged AS (
-    SELECT event_type, {scramble} AS tag, round(value, 6) AS v
+    SELECT event_type, {scramble} AS tag, event_id AS eid,
+           round(value, 6) AS v
     FROM events
 ), ranked AS (
     SELECT event_type, tag, v,
-           row_number() OVER (PARTITION BY event_type ORDER BY tag, v)
+           row_number() OVER (PARTITION BY event_type ORDER BY tag, eid)
                AS rn
     FROM tagged
 ), samp AS (

@@ -201,7 +201,14 @@ def zorder_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering key a multi-dimension-filtered layout would sort by
     (operators/zorder.py; skipping effect pinned by
     tests/test_zorder_skipping.py against parquet footer stats). Pure
-    shift/mask integer arithmetic, identical in DuckDB."""
+    shift/mask integer arithmetic, identical in DuckDB.
+
+    Asymmetric bit budget: p_size is bounded (≤ 50 → 6 bits) but
+    p_partkey reaches 2·10^5·SF, so an equal 10-bit budget would alias
+    distinct parts into the same z cell at every non-toy SF and the
+    clustering would degrade toward hash order. 6 interleaved bits +
+    26 high p_partkey bits keeps the mapping injective through
+    SF ≈ 335."""
     from ..operators.zorder import z_value
 
     part = load_table(spark, sf_dir, "part")
@@ -209,7 +216,7 @@ def zorder_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(
             "p_partkey",
             "p_size",
-            z_value("p_partkey", "p_size", 10).alias("z"),
+            z_value("p_partkey", "p_size", 6, x_bits=26).alias("z"),
         )
         .orderBy("z", "p_partkey")
         .limit(500)
@@ -221,7 +228,7 @@ def _zorder_sql() -> str:
 
     return f"""
 SELECT p_partkey, p_size,
-       {z_sql_duckdb("p_partkey", "p_size", 10)} AS z
+       {z_sql_duckdb("p_partkey", "p_size", 6, 26)} AS z
 FROM part
 ORDER BY z, p_partkey
 LIMIT 500

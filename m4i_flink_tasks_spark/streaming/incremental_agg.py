@@ -219,6 +219,7 @@ def stage_retract_feed(
         3, "l_orderkey"
     )
     inserts.write.mode("overwrite").parquet(staging_dir)
+    insert_parts = set(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
     retracts = li.filter(
         F.col("l_orderkey") % RETRACT_ORDERKEY_MOD == RETRACT_ORDERKEY_REM
     ).withColumn("op", F.lit("retract"))
@@ -227,10 +228,14 @@ def stage_retract_feed(
         .write.mode("append")
         .parquet(staging_dir)
     )
-    parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
-    # order files: the 3 insert ranges first, then the retract file —
-    # the append wrote the newest file last, so mtime order already
-    # matches; pin it explicitly for restart determinism.
+    # Order files: the 3 insert ranges first, then the retract file(s).
+    # The appended file is ALSO named part-00000-<uuid>, so a filename
+    # sort interleaves it among the inserts by random uuid — identify
+    # the retract file(s) as the set difference instead, and pin mtimes
+    # so the replay source (which orders by mtime) delivers inserts
+    # before retracts deterministically across restarts.
+    all_parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
+    parts = sorted(insert_parts) + sorted(set(all_parts) - insert_parts)
     t0 = time.time() - len(parts) - 1
     for i, path in enumerate(parts):
         os.utime(path, (t0 + i, t0 + i))

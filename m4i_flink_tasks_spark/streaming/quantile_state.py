@@ -18,8 +18,10 @@ O(1/sqrt(k)) in rank. Swap in ``percentile_approx`` (GK) when a
 deterministic replayable sample is not required — that trade is pinned
 in tests/test_sketches.py.
 
-State per group: k (tag, value) pairs. The combine is array
-expressions inside the bucketed store's touched-bucket rewrite.
+State per group: k (tag, event_id, value) triples — the raw event id
+is the exact-distinctness tiebreaker under tag collisions. The combine
+is array expressions inside the bucketed store's touched-bucket
+rewrite.
 
 No reference analogue (no aggregation surface — SURVEY §2.6);
 north-star streaming-capability scope.
@@ -41,21 +43,28 @@ _QS = (0.5, 0.9, 0.99)
 
 
 def _tagged(batch: DataFrame) -> DataFrame:
-    """(event_type, tag, value): the tag is the scrambled hash of the
-    unique event id — a pure function of the row, so replays and the
-    batch twin tag identically."""
+    """(event_type, tag, eid, value): the tag is the scrambled hash of
+    the unique event id — a pure function of the row, so replays and
+    the batch twin tag identically. The raw ``event_id`` rides along as
+    the EXACT tiebreaker: two distinct events may collide on
+    (tag, rounded value) (the tag is a hash mod a ~1e9 prime), and the
+    merge's ``array_distinct`` must collapse only true replays of the
+    same event, never two colliding events."""
     return batch.select(
         "event_type",
         T.scrambled_hash(
             F.concat(F.lit("qs:"), F.col("event_id"))
         ).alias("tag"),
+        F.col("event_id").cast("bigint").alias("eid"),
         F.round("value", 6).alias("v"),
     )
 
 
 def batch_partial(batch: DataFrame, k: int = SAMPLE_K) -> DataFrame:
-    """Per-group bottom-k by tag, as one sorted array row per group."""
-    w = Window.partitionBy("event_type").orderBy("tag", "v")
+    """Per-group bottom-k by (tag, eid), as one sorted array row per
+    group. ``eid`` is unique, so the ordering — and therefore the
+    sample — is fully deterministic even under tag collisions."""
+    w = Window.partitionBy("event_type").orderBy("tag", "eid")
     return (
         _tagged(batch)
         .withColumn("rn", F.row_number().over(w))
@@ -63,7 +72,9 @@ def batch_partial(batch: DataFrame, k: int = SAMPLE_K) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("tag"), F.col("v")))
+                F.collect_list(
+                    F.struct(F.col("tag"), F.col("eid"), F.col("v"))
+                )
             ).alias("sample")
         )
     )
@@ -72,8 +83,11 @@ def batch_partial(batch: DataFrame, k: int = SAMPLE_K) -> DataFrame:
 def merge_samples(
     cur: DataFrame, batch: DataFrame, k: int = SAMPLE_K
 ) -> DataFrame:
-    """k smallest tags of the union — a set operation, order-free."""
-    empty = "cast(array() as array<struct<tag:bigint,v:double>>)"
+    """k smallest (tag, eid) of the union — a set operation,
+    order-free. ``array_distinct`` removes only exact struct replays
+    (same event re-delivered); distinct events colliding on
+    (tag, value) stay distinct because ``eid`` is in the struct."""
+    empty = "cast(array() as array<struct<tag:bigint,eid:bigint,v:double>>)"
     joined = cur.select(
         "event_type", F.col("sample").alias("_old")
     ).join(

@@ -129,3 +129,36 @@ def test_z_value_matches_duckdb(spark):
     assert got == exp
     # spot-check the interleave definition itself
     assert exp[(1, 0)] == 1 and exp[(0, 1)] == 2 and exp[(3, 5)] == 0b100111
+
+
+def test_z_value_asymmetric_injective_and_cross_engine(spark):
+    """Unequal bit budgets: a wide key (beyond 2**bits) paired with a
+    bounded column must stay injective — high x bits sit above the
+    interleaved prefix — and the DuckDB spelling must agree bit-for-bit."""
+    import duckdb
+
+    from m4i_flink_tasks_spark.operators.zorder import z_sql_duckdb
+
+    # x spans far past 2**6; y is bounded like p_size (1..50)
+    src = "(SELECT (i * 977)::BIGINT AS x, (i % 50 + 1)::BIGINT AS y" \
+          " FROM range(2000) t(i))"
+    duck = duckdb.sql(
+        f"SELECT x, y, {z_sql_duckdb('x', 'y', 6, 26)} AS z FROM {src}"
+    ).fetchall()
+    zs = [z for _, _, z in duck]
+    assert len(set(zs)) == len(zs)  # injective over the wide domain
+
+    sdf = (
+        spark.range(2000)
+        .selectExpr("id * 977 AS x", "id % 50 + 1 AS y")
+        .withColumn("z", z_value("x", "y", 6, x_bits=26))
+    )
+    got = {(r.x, r.y): r.z for r in sdf.collect()}
+    exp = {(x, y): z for x, y, z in duck}
+    assert got == exp
+    # high-bit placement: x = 2**6 (first bit above the budget) lands
+    # at position 2*6 = 12 exactly
+    one_hi = duckdb.sql(
+        f"SELECT {z_sql_duckdb('64', '0', 6, 26)}"
+    ).fetchone()[0]
+    assert one_hi == 1 << 12
