@@ -92,58 +92,69 @@ _MODULES = (
 # recorded in CORRECTNESS_r01/r02 and stays pytest-pinned; see
 # COVERAGE.md rotation log).
 #
-# ROTATION (round 4): the r3 rotations were never judged (no
-# CORRECTNESS_r03 was recorded), so the r3 rotated-in rows STAY declared
-# until they get their first driver attestation. Six NEW rows rotate in
-# (the r4 corpus-curation family: repetition_metrics, corpus_token_stats,
-# corpus_sampling_splits, pii_scrub; plus the r3-built extras
-# ann_multi_query_topk and training_corpus_filter) and six rows with
-# green CORRECTNESS_r01/r02 attestations rotate out to extras
-# (delete_by_id, language_id, dedup_simhash, skew_salted_join,
-# direct_change_classifier, text_metrics — all stay pytest-pinned).
+# ROTATION (round 4 — as built): CORRECTNESS_r03 WAS recorded after all
+# (50/50 green, contrary to the stale note this paragraph replaces), so
+# the whole r3-declared surface — including the r3 rotated-in relational
+# rows and the early-r4 corpus rows — now holds fresh attestations.
+# Also rotated out with r3 green rows during r3 development:
+# delete_by_id, language_id, dedup_simhash, skew_salted_join,
+# direct_change_classifier, text_metrics (green CORRECTNESS_r01/r02,
+# pytest-pinned).
+#
+# ROTATION (round 4 — this round): seventeen rows whose operators all
+# hold green CORRECTNESS_r03 rows rotate OUT to extras (q6_forecast_revenue,
+# rollup_order_totals, cube_lineitem_stats, set_operations,
+# top_orders_per_customer, asof_join_orders_events,
+# tumbling_window_counts, breadcrumb_prefix_ops, store_filter_scan,
+# attribute_flattening, asof_previous_version, document_fingerprints,
+# corpus_token_stats, pii_scrub, ann_multi_query_topk,
+# multimodal_frame_sampling, diff_event_materialization (D7 keeps its
+# declared proof via stream_determine_change_entities) — every §2
+# operator they prove keeps either
+# another declared row or its r3 attestation + the pytest parity pin),
+# and the sixteen strongest never-attested extras rotate IN: the TPC-H
+# tail (q11_important_parts, q12_shipclass_priority,
+# q16_supplier_part_counts, q20_promotion_suppliers), the semi/anti and
+# correlated-scalar shapes (q4_priority_exists,
+# q21_sole_returner_suppliers, q17_small_quantity_revenue),
+# triangle_count, tfidf_top_terms, bm25_search, pmi_collocations, the
+# SCD2 pair (scd2_user_status, scd2_point_in_time), and the streaming
+# mergeable-state family (stream_quantile_sample, stream_weighted_sample,
+# stream_distinct_sketch).
 #
 # ROTATION PLAN (next round, once the current 50 are attested): rotate
-# in the strongest of the newer families —
-# approx_distinct_kmv, bloom_semijoin_reduction,
-# pagerank_power_iterations, scd2_user_status, scd2_point_in_time,
-# stream_scd2_dimension, stream_distinct_sketch, stream_quantile_sample,
-# stream_weighted_sample, table_profile,
-# integrity_checks, jl_random_projection, and from the later r3 wave:
-# q4_priority_exists / q21_sole_returner_suppliers (semi/anti shapes),
-# q17_small_quantity_revenue (correlated-scalar rewrite),
-# q11_important_parts / q12_shipclass_priority / q16_supplier_part_counts /
-# q20_promotion_suppliers (the TPC-H tail — all 22 shapes now covered),
-# triangle_count, tfidf_top_terms, bm25_search, pmi_collocations,
-# rolling_30d_customer_revenue, stratified_fixed_k_sample,
-# weighted_corpus_sample, temperature_mixture_sample —
-# against rows that will then hold fresh attestations (candidates:
-# q6_forecast_revenue, rollup_order_totals, cube_lineitem_stats,
-# set_operations, tumbling_window_counts, breadcrumb_prefix_ops,
-# store_filter_scan, corpus_token_stats, pii_scrub,
-# multimodal_frame_sampling).
+# in the remaining unattested extras — approx_distinct_kmv,
+# bloom_semijoin_reduction, pagerank_power_iterations,
+# stream_scd2_dimension, table_profile, integrity_checks,
+# jl_random_projection, rolling_30d_customer_revenue,
+# nation_revenue_distribution, stratified_fixed_k_sample,
+# weighted_corpus_sample, temperature_mixture_sample, zorder_mapping,
+# sequence_packing, hard_negative_mining, kmeans_refine — against rows
+# that will then hold fresh r4 attestations (candidates: q3, q5,
+# session_windows, neardup_components, embedding_neardup_pairs,
+# repetition_metrics, corpus_sampling_splits, and this round's sixteen
+# rotated-in rows).
 DRIVER_QUERIES: tuple[str, ...] = (
-    # relational engine proofs (flagship bench queries; rotated in r3:
-    # q3/q6/top-N/rollup/cube/set-op/as-of forms)
+    # relational engine proofs (flagship bench queries)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
-    "top_orders_per_customer",
-    "rollup_order_totals",
-    "cube_lineitem_stats",
-    "set_operations",
-    "asof_join_orders_events",
+    # TPC-H tail + subquery shapes (rotated in r4)
+    "q4_priority_exists",
+    "q11_important_parts",
+    "q12_shipclass_priority",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
+    "q21_sole_returner_suppliers",
     # CDC / diff kernels (P2-P4, P12-P14 merged; P5-P11; D1-D8; S3)
     "row_transform_suite",
     "attribute_diff",
-    "diff_event_materialization",
-    "attribute_flattening",
-    "asof_previous_version",
     # state-store queries (Q1-Q7, S5-S8)
     "state_store_lookups",
-    "store_filter_scan",
     # graph / hierarchy dimensions (G1, G4, S14)
     "type_hierarchy_ops",
+    "triangle_count",
     # doc-graph maintenance (G9-G25, D9)
     "breadcrumb_materialization",
     "rename_propagation",
@@ -157,8 +168,10 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # G26-G28 dispatcher with relationship-audit cascades (single batch)
     "synchronize_rel_cascades",
     # event-time windows
-    "tumbling_window_counts",
     "session_windows",
+    # warehouse dimension maintenance (rotated in r4)
+    "scd2_user_status",
+    "scd2_point_in_time",
     # streaming pipelines (reference jobs 1-4 + streaming dedup/joins)
     "stream_get_entity_enrichment",
     "stream_publish_state",
@@ -166,26 +179,27 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "stream_synchronize_appsearch_docs",
     "stream_dedup_within_watermark",
     "stream_interval_join",
+    # streaming mergeable-state family (rotated in r4)
+    "stream_quantile_sample",
+    "stream_weighted_sample",
+    "stream_distinct_sketch",
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
     "neardup_components",
-    # LLM-pipeline: similarity family (IVF probe rotated to extras in r3;
-    # batched multi-query top-k rotated in r4)
+    # LLM-pipeline: similarity family
     "ann_brute_force_topk",
     "ann_lsh_bucketed",
     "embedding_neardup_pairs",
-    "ann_multi_query_topk",
-    # LLM-pipeline: text analysis + corpus curation (r4 family)
-    "document_fingerprints",
+    # LLM-pipeline: text analysis + ranking + corpus curation
     "training_corpus_filter",
     "repetition_metrics",
-    "corpus_token_stats",
     "corpus_sampling_splits",
-    "pii_scrub",
+    "tfidf_top_terms",
+    "bm25_search",
+    "pmi_collocations",
     # LLM-pipeline: multimodal plumbing
     "multimodal_features",
-    "multimodal_frame_sampling",
 )
 
 
