@@ -569,11 +569,16 @@ ORDER BY lang, sample_rank
 
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 12 BPE merges learned from the
-    corpus (operators/bpe.py). Iterative (argmax per merge), so there
-    is no single-statement SQL oracle — the trainer is instead pinned
-    merge-for-merge against an independent pure-Python BPE model
-    (tests/test_bpe.py). The per-iteration ``collect`` is ONE argmax
-    row (dimension-sized control flow, like the PageRank loop)."""
+    corpus (operators/bpe.py). Oracle: a DuckDB RECURSIVE CTE twin
+    (``BPE_MERGE_SQL``) whose working table is the evolving vocabulary
+    — per iteration it takes the argmax pair by (count desc, pair asc)
+    and replays the left-to-right greedy merge relationally
+    (candidate-run parity via window functions, because a greedy merge
+    at position i consumes i+1 and so only every other candidate in a
+    contiguous run fires). Also pinned merge-for-merge against an
+    independent pure-Python BPE model (tests/test_bpe.py). The
+    per-iteration ``collect`` is ONE argmax row (dimension-sized
+    control flow, like the PageRank loop)."""
     from ..operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -771,6 +776,85 @@ ORDER BY r.lang, r.doc_id
 """
 
 
+# The DuckDB twin of train_bpe (operators/bpe.py): a recursive CTE whose
+# working table is the evolving vocabulary (word, freq, symbols). Each
+# iteration cross-joins the single-row argmax pair (count desc, pair asc
+# tie-break — identical to the Spark trainer), then applies the
+# left-to-right greedy merge relationally: a position is a merge START
+# iff it is a candidate (symbols[i]=L, symbols[i+1]=R) and an EVEN number
+# of consecutive candidates immediately precede it (a merge consumes the
+# next position, so only every other candidate in a contiguous run
+# fires — the window max-over-preceding finds the run start, lag() marks
+# consumed positions). Recursion stops when no pair reaches
+# min_pair_count=2 or after 12 merges, exactly like the trainer.
+# NOTE: deliberately avoids list_reduce — DuckDB 1.0 mis-evaluates
+# VARCHAR-struct accumulators in lambda folds (verified repro), so the
+# rewrite is pure window/group relational algebra instead.
+BPE_MERGE_SQL = """
+WITH RECURSIVE base AS (
+    SELECT word, count(*)::BIGINT AS freq,
+           list_append(string_split_regex(word, ''), '</w>') AS symbols
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),
+steps(it, word, freq, symbols, ml, mr, mc) AS (
+    SELECT 0, word, freq, symbols,
+           NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+    FROM base
+    UNION ALL
+    SELECT f.it + 1, f.word, f.freq, f.syms, f.bl, f.br, f.bc
+    FROM (
+        SELECT p.it, p.word, p.freq, p.bl, p.br, p.bc,
+               list(CASE WHEN p.is_start THEN p.bl || p.br ELSE p.sym END
+                    ORDER BY p.pos) AS syms
+        FROM (
+            SELECT *,
+                   coalesce(lag(is_start) OVER
+                       (PARTITION BY word ORDER BY pos), FALSE) AS after_start
+            FROM (
+                SELECT *,
+                       cand AND (pos - coalesce(max(CASE WHEN NOT cand THEN pos
+                           END) OVER (PARTITION BY word ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) - 1) % 2 = 0 AS is_start
+                FROM (
+                    SELECT s.it, s.word, s.freq, ii.i AS pos,
+                           s.symbols[ii.i] AS sym, b.bl, b.br, b.bc,
+                           ii.i < len(s.symbols)
+                           AND s.symbols[ii.i] = b.bl
+                           AND s.symbols[ii.i + 1] = b.br AS cand
+                    FROM steps s,
+                         unnest(range(1, len(s.symbols) + 1)) AS ii(i),
+                         (SELECT pl AS bl, pr AS br, pc AS bc FROM (
+                             SELECT s2.symbols[jj.j] AS pl,
+                                    s2.symbols[jj.j + 1] AS pr,
+                                    sum(s2.freq) AS pc
+                             FROM steps s2,
+                                  unnest(range(1, len(s2.symbols))) AS jj(j)
+                             GROUP BY 1, 2
+                             HAVING sum(s2.freq) >= 2
+                             ORDER BY pc DESC, pl, pr
+                             LIMIT 1
+                         )) b
+                )
+            )
+        ) p
+        WHERE p.is_start OR NOT p.after_start
+        GROUP BY p.it, p.word, p.freq, p.bl, p.br, p.bc
+    ) f
+    WHERE f.it < 12
+)
+SELECT DISTINCT (it - 1)::INT AS rank, ml AS "left", mr AS "right",
+       mc AS pair_count
+FROM steps
+WHERE ml IS NOT NULL
+ORDER BY rank
+"""
+
 QUERIES = {
     "bpe_merge_table": bpe_merge_table,
     "weighted_corpus_sample": weighted_corpus_sample,
@@ -784,6 +868,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_merge_table": BPE_MERGE_SQL,
     "weighted_corpus_sample": _weighted_sample_sql(),
     "temperature_mixture_sample": _temperature_mixture_sql(),
     "repetition_metrics": REPETITION_SQL,
