@@ -8,22 +8,26 @@ struct usable for partition pruning and filter pushdown *without*
 touching bytes. Decode/feature work happens in ``mapInPandas`` so each
 Arrow batch crosses the JVM→Python boundary once — never per row.
 
-Codec posture: **uncompressed container formats decode for real** with
-stdlib ``struct`` + numpy — RIFF/WAVE PCM (8/16-bit), BMP
-(BITMAPINFOHEADER, uncompressed 24-bit) and binary PPM (P6) — routed by
-magic-byte sniffing. Compressed codecs (PNG/JPEG/GIF/MP3/OGG/MP4) need
-libraries NOT in this container (PIL / soundfile / av);
-``decode_media`` raises ``NotImplementedError`` at that clearly-marked
-seam. Anything else falls back to a **deterministic byte-level fake**
-(length, boundary bytes, fixed-size chunk count) so the surrounding
-plumbing — schema, batching, partitioning, UDF signature — is real and
-oracle-checkable on arbitrary payloads.
+Codec posture: **formats the stdlib can decode decode for real** —
+RIFF/WAVE PCM (8/16-bit), BMP (BITMAPINFOHEADER, uncompressed 24-bit),
+binary PPM (P6) via ``struct`` + numpy, and **PNG** (8-bit depth,
+gray/RGB/palette/gray-alpha/RGBA, all five scanline filters including
+Paeth) via ``zlib`` inflate + defilter — routed by magic-byte sniffing.
+Codecs that genuinely need external libraries (JPEG/GIF/MP3/OGG/MP4:
+DCT, LZW, psychoacoustic models) stay at the clearly-marked
+``NotImplementedError`` seam in ``decode_media`` (plug PIL / soundfile
+/ av there), as do PNG features beyond the supported profile (16-bit
+depth, Adam7 interlace). Anything else falls back to a **deterministic
+byte-level fake** (length, boundary bytes, fixed-size chunk count) so
+the surrounding plumbing — schema, batching, partitioning, UDF
+signature — is real and oracle-checkable on arbitrary payloads.
 """
 
 from __future__ import annotations
 
 import re
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -42,7 +46,6 @@ FEATURE_SCHEMA = (
 # Formats whose decode requires codec libraries absent from this
 # container — the documented NotImplementedError seam.
 _COMPRESSED_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
     (b"ID3", "mp3"),
@@ -139,20 +142,131 @@ def _decode_ppm(b: bytes) -> dict | None:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (RFC 2083 §6). Sub/Average/
+    Paeth are sequential along the row (each byte depends on the
+    reconstructed byte ``bpp`` to its left), so those rows run a Python
+    byte loop; None/Up rows stay vectorized. Fine for the metadata-sized
+    images this stand-in decodes — a production decoder plugs in at the
+    same seam with the same output contract."""
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        prev = img[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            img[y] = line
+        elif ftype == 2:  # Up
+            img[y] = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):
+            cur = img[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c = int(img[y - 1][x - bpp]) if (x >= bpp and y) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return img
+
+
+def _decode_png(b: bytes) -> dict | None:
+    """PNG via stdlib zlib: chunk walk → IDAT inflate → defilter →
+    (width, height, mean pixel value). Supported profile: bit depth 8,
+    color types 0/2/3/4/6, no interlace. The mean is over color
+    channels only (palette entries mapped through PLTE; alpha dropped)
+    so it is comparable with the BMP/PPM decoders. PNG features outside
+    the profile (16-bit, Adam7) raise at the codec seam like the
+    library-requiring formats."""
+    if len(b) < 8 or b[:8] != _PNG_MAGIC:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, b""
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        cid = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", ihdr, 0
+    )
+    if comp != 0 or filt != 0 or w == 0 or h == 0:
+        return None
+    if ctype not in _PNG_CHANNELS:
+        return None
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"png depth={depth} interlace={interlace}: outside the "
+            "stdlib-decodable profile — plug PIL.Image.open here"
+        )
+    channels = _PNG_CHANNELS[ctype]
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + stride):
+        return None
+    img = _png_defilter(raw, h, stride, channels)
+    if ctype == 3:  # palette -> RGB through PLTE
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(img.max(initial=0)) >= len(pal):
+            return None
+        vals = pal[img.reshape(-1)]
+    elif ctype == 4:  # gray + alpha: gray channel only
+        vals = img.reshape(h, w, 2)[..., 0]
+    elif ctype == 6:  # RGBA: drop alpha
+        vals = img.reshape(h, w, 4)[..., :3]
+    else:  # gray or RGB: all bytes are color bytes
+        vals = img
+    return {
+        **_NO_MEDIA,
+        "width": int(w),
+        "height": int(h),
+        "mean_value": float(np.asarray(vals, np.float64).mean()),
+    }
+
+
 _REAL_DECODERS: tuple[tuple[str, object], ...] = (
     ("wav", _decode_wav),
     ("bmp", _decode_bmp),
     ("ppm", _decode_ppm),
+    ("png", _decode_png),
 )
 
 
 def decode_media(payload: bytes, modality: str) -> dict:
     """Magic-byte-routed media decode.
 
-    Uncompressed formats decode for real; compressed formats raise at
-    the codec seam (plug PIL / soundfile / av here when available);
-    unrecognized payloads return the byte-fake marker ``codec='bytes'``
-    with NULL media fields.
+    Stdlib-decodable formats (WAV/BMP/PPM/PNG) decode for real;
+    library-requiring formats (JPEG/GIF/MP3/OGG/MP4) and PNG features
+    outside the supported profile raise at the codec seam (plug PIL /
+    soundfile / av here when available); unrecognized payloads return
+    the byte-fake marker ``codec='bytes'`` with NULL media fields.
     """
     for magic, fmt in _COMPRESSED_MAGICS:
         if payload.startswith(magic):
@@ -164,6 +278,8 @@ def decode_media(payload: bytes, modality: str) -> dict:
     for codec, dec in _REAL_DECODERS:
         try:
             out = dec(payload)
+        except NotImplementedError:
+            raise  # the codec seam stays visible, never a silent fake
         except Exception:
             out = None
         if out is not None:
@@ -217,13 +333,45 @@ def synth_ppm(doc_id: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + bytes([q]) * (w * h * 3)
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Real 8-bit RGB PNG, constant pixel (doc_id * 11) % 256 so the
+    decoded mean is that constant in closed form. The IDAT uses zlib
+    level 0 (STORED deflate blocks): for raw < 64 KiB the stream is
+    exactly raw + 11 bytes (2 zlib header + 5 block header + 4 adler),
+    which makes the total file size a closed form the SQL oracle can
+    state — 68 + h*(1 + 3w) — unlike real compression whose length
+    depends on the encoder. Tail is always IEND+CRC, so the last byte
+    is 0x82 = 130."""
+    w = 2 + doc_id % 4
+    h = 2 + doc_id % 3
+    p = (doc_id * 11) % 256
+    raw = (b"\x00" + bytes([p]) * (w * 3)) * h
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Binary column + typed metadata from the documents table.
 
     ``payload`` is the deterministic stand-in for real media bytes: a
     slice of rows carries REAL media payloads (``doc_id % 15``: 1 →
-    WAV on an audio row, 3 → BMP, 6 → PPM on image rows — synthesized
-    by the ``synth_*`` generators above so the decoders run on the
+    WAV on an audio row, 3 → BMP, 6 → PPM, 9 → PNG on image rows —
+    synthesized by the ``synth_*`` generators above so the decoders,
+    including the zlib inflate + defilter PNG path, run on the
     driver-checked path, not only in pytest), the rest carry the UTF-8
     bytes of the text. ``media`` = the typed metadata struct a real
     ingest would carry (modality round-robins the three kinds).
@@ -242,6 +390,8 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
                 return synth_bmp(d)
             if m == 6:
                 return synth_ppm(d)
+            if m == 9:
+                return synth_png(d)
             return t.encode("utf-8")
 
         return pd.Series(

@@ -97,7 +97,7 @@ def test_truncated_media_falls_back_to_bytes():
 
 
 def test_compressed_formats_raise_at_the_seam():
-    for magic in (b"\x89PNG\r\n\x1a\n____", b"\xff\xd8\xff\xe0__", b"OggS__"):
+    for magic in (b"\xff\xd8\xff\xe0__", b"OggS__", b"GIF89a__", b"ID3\x03__"):
         with pytest.raises(NotImplementedError):
             decode_media(magic, "image")
 
@@ -176,3 +176,139 @@ def test_synth_payloads_decode_to_their_closed_forms():
         assert out["width"] == 3 + doc_id % 5
         assert out["height"] == 2 + doc_id % 4
         assert out["mean_value"] == (doc_id * 7) % 256  # exact
+
+
+# ---------------------------------------------------------------------------
+# PNG: real zlib inflate + scanline defilter
+# ---------------------------------------------------------------------------
+
+import zlib
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def make_png(
+    pixels: list[list[tuple[int, ...]]],
+    ctype: int = 2,
+    filters: list[int] | None = None,
+    plte: bytes | None = None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Encode a pixel grid with a CHOSEN filter per scanline, applying
+    the forward filter independently of the decoder under test."""
+    h, w = len(pixels), len(pixels[0])
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    filters = filters or [0] * h
+    rows = [
+        bytes(v for px in row for v in (px if isinstance(px, tuple) else (px,)))
+        for row in pixels
+    ]
+    raw = b""
+    prev = bytes(w * bpp)
+    for ftype, cur in zip(filters, rows):
+        line = bytearray()
+        for x in range(len(cur)):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((cur[x] - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(line)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_rgb_all_filter_types():
+    """One scanline per filter type (None/Sub/Up/Average/Paeth); the
+    decoded mean must equal the mean of the original pixels regardless
+    of which filter encoded each row."""
+    import random
+
+    rng = random.Random(42)
+    pixels = [
+        [tuple(rng.randrange(256) for _ in range(3)) for _ in range(7)]
+        for _ in range(5)
+    ]
+    expected = sum(v for row in pixels for px in row for v in px) / (5 * 7 * 3)
+    out = decode_media(make_png(pixels, filters=[0, 1, 2, 3, 4]), "image")
+    assert out["codec"] == "png"
+    assert (out["width"], out["height"]) == (7, 5)
+    assert out["mean_value"] == pytest.approx(expected)
+
+
+def test_png_grayscale_and_alpha_variants():
+    gray = [[(10,), (20,)], [(30,), (40,)]]
+    out = decode_media(make_png(gray, ctype=0), "image")
+    assert (out["codec"], out["mean_value"]) == ("png", pytest.approx(25.0))
+    # gray+alpha: alpha bytes excluded from the mean
+    ga = [[(10, 255), (20, 0)], [(30, 7), (40, 99)]]
+    out = decode_media(make_png(ga, ctype=4), "image")
+    assert out["mean_value"] == pytest.approx(25.0)
+    # RGBA: alpha dropped
+    rgba = [[(12, 12, 12, 200), (24, 24, 24, 100)]]
+    out = decode_media(make_png(rgba, ctype=6), "image")
+    assert out["mean_value"] == pytest.approx(18.0)
+
+
+def test_png_palette_maps_through_plte():
+    plte = bytes([0, 0, 0, 30, 60, 90])  # index0=black, index1=(30,60,90)
+    pixels = [[(1,), (1,)], [(0,), (1,)]]  # three hits on entry 1
+    out = decode_media(make_png(pixels, ctype=3, plte=plte), "image")
+    assert out["codec"] == "png"
+    # mean over mapped RGB bytes: 3*(30+60+90)/12
+    assert out["mean_value"] == pytest.approx(3 * 180 / 12)
+
+
+def test_png_unsupported_profile_raises_at_seam():
+    px = [[(1, 1, 1)]]
+    with pytest.raises(NotImplementedError):
+        decode_media(make_png(px, depth=16), "image")
+    with pytest.raises(NotImplementedError):
+        decode_media(make_png(px, interlace=1), "image")
+
+
+def test_png_malformed_falls_back_to_bytes():
+    good = make_png([[(5, 5, 5)]])
+    # truncated IDAT body -> inflate fails -> bytes fallback
+    assert decode_media(good[:-20], "image")["codec"] == "bytes"
+    # magic only
+    assert decode_media(b"\x89PNG\r\n\x1a\n____", "image")["codec"] == "bytes"
+
+
+def test_synth_png_closed_forms():
+    """The oracle's PNG branch states n_bytes/first/last/width/height/
+    mean as closed forms of doc_id — pin synthesis+decode to them."""
+    from m4i_flink_tasks_spark.operators.multimodal import synth_png
+
+    for doc_id in (9, 24, 39, 54, 129, 9009):
+        b = synth_png(doc_id)
+        w, h = 2 + doc_id % 4, 2 + doc_id % 3
+        assert len(b) == 68 + h * (1 + 3 * w)  # STORED deflate blocks
+        assert b[0] == 137 and b[-1] == 0x82
+        out = decode_media(b, "image")
+        assert out["codec"] == "png"
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["mean_value"] == (doc_id * 11) % 256  # exact
