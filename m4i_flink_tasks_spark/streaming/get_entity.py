@@ -10,10 +10,13 @@ topic (:60-82).
 Spark-first re-expression: the entity source is a **static snapshot
 table joined at scan time** — the per-record RPC becomes a broadcast
 hash join against the dimension, so enrichment throughput scales with
-partitions instead of REST latency. (When a live service is truly
-required, the same interface runs ``mapInPandas`` with batched async
-calls — one round-trip per Arrow batch, token fetched once per batch,
-not per record as the reference does.)
+partitions instead of REST latency. When a live service is truly
+required, ``rest_enrichment.enrich_events_live`` is the implemented
+pluggable alternative: the same output contract via ``mapInPandas``
+with batched HTTP — one token fetch + one de-duplicated bulk gather
+per Arrow batch, never per record (contract pinned hermetically by
+tests/test_rest_enrichment.py against an in-process HTTP server,
+including byte-identical envelopes vs this join).
 
 - P3 operation-type filter (get_entity_job.py:40) prunes before the join;
 - unmatched notifications (entity unknown) divert to the dead-letter
