@@ -66,27 +66,20 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "last_ts_ms bigint, last_event_id bigint, last_value double"
 
 
-def _diff_group(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Diff one guid's micro-batch slice against its keyed state.
-
-    Vectorized within the group: previous values come from ``shift`` over
-    the time-sorted slice, with row 0 seeded from state — no per-record
-    store round-trip (contrast determine_change_job.py:223).
-    """
-    (user_id,) = key
-    pdf = pd.concat(list(pdfs), ignore_index=True)
+def _diff_slice(
+    user_id: int,
+    pdf: pd.DataFrame,
+    last: tuple | None,
+) -> tuple[pd.DataFrame, tuple]:
+    """The state-API-agnostic diff kernel: one guid's micro-batch slice
+    against its previous-version triple. Vectorized within the group:
+    previous values come from ``shift`` over the time-sorted slice, with
+    row 0 seeded from state — no per-record store round-trip (contrast
+    determine_change_job.py:223). Returns (output rows, new state)."""
     pdf = pdf.sort_values(["ts_ms", "event_id"], kind="mergesort").reset_index(
         drop=True
     )
-
-    if state.exists:
-        last_ts_ms, last_event_id, last_value = state.get
-    else:
-        last_ts_ms = last_event_id = last_value = None
+    last_ts_ms, _last_event_id, last_value = last if last else (None, None, None)
 
     # Change detection compares RAW doubles (bitwise-stable across
     # engines); rounding is applied only to the emitted columns.
@@ -113,14 +106,44 @@ def _diff_group(
             "change_kind": kind,
         }
     )
+    tail = pdf.iloc[-1]
+    new_last = (int(tail["ts_ms"]), int(tail["event_id"]), float(tail["value"]))
+    return out, new_last
 
-    last = pdf.iloc[-1]
-    state.update((int(last["ts_ms"]), int(last["event_id"]), float(last["value"])))
+
+def _diff_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState adapter around ``_diff_slice``."""
+    (user_id,) = key
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    out, new_last = _diff_slice(
+        user_id, pdf, tuple(state.get) if state.exists else None
+    )
+    state.update(new_last)
     yield out
 
 
 def determine_change_stream(stream: DataFrame) -> DataFrame:
-    """The keyed stateful diff operator (D1-D8 over the event stream)."""
+    """The keyed stateful diff operator (D1-D8 over the event stream).
+
+    API pin: ``applyInPandasWithState`` remains the DEFAULT engine.
+    ``determine_change_stream_tws`` below runs the identical kernel on
+    the newer ``transformWithStateInPandas`` operator (typed state +
+    timers, where Spark investment is going); the equality test in
+    tests/test_streaming_pipelines.py pins the two engines
+    output-identical. The default stays on the legacy API for two
+    reasons: (1) transformWithState requires the RocksDB state-store
+    provider — a deployment-level conf this library should not
+    silently impose (HDFS-backed state is the Spark default and what
+    every other stateful operator here uses); (2) its Python state
+    server needs google.protobuf, absent from this container, so the
+    equality test is an environment-gated skip exactly like the Kafka
+    connector tests. Flip by passing ``use_tws=True`` to
+    ``run_determine_change`` on a cluster with RocksDB + protobuf.
+    """
     return (
         stream.filter(F.col("props").isNotNull())
         .groupBy("user_id")
@@ -130,6 +153,53 @@ def determine_change_stream(stream: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _make_diff_processor():
+    """Build the transformWithStateInPandas processor (import deferred:
+    the stateful_processor module exists on pyspark >= 4.0 only)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DiffProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            pdf = pd.concat(list(rows), ignore_index=True)
+            prev = self._last.get() if self._last.exists() else None
+            out, new_last = _diff_slice(
+                user_id, pdf, tuple(prev) if prev is not None else None
+            )
+            self._last.update(new_last)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return DiffProcessor()
+
+
+def determine_change_stream_tws(stream: DataFrame) -> DataFrame:
+    """``determine_change_stream`` on ``transformWithStateInPandas``:
+    same filter, same grouping, same ``_diff_slice`` kernel held in a
+    typed ValueState. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set by ``run_determine_change`` when
+    ``use_tws=True``)."""
+    return (
+        stream.filter(F.col("props").isNotNull())
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_diff_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
     )
 
@@ -354,14 +424,25 @@ def run_determine_change_entities(
     return final
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_determine_change(
     spark: SparkSession,
     sf_dir: str,
     workdir: str,
     n_files: int = 4,
     max_files_per_trigger: int | None = 2,
+    use_tws: bool = False,
 ) -> DataFrame:
-    """Run the bounded stream to completion; return all emitted diffs."""
+    """Run the bounded stream to completion; return all emitted diffs.
+
+    ``use_tws=True`` runs the transformWithStateInPandas engine (and
+    sets the RocksDB state-store provider it requires for the duration
+    of the query); the default runs applyInPandasWithState. Outputs are
+    pinned identical."""
     staging = stage_events(
         spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
@@ -373,18 +454,29 @@ def run_determine_change(
     def sink(batch: DataFrame, batch_id: int) -> None:
         store.merge(batch, batch_id=batch_id, insert_only=True)
 
-    query = (
-        determine_change_stream(
-            events_file_stream(spark, staging, max_files_per_trigger)
+    operator = determine_change_stream_tws if use_tws else determine_change_stream
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
+    try:
+        query = (
+            operator(events_file_stream(spark, staging, max_files_per_trigger))
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                os.path.join(workdir, "ckpt_determine_change"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.foreachBatch(sink)
-        .option(
-            "checkpointLocation", os.path.join(workdir, "ckpt_determine_change")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
+    finally:
+        if use_tws:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
 
     final = store.current()
     assert final is not None

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from m4i_flink_tasks_spark.queries.pipelines import (
@@ -162,3 +163,48 @@ def test_stream_dedup_drops_redelivery_before_the_store(spark, sf_dir):
         f"dedup emitted {emitted['n']} rows for {n_events} distinct events"
     )
     assert emitted["dup_keys"] == 0
+
+
+def test_determine_change_tws_engine_matches_legacy(spark, sf_dir):
+    """The transformWithStateInPandas engine (typed ValueState, RocksDB
+    provider) must emit byte-identical diffs to the default
+    applyInPandasWithState engine — same _diff_slice kernel, two state
+    APIs. This is the migration proof the API pin in
+    determine_change_stream's docstring points at.
+
+    Gated like the Kafka connector tests: the TWS Python state server
+    speaks protobuf, and this container has no google.protobuf — the
+    operator crashes at worker init with STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE. The skip disappears on any environment
+    with protobuf installed (a standard Spark-4 cluster dependency)."""
+    import tempfile
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+
+    from m4i_flink_tasks_spark.streaming.determine_change import (
+        run_determine_change,
+    )
+
+    legacy = sorted(
+        map(
+            tuple,
+            run_determine_change(
+                spark, sf_dir, tempfile.mkdtemp(prefix="m4i_dc_legacy_")
+            ).collect(),
+        )
+    )
+    tws = sorted(
+        map(
+            tuple,
+            run_determine_change(
+                spark,
+                sf_dir,
+                tempfile.mkdtemp(prefix="m4i_dc_tws_"),
+                use_tws=True,
+            ).collect(),
+        )
+    )
+    assert tws == legacy and legacy
