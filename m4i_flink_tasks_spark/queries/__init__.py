@@ -38,6 +38,7 @@ from . import (
     llm_multimodal,
     llm_similarity,
     llm_text,
+    lm_scoring,
     pipelines,
     profiling,
     relational,
@@ -67,6 +68,7 @@ _MODULES = (
     llm_dedup,
     llm_similarity,
     llm_text,
+    lm_scoring,
     text_ranking,
     collocations,
     llm_corpus,
@@ -101,11 +103,11 @@ _MODULES = (
 # direct_change_classifier, text_metrics (green CORRECTNESS_r01/r02,
 # pytest-pinned).
 #
-# ROTATION (round 4 — this round): seventeen rows whose operators all
+# ROTATION (round 4 — this round): sixteen rows whose operators all
 # hold green CORRECTNESS_r03 rows rotate OUT to extras (q6_forecast_revenue,
 # rollup_order_totals, cube_lineitem_stats, set_operations,
 # top_orders_per_customer, asof_join_orders_events,
-# tumbling_window_counts, breadcrumb_prefix_ops, store_filter_scan,
+# tumbling_window_counts, store_filter_scan,
 # attribute_flattening, asof_previous_version, document_fingerprints,
 # corpus_token_stats, pii_scrub, ann_multi_query_topk,
 # multimodal_frame_sampling, diff_event_materialization (D7 keeps its
