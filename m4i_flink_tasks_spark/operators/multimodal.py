@@ -10,11 +10,14 @@ Arrow batch crosses the JVM→Python boundary once — never per row.
 
 Codec posture: **formats the stdlib can decode decode for real** —
 RIFF/WAVE PCM (8/16-bit), BMP (BITMAPINFOHEADER, uncompressed 24-bit),
-binary PPM (P6) via ``struct`` + numpy, and **PNG** (8-bit depth,
+binary PPM (P6) via ``struct`` + numpy, **PNG** (8-bit depth,
 gray/RGB/palette/gray-alpha/RGBA, all five scanline filters including
-Paeth) via ``zlib`` inflate + defilter — routed by magic-byte sniffing.
-Codecs that genuinely need external libraries (JPEG/GIF/MP3/OGG/MP4:
-DCT, LZW, psychoacoustic models) stay at the clearly-marked
+Paeth) via ``zlib`` inflate + defilter, and **GIF** (87a/89a, global
+and local palettes, variable-width LZW with clears and the KwKwK case,
+deferred-clear table freeze, animated multi-frame — real frame counts,
+verified against real-world files) — routed by magic-byte sniffing.
+Codecs that genuinely need external libraries (JPEG/MP3/OGG/MP4: DCT,
+psychoacoustic models) stay at the clearly-marked
 ``NotImplementedError`` seam in ``decode_media`` (plug PIL / soundfile
 / av there), as do PNG features beyond the supported profile (16-bit
 depth, Adam7 interlace). Anything else falls back to a **deterministic
@@ -47,7 +50,6 @@ FEATURE_SCHEMA = (
 # container — the documented NotImplementedError seam.
 _COMPRESSED_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"\xff\xd8\xff", "jpeg"),
-    (b"GIF8", "gif"),
     (b"ID3", "mp3"),
     (b"OggS", "ogg"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
@@ -251,11 +253,152 @@ def _decode_png(b: bytes) -> dict | None:
     }
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int] | None:
+    """General GIF-LZW: variable-width codes, CLEAR resets the table,
+    END terminates. Returns the index stream (or None on corruption)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before END
+            acc |= data[pos] << nbits  # GIF packs codes LSB-first
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:  # first code after (re)init: must be a root
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # deferred clear: table frozen at 12 bits
+                table.append(prev + [entry[0]])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        # once the table fills the current width, following codes are
+        # one bit wider (capped at GIF's 12-bit maximum)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int] | None:
+    """Concatenate a GIF sub-block chain starting at pos; returns
+    (data, position after the 0 terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(b):
+            return None
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(b):
+            return None
+        chunks.append(b[pos : pos + n])
+        pos += n
+
+
+def _decode_gif(b: bytes) -> dict | None:
+    """GIF87a/89a via a pure-Python LZW decoder: logical-screen dims,
+    REAL frame count (one per image descriptor — animated GIFs report
+    their animation length), mean over every frame's palette-mapped RGB
+    bytes. Frame compositing/disposal and transparency are ignored (the
+    mean is over raw frame rasters, not the composited canvas) —
+    documented simplification, not a seam."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", b, 6)
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    n_frames = 0
+    total = 0.0
+    count = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            pos += 1
+            sub = _gif_subblocks(b, pos)
+            if sub is None:
+                return None
+            _, pos = sub
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                return None
+            _fx, _fy, fw, fh = struct.unpack_from("<HHHH", b, pos)
+            iflags = b[pos + 8]
+            pos += 9
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    b, np.uint8, count=3 * n, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or pos >= len(b):
+                return None
+            min_code = b[pos]
+            pos += 1
+            sub = _gif_subblocks(b, pos)
+            if sub is None:
+                return None
+            data, pos = sub
+            idx = _gif_lzw_decode(data, min_code)
+            if idx is None or len(idx) < fw * fh:
+                return None
+            arr = np.asarray(idx[: fw * fh], np.int64)
+            if arr.size and int(arr.max()) >= len(pal):
+                return None
+            n_frames += 1
+            total += float(pal[arr].sum())
+            count += arr.size * 3
+        else:
+            return None
+    if n_frames == 0 or count == 0:
+        return None
+    return {
+        **_NO_MEDIA,
+        "width": int(w),
+        "height": int(h),
+        "n_frames": n_frames,
+        "mean_value": total / count,
+    }
+
+
 _REAL_DECODERS: tuple[tuple[str, object], ...] = (
     ("wav", _decode_wav),
     ("bmp", _decode_bmp),
     ("ppm", _decode_ppm),
     ("png", _decode_png),
+    ("gif", _decode_gif),
 )
 
 
@@ -364,16 +507,72 @@ def synth_png(doc_id: int) -> bytes:
     )
 
 
+def synth_gif(doc_id: int) -> bytes:
+    """Real (possibly animated) 2-color GIF with closed-form features:
+    f = 1 + (doc_id // 15) % 3 identical frames of a w×h checkerboard
+    over palette values v0 = (doc_id*13)%256 and v1 = (v0+7)%256, so
+    the decoded mean is (ceil(n/2)·v0 + floor(n/2)·v1)/n for n = w·h
+    and n_frames is the REAL animation length.
+
+    The LZW stream stays a closed form by emitting only 3-bit literal
+    codes with a CLEAR after every 2nd literal: after a clear the first
+    literal adds no table entry and the second adds one (table 6→7 < 8),
+    so the code width never grows and the byte count is exactly
+    ceil(3·(n + n//2 + 2)/8) per frame — stated verbatim by the SQL
+    oracle, unlike real compression output."""
+    w = 2 + doc_id % 4
+    h = 2 + doc_id % 2
+    f = 1 + (doc_id // 15) % 3
+    v0 = (doc_id * 13) % 256
+    v1 = (v0 + 7) % 256
+    n_px = w * h
+
+    codes = [4]  # initial CLEAR (min code size 2 -> clear=4, end=5)
+    for k in range(n_px):
+        codes.append(k % 2)
+        if k % 2 == 1:
+            codes.append(4)
+    codes.append(5)  # END
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    frame = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + b"\x00"  # no local table, not interlaced
+        + b"\x02"  # LZW min code size
+        + bytes([len(data)])
+        + bytes(data)
+        + b"\x00"
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # 2-entry GCT
+        + bytes([v0, v0, v0, v1, v1, v1])
+        + frame * f
+        + b"\x3b"
+    )
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Binary column + typed metadata from the documents table.
 
     ``payload`` is the deterministic stand-in for real media bytes: a
     slice of rows carries REAL media payloads (``doc_id % 15``: 1 →
-    WAV on an audio row, 3 → BMP, 6 → PPM, 9 → PNG on image rows —
-    synthesized by the ``synth_*`` generators above so the decoders,
-    including the zlib inflate + defilter PNG path, run on the
-    driver-checked path, not only in pytest), the rest carry the UTF-8
-    bytes of the text. ``media`` = the typed metadata struct a real
+    WAV on an audio row, 3 → BMP, 6 → PPM, 9 → PNG, 12 → animated GIF
+    on image rows — synthesized by the ``synth_*`` generators above so
+    the decoders, including zlib inflate + defilter and LZW, run on
+    the driver-checked path, not only in pytest), the rest carry the
+    UTF-8 bytes of the text. ``media`` = the typed metadata struct a real
     ingest would carry (modality round-robins the three kinds).
     Synthesis is an Arrow-batched UDF because it BUILDS bytes (the
     ingest stand-in); the decode hot path stays in ``mapInPandas``.
@@ -392,6 +591,8 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
                 return synth_ppm(d)
             if m == 9:
                 return synth_png(d)
+            if m == 12:
+                return synth_gif(d)
             return t.encode("utf-8")
 
         return pd.Series(
@@ -419,14 +620,19 @@ def decode_stub(payload: bytes, modality: str) -> dict:
     ``decode_media`` result — the full per-record feature row."""
     n = len(payload)
     media = decode_media(payload, modality)
+    if media.get("n_frames") is not None:
+        n_frames = media["n_frames"]  # real frame count (animated GIF)
+    elif modality == "video":
+        # videos sample one "frame" per fixed-size chunk
+        n_frames = -(-n // FRAME_BYTES)
+    else:
+        n_frames = 1
     return {
         "codec": media["codec"],
         "n_bytes": n,
         "first_byte": payload[0] if n else None,
         "last_byte": payload[-1] if n else None,
-        # videos sample one "frame" per fixed-size chunk; other
-        # modalities are single-frame.
-        "n_frames": -(-n // FRAME_BYTES) if modality == "video" else 1,
+        "n_frames": n_frames,
         "width": media["width"],
         "height": media["height"],
         "sample_rate": media["sample_rate"],

@@ -5,15 +5,18 @@ Most payloads are the UTF-8 encoding of ``documents.text`` (ASCII in
 this corpus, so DuckDB's ``strlen``/``ascii`` compute the same bytes
 the Spark side sees) and take the deterministic byte-fake branch
 (``codec='bytes'``). A deterministic slice of rows (doc_id % 15 in
-(1, 3, 6, 9)) carries REAL synthesized WAV/BMP/PPM/PNG payloads whose
-decoded sample-rate/dims/mean are closed forms of doc_id — the PNG
-rows go through actual zlib inflate + scanline defilter, and their
-file SIZE is a closed form too because the synth encoder emits STORED
-deflate blocks (see synth_png) — so the driver hash covers the real
+(1, 3, 6, 9, 12)) carries REAL synthesized WAV/BMP/PPM/PNG/GIF
+payloads whose decoded sample-rate/dims/frames/mean are closed forms
+of doc_id — the PNG rows go through actual zlib inflate + scanline
+defilter, the GIF rows through the real LZW decoder (animated: the
+n_frames column is the true animation length), and both file SIZES
+are closed forms because the synth encoders emit fixed-layout streams
+(STORED deflate blocks for PNG; fixed-width literal codes with
+periodic clears for GIF) — so the driver hash covers the real
 decoders (operators/multimodal.py, also pinned by
-tests/test_multimodal_codecs.py), and library-requiring formats
-(JPEG/GIF/MP3/OGG/MP4) stay at the documented NotImplementedError
-seam.
+tests/test_multimodal_codecs.py against real-world GIF files), and
+library-requiring formats (JPEG/MP3/OGG/MP4) stay at the documented
+NotImplementedError seam.
 """
 
 from __future__ import annotations
@@ -31,6 +34,9 @@ from ..sources import load_table
 
 _MODALITY_SQL = """CASE doc_id % 3 WHEN 0 THEN 'image'
                        WHEN 1 THEN 'audio' ELSE 'video' END"""
+
+# synth_gif's pixel count n = w*h with w = 2 + doc_id%4, h = 2 + doc_id%2
+_GIF_N = "((2 + doc_id % 4) * (2 + doc_id % 2))"
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,31 +57,39 @@ MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id,
        {_MODALITY_SQL} AS modality,
        CASE doc_id % 15 WHEN 1 THEN 'wav' WHEN 3 THEN 'bmp'
-            WHEN 6 THEN 'ppm' WHEN 9 THEN 'png' ELSE 'bytes' END AS codec,
+            WHEN 6 THEN 'ppm' WHEN 9 THEN 'png' WHEN 12 THEN 'gif'
+            ELSE 'bytes' END AS codec,
        CASE doc_id % 15
             WHEN 1 THEN 44 + 2 * (64 + doc_id % 32)
             WHEN 3 THEN 54 + (4 + 4 * (doc_id % 2)) * 3 * (3 + doc_id % 5)
             WHEN 6 THEN 11 + (3 + doc_id % 5) * (2 + doc_id % 4) * 3
             WHEN 9 THEN 68 + (2 + doc_id % 3) * (1 + 3 * (2 + doc_id % 4))
+            WHEN 12 THEN 20 + (1 + (doc_id // 15) % 3)
+                 * (13 + (3 * ({_GIF_N} + {_GIF_N} // 2 + 2) + 7) // 8)
             ELSE strlen(text) END AS n_bytes,
        CASE doc_id % 15 WHEN 1 THEN 82 WHEN 3 THEN 66 WHEN 6 THEN 80
-            WHEN 9 THEN 137
+            WHEN 9 THEN 137 WHEN 12 THEN 71
             ELSE ascii(substring(text, 1, 1)) END AS first_byte,
        CASE doc_id % 15
             WHEN 1 THEN CASE WHEN (doc_id % 100) - 50 >= 0 THEN 0 ELSE 255 END
             WHEN 3 THEN doc_id % 256
             WHEN 6 THEN (doc_id * 7) % 256
             WHEN 9 THEN 130
+            WHEN 12 THEN 59
             ELSE ascii(substring(text, length(text), 1)) END AS last_byte,
-       CASE WHEN {_MODALITY_SQL} = 'video'
+       CASE WHEN doc_id % 15 = 12
+            THEN CAST(1 + (doc_id // 15) % 3 AS INT)
+            WHEN {_MODALITY_SQL} = 'video'
             THEN CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS INT)
             ELSE 1 END AS n_frames,
        CAST(CASE doc_id % 15 WHEN 3 THEN 4 + 4 * (doc_id % 2)
             WHEN 6 THEN 3 + doc_id % 5
-            WHEN 9 THEN 2 + doc_id % 4 END AS INTEGER) AS width,
+            WHEN 9 THEN 2 + doc_id % 4
+            WHEN 12 THEN 2 + doc_id % 4 END AS INTEGER) AS width,
        CAST(CASE doc_id % 15 WHEN 3 THEN 3 + doc_id % 5
             WHEN 6 THEN 2 + doc_id % 4
-            WHEN 9 THEN 2 + doc_id % 3 END AS INTEGER) AS height,
+            WHEN 9 THEN 2 + doc_id % 3
+            WHEN 12 THEN 2 + doc_id % 2 END AS INTEGER) AS height,
        CAST(CASE doc_id % 15 WHEN 1 THEN 8000 + (doc_id % 8) * 1000
             END AS INTEGER) AS sample_rate,
        CAST(CASE doc_id % 15 WHEN 1 THEN 64 + doc_id % 32
@@ -83,7 +97,11 @@ SELECT doc_id,
        CAST(CASE doc_id % 15 WHEN 1 THEN abs((doc_id % 100) - 50)
             WHEN 3 THEN doc_id % 256
             WHEN 6 THEN (doc_id * 7) % 256
-            WHEN 9 THEN (doc_id * 11) % 256 END AS DOUBLE) AS mean_value
+            WHEN 9 THEN (doc_id * 11) % 256
+            WHEN 12 THEN ((({_GIF_N} + 1) // 2) * ((doc_id * 13) % 256)
+                 + ({_GIF_N} // 2) * (((doc_id * 13) % 256 + 7) % 256))
+                 / {_GIF_N}::DOUBLE
+            END AS DOUBLE) AS mean_value
 FROM documents
 ORDER BY doc_id
 """

@@ -97,7 +97,7 @@ def test_truncated_media_falls_back_to_bytes():
 
 
 def test_compressed_formats_raise_at_the_seam():
-    for magic in (b"\xff\xd8\xff\xe0__", b"OggS__", b"GIF89a__", b"ID3\x03__"):
+    for magic in (b"\xff\xd8\xff\xe0__", b"OggS__", b"ID3\x03__"):
         with pytest.raises(NotImplementedError):
             decode_media(magic, "image")
 
@@ -312,3 +312,170 @@ def test_synth_png_closed_forms():
         assert out["codec"] == "png"
         assert (out["width"], out["height"]) == (w, h)
         assert out["mean_value"] == (doc_id * 11) % 256  # exact
+
+
+# ---------------------------------------------------------------------------
+# GIF: real LZW decode (variable-width codes, clear/end, KwKwK)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Independent general LZW encoder (dictionary-building, width
+    growth at table-full, 12-bit cap with explicit CLEAR) — exercises
+    the decoder on REAL compressed streams, not just literal codes."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_codes.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        # the decoder learns each entry one code later than we add it,
+        # so widen one entry AFTER the width-boundary entry is added
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 == (1 << 12) - 1:
+            out_codes.append((clear, width))
+            table, next_code, width = reset()
+        buf = (sym,)
+    if buf:
+        out_codes.append((table[buf], width))
+    out_codes.append((end, width))
+
+    acc = nbits = 0
+    data = bytearray()
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def make_gif(
+    frames: list[list[int]],
+    w: int,
+    h: int,
+    palette: list[tuple[int, int, int]],
+    min_code_size: int = 2,
+) -> bytes:
+    bits = max(1, (len(palette) - 1).bit_length())
+    pal = b"".join(bytes(p) for p in palette)
+    pal += b"\x00" * (3 * ((2 << (bits - 1)) * 2 // 2) - len(pal))  # pad to 2^bits
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + pal
+    for idx in frames:
+        data = _lzw_encode(idx, min_code_size)
+        sub = b""
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            sub += bytes([len(chunk)]) + chunk
+        out += (
+            b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([min_code_size]) + sub + b"\x00"
+        )
+    return out + b"\x3b"
+
+
+def test_gif_real_lzw_roundtrip_mean():
+    import random
+
+    rng = random.Random(7)
+    palette = [(0, 0, 0), (10, 20, 30), (200, 100, 50), (255, 255, 255)]
+    idx = [rng.randrange(4) for _ in range(20 * 11)]
+    gif = make_gif([idx], 20, 11, palette)
+    out = decode_media(gif, "image")
+    assert out["codec"] == "gif"
+    assert (out["width"], out["height"], out["n_frames"]) == (20, 11, 1)
+    exp = sum(sum(palette[i]) for i in idx) / (len(idx) * 3)
+    assert out["mean_value"] == pytest.approx(exp)
+
+
+def test_gif_animated_counts_real_frames():
+    palette = [(5, 5, 5), (50, 50, 50)]
+    f1 = [0] * 12
+    f2 = [1] * 12
+    f3 = [0, 1] * 6
+    gif = make_gif([f1, f2, f3], 4, 3, palette)
+    out = decode_media(gif, "image")
+    assert out["n_frames"] == 3
+    assert out["mean_value"] == pytest.approx((12 * 5 + 12 * 50 + 6 * 55) / 36)
+    # the frame count flows through to the feature row, overriding the
+    # chunk-based video fake
+    row = decode_stub(gif, "image")
+    assert row["n_frames"] == 3
+
+
+def test_gif_long_stream_grows_code_width():
+    """>4096 distinct-ish pixels force width growth past 9 bits and a
+    mid-stream table reset — the decoder must track both."""
+    import random
+
+    rng = random.Random(99)
+    palette = [(i * 16 % 256,) * 3 for i in range(16)]
+    idx = [rng.randrange(16) for _ in range(120 * 80)]
+    gif = make_gif([idx], 120, 80, palette, min_code_size=4)
+    out = decode_media(gif, "image")
+    assert out["codec"] == "gif"
+    exp = sum(palette[i][0] for i in idx) / len(idx)
+    assert out["mean_value"] == pytest.approx(exp)
+
+
+def test_gif_malformed_falls_back_to_bytes():
+    assert decode_media(b"GIF89a____", "image")["codec"] == "bytes"
+    good = make_gif([[0, 1, 0, 1]], 2, 2, [(1, 1, 1), (9, 9, 9)])
+    assert decode_media(good[:-6], "image")["codec"] == "bytes"
+
+
+def test_synth_gif_closed_forms():
+    from m4i_flink_tasks_spark.operators.multimodal import synth_gif
+
+    for doc_id in (12, 27, 42, 57, 102, 147, 9012):
+        b = synth_gif(doc_id)
+        w, h = 2 + doc_id % 4, 2 + doc_id % 2
+        f = 1 + (doc_id // 15) % 3
+        v0 = (doc_id * 13) % 256
+        v1 = (v0 + 7) % 256
+        n = w * h
+        data_bytes = (3 * (n + n // 2 + 2) + 7) // 8
+        assert len(b) == 20 + f * (13 + data_bytes)
+        assert b[0] == 71 and b[-1] == 0x3B
+        out = decode_media(b, "image")
+        assert out["codec"] == "gif"
+        assert (out["width"], out["height"], out["n_frames"]) == (w, h, f)
+        exp = ((n + 1) // 2 * v0 + n // 2 * v1) / n
+        assert out["mean_value"] == pytest.approx(exp)
+
+
+def test_gif_decodes_real_world_files():
+    """Not just our own encoder: GIFs produced by real tools (stdlib
+    test data / icons shipped in this container) must decode — they
+    exercise width growth, mid-stream clears, and multi-frame layout
+    from independent encoders."""
+    import os
+
+    candidates = [
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.gif",
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/idlelib/Icons/idle_32.gif",
+    ]
+    found = [p for p in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no real-world gif available in this environment")
+    for p in found:
+        out = decode_media(open(p, "rb").read(), "image")
+        assert out["codec"] == "gif", p
+        assert out["width"] > 0 and out["height"] > 0
+        assert 0.0 <= out["mean_value"] <= 255.0
