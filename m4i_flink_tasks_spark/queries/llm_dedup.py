@@ -248,12 +248,158 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# span-level exact dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022 — exact-substring dedup, the step
+# document-level dedup misses: boilerplate/quote spans repeated across
+# otherwise-distinct documents)
+# --------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per window (the paper uses 50; the corpus is short)
+
+
+def _span_windows(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, pos, h): every k-token window, keyed by the cross-engine
+    polynomial hash of its joined text. O(tokens) windows per doc —
+    explode + hash at scan speed; the window hash is the shuffle key, so
+    finding repeats is ONE corpus-sized hash aggregation (the paper's
+    suffix array plays this role; the hash-group formulation is the
+    shuffle-native equivalent). poly_hash is O(k) per window for the
+    DuckDB twin's sake — swap a true rolling hash (prefix powers) or
+    xxhash64 when cross-engine determinism is not required."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= k)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice(t, i, {k})) AS w))"
+            )
+        ).alias("win"),
+    ).select(
+        "doc_id", "win.pos", T.poly_hash(F.col("win.w")).alias("h")
+    )
+
+
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-duplication profile: how many of its k-token
+    windows also occur in ANOTHER document (the spans the paper would
+    cut). Windows → hash-group to find cross-doc repeats → broadcast the
+    repeated-hash relation back (it is the duplicate surface, far
+    smaller than the corpus) → per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = _span_windows(docs)
+    rep = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(rep, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.min("pos").alias("first_dup_pos"),
+    )
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_span_frac"),
+            "first_dup_pos",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _poly_hash_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        "(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+    )
+
+
+DUPLICATE_SPAN_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), toks2 AS (SELECT * FROM toks WHERE len(t) >= {SPAN_K}
+), wins AS (
+    SELECT doc_id, i AS pos,
+           {_poly_hash_sql(f"array_to_string(t[i:i+{SPAN_K}-1], ' ')")} AS h
+    FROM toks2, unnest(range(1, len(t) - {SPAN_K} + 2)) AS u(i)
+), rep AS (
+    SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+    SELECT doc_id, count(*) AS n_dup_windows, min(pos) AS first_dup_pos
+    FROM wins JOIN rep USING (h) GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       coalesce(f.n_dup_windows, 0) AS n_dup_windows,
+       round(coalesce(f.n_dup_windows, 0)::DOUBLE / t.n_windows, 6)
+           AS dup_span_frac,
+       f.first_dup_pos
+FROM totals t LEFT JOIN flagged f USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def top_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-repeated k-token spans (by occurrence count, hash
+    tie-break) with their spread across documents — the report a corpus
+    audit reads before choosing what to cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = _span_windows(docs)
+    return (
+        wins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "h")
+        .limit(20)
+    )
+
+
+TOP_SPANS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), toks2 AS (SELECT * FROM toks WHERE len(t) >= {SPAN_K}
+), wins AS (
+    SELECT doc_id,
+           {_poly_hash_sql(f"array_to_string(t[i:i+{SPAN_K}-1], ' ')")} AS h
+    FROM toks2, unnest(range(1, len(t) - {SPAN_K} + 2)) AS u(i)
+)
+SELECT h, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM wins
+GROUP BY h
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, n_docs DESC, h
+LIMIT 20
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "neardup_components": neardup_components,
     "dedup_simhash": dedup_simhash,
     "dedup_minhash_signatures": dedup_minhash_signatures,
+    "duplicate_span_stats": duplicate_span_stats,
+    "top_duplicate_spans": top_duplicate_spans,
 }
 
 ORACLES = {
@@ -262,4 +408,6 @@ ORACLES = {
     "neardup_components": NEARDUP_COMPONENTS_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_minhash_signatures": MINHASH_SIG_SQL,
+    "duplicate_span_stats": DUPLICATE_SPAN_SQL,
+    "top_duplicate_spans": TOP_SPANS_SQL,
 }
