@@ -8,7 +8,7 @@ the defensive round(6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
@@ -527,3 +527,277 @@ ORACLES = {
     "embedding_neardup_pairs": PAIRS_SQL,
     "embedding_centroids": CENTROIDS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the 100 TB ANN memory path: 64-dim
+# float vectors compress to 8 one-byte codes (32x), and search scans
+# CODES with per-subspace lookup tables (ADC) instead of raw vectors.
+# --------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_DSUB = 8     # dims per subspace (8 x 8 = 64)
+_PQ_K = 16       # codes per subspace
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sub): the corpus exploded into per-subspace slices,
+    cast to double once. One narrow scan-stage projection."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.transform(
+                    F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(subs).alias("p")).select(
+        "vec_id", "p.s", "p.sub"
+    )
+
+
+def _pq_sqdist(sub: Column, cent: Column) -> Column:
+    """Pinned ascending fold of squared L2 — IEEE-identical to the
+    oracle's list_reduce, rounded at use sites."""
+    return F.aggregate(
+        F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_centroids(assigned: DataFrame, code_col: str) -> DataFrame:
+    """(s, code, cent): per-subspace centroids of the given assignment,
+    each component rounded to 6 so every downstream distance starts
+    from literally identical numbers in both engines."""
+    return (
+        assigned.groupBy("s", F.col(code_col).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                for i in range(_PQ_DSUB)
+            ],
+        )
+        .select(
+            "s",
+            "code",
+            F.array(
+                *[
+                    F.round(F.col(f"s{i}") / F.col("n"), 6)
+                    for i in range(_PQ_DSUB)
+                ]
+            ).alias("cent"),
+        )
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, out_col: str) -> DataFrame:
+    """argmin-distance code per (vec_id, s): equi-join on the subspace
+    (codebook broadcast — it is m x k x dsub doubles by construction,
+    KB-sized at any corpus scale), distances rounded before the argmin
+    so ties resolve identically cross-engine (then by smallest code)."""
+    d = F.round(_pq_sqdist(F.col("sub"), F.col("cent")), 6)
+    return (
+        subs.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "sub", "code", d.alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                "code", F.struct(F.col("d"), F.col("code"))
+            ).alias(out_col),
+            F.first("sub").alias("sub"),
+        )
+    )
+
+
+def _pq_model(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the codebook (hash-seeded init + one Lloyd iteration, the
+    kmeans_refine pattern) and encode the corpus. Returns
+    (final centroids, codes). Every iteration is a single scan plus a
+    dimension-sized aggregate; nothing corpus-sized ever broadcasts."""
+    from ..operators import text as T
+
+    subs = _pq_subvectors(emb)
+    seeded = subs.withColumn(
+        "b",
+        T.scrambled_hash(
+            F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))
+        )
+        % _PQ_K,
+    )
+    init = _pq_centroids(
+        seeded.select("s", "sub", F.col("b").alias("c0")), "c0"
+    )
+    refined = _pq_assign(subs, init, "code0")
+    final = _pq_centroids(
+        refined.select("s", "sub", F.col("code0").alias("c1")), "c1"
+    )
+    codes = _pq_assign(subs, final, "code")
+    return final, codes
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes for every vector: 8 bytes replacing 256 — the
+    compressed representation an ADC scan reads. Codebook: 16 centroids
+    per subspace, hash-seeded then refined with one Lloyd iteration
+    (deterministic end to end, so the full train+encode pipeline is
+    oracle-checkable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _final, codes = _pq_model(emb)
+    agg = [
+        F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"c{s}")
+        for s in range(_PQ_M)
+    ]
+    return codes.groupBy("vec_id").agg(*agg).orderBy("vec_id")
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation: the query vector stays exact,
+    every corpus vector is its 8 codes, and distance = a fixed-order
+    sum of 8 lookup-table entries (query subvector -> that subspace's
+    centroid). The scan touches only codes + a broadcast m x k table —
+    the memory shape that makes billion-vector ANN feasible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    final, codes = _pq_model(emb)
+    q_subs = _pq_subvectors(emb.filter(F.col("vec_id") == _QUERY_VEC_ID))
+    lut = (
+        final.join(
+            F.broadcast(q_subs.select("s", F.col("sub").alias("qsub"))), "s"
+        )
+        .select(
+            "s",
+            "code",
+            F.round(_pq_sqdist(F.col("qsub"), F.col("cent")), 6).alias("ld"),
+        )
+    )
+    per_s = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("ld"))).alias(f"l{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+    )
+    total = F.round(
+        sum((F.col(f"l{s}") for s in range(_PQ_M)), F.lit(0.0)), 6
+    )
+    return (
+        per_s.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", total.alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(_TOPK)
+    )
+
+
+def _pq_sql_parts() -> str:
+    """Shared CTE chain of the DuckDB PQ twin (train + encode)."""
+    from ..operators import text as T
+
+    def cent_cols() -> str:
+        return ", ".join(
+            f"round(avg(sub[{i + 1}]), 6)" for i in range(_PQ_DSUB)
+        )
+
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(string_split('pq:' || vec_id::VARCHAR, ''), "
+        "c -> ascii(c)::BIGINT)), "
+        f"(acc, ch) -> (acc * {T.HASH_BASE} + ch) % {T.HASH_MOD})"
+    )
+    sqd = (
+        "round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {_PQ_DSUB} + 1), "
+        "i -> (sub[i] - cent[i]) * (sub[i] - cent[i]))), "
+        "(a, b) -> a + b), 6)"
+    )
+    return f"""
+subs AS (
+    SELECT vec_id, t.s,
+           list_transform(
+               embedding[{_PQ_DSUB} * t.s + 1 : {_PQ_DSUB} * t.s + {_PQ_DSUB}],
+               x -> x::DOUBLE) AS sub
+    FROM embeddings, unnest(range(0, {_PQ_M})) AS t(s)
+), seeded AS (
+    SELECT *, (({poly}) * {T.MIX_MULT}) % {T.HASH_MOD} % {_PQ_K} AS b
+    FROM subs
+), init AS (
+    SELECT s, b AS code, [{cent_cols()}] AS cent
+    FROM seeded GROUP BY s, b
+), scored0 AS (
+    SELECT vec_id, s, sub, code, {sqd} AS d
+    FROM subs JOIN init USING (s)
+), code0 AS (
+    SELECT vec_id, s, sub, code AS c0 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, code) AS rn
+        FROM scored0
+    ) WHERE rn = 1
+), final AS (
+    SELECT s, c0 AS code, [{cent_cols()}] AS cent
+    FROM code0 GROUP BY s, c0
+), scored1 AS (
+    SELECT vec_id, s, sub, code, {sqd} AS d
+    FROM subs JOIN final USING (s)
+), codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d, code) AS rn
+        FROM scored1
+    ) WHERE rn = 1
+)"""
+
+
+def _pq_encode_sql() -> str:
+    cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}"
+        for s in range(_PQ_M)
+    )
+    return f"""
+WITH {_pq_sql_parts()}
+SELECT vec_id, {cols}
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def _pq_adc_sql() -> str:
+    lcols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN ld END) AS l{s}" for s in range(_PQ_M)
+    )
+    total = " + ".join(f"l{s}" for s in range(_PQ_M))
+    qsqd = (
+        "round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {_PQ_DSUB} + 1), "
+        "i -> (qsub[i] - cent[i]) * (qsub[i] - cent[i]))), "
+        "(a, b) -> a + b), 6)"
+    )
+    return f"""
+WITH {_pq_sql_parts()}, qsubs AS (
+    SELECT s, sub AS qsub FROM subs WHERE vec_id = {_QUERY_VEC_ID}
+), lut AS (
+    SELECT s, code, {qsqd} AS ld
+    FROM final JOIN qsubs USING (s)
+), per_s AS (
+    SELECT vec_id, {lcols}
+    FROM codes JOIN lut USING (s, code)
+    GROUP BY vec_id
+)
+SELECT vec_id, round(0.0 + {total}, 6) AS approx_dist
+FROM per_s
+WHERE vec_id != {_QUERY_VEC_ID}
+ORDER BY approx_dist, vec_id
+LIMIT {_TOPK}
+"""
+
+
+QUERIES["pq_encode"] = pq_encode
+QUERIES["pq_adc_topk"] = pq_adc_topk
+ORACLES["pq_encode"] = _pq_encode_sql()
+ORACLES["pq_adc_topk"] = _pq_adc_sql()
