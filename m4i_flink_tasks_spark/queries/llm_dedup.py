@@ -258,29 +258,46 @@ ORDER BY doc_id
 SPAN_K = 8  # tokens per window (the paper uses 50; the corpus is short)
 
 
+# second-level base for combining per-token hashes into a window hash
+# (prime; acc*B2 + th stays < 1e9 * 1e6.01 + 1e9 < 2^63, exact BIGINT)
+SPAN_B2 = 1_000_003
+
+
 def _span_windows(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
-    """(doc_id, pos, h): every k-token window, keyed by the cross-engine
-    polynomial hash of its joined text. O(tokens) windows per doc —
-    explode + hash at scan speed; the window hash is the shuffle key, so
-    finding repeats is ONE corpus-sized hash aggregation (the paper's
-    suffix array plays this role; the hash-group formulation is the
-    shuffle-native equivalent). poly_hash is O(k) per window for the
-    DuckDB twin's sake — swap a true rolling hash (prefix powers) or
-    xxhash64 when cross-engine determinism is not required."""
+    """(doc_id, pos, h): every k-token window, keyed by a two-level
+    cross-engine hash — each TOKEN is polynomial-hashed once, then each
+    window combines its k token hashes with a second fold. O(tokens)
+    windows per doc; the window hash is the shuffle key, so finding
+    repeats is ONE corpus-sized hash aggregation (the paper's suffix
+    array plays this role; the hash-group formulation is the
+    shuffle-native equivalent).
+
+    Why two-level: hashing each window's JOINED TEXT repeats every
+    character k times through an interpreted HOF fold — measured ~14 s
+    for 2.4M windows at the sf1 rehearsal. Per-token hashing costs each
+    character once and the per-window fold is k tiny integer steps
+    (~6x less interpreted work, same dedup semantics — the hash is an
+    opaque key mirrored exactly by the DuckDB twin). Swap xxhash64 for
+    the whole thing when cross-engine determinism is not required."""
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= k)
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {k} + 1), "
-                f"i -> struct(i AS pos, "
-                f"concat_ws(' ', slice(t, i, {k})) AS w))"
-            )
-        ).alias("win"),
-    ).select(
-        "doc_id", "win.pos", T.poly_hash(F.col("win.w")).alias("h")
+    th = F.transform(F.col("t"), lambda w: T.poly_hash(w))
+    return (
+        toks.withColumn("th", th)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k} + 1), "
+                    f"i -> struct(i AS pos, "
+                    f"aggregate(slice(th, i, {k}), 0L, "
+                    f"(acc, x) -> (acc * {SPAN_B2} + x) % {T.HASH_MOD})"
+                    f" AS h))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", "win.pos", "win.h")
     )
 
 
@@ -328,16 +345,26 @@ def _poly_hash_sql(expr: str) -> str:
     )
 
 
-DUPLICATE_SPAN_SQL = rf"""
-WITH toks AS (
+# the same two-level window hash in DuckDB: per-token poly hashes, then
+# a k-step combining fold over each window's slice
+_SPAN_WINS_SQL = rf"""toks AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
     FROM documents
-), toks2 AS (SELECT * FROM toks WHERE len(t) >= {SPAN_K}
+), toks2 AS (
+    SELECT doc_id, t,
+           list_transform(t, w -> {_poly_hash_sql("w")}) AS th
+    FROM toks WHERE len(t) >= {SPAN_K}
 ), wins AS (
     SELECT doc_id, i AS pos,
-           {_poly_hash_sql(f"array_to_string(t[i:i+{SPAN_K}-1], ' ')")} AS h
+           list_reduce(
+               list_prepend(0::BIGINT, th[i : i + {SPAN_K} - 1]),
+               (acc, x) -> (acc * {SPAN_B2} + x) % 1000000007) AS h
     FROM toks2, unnest(range(1, len(t) - {SPAN_K} + 2)) AS u(i)
-), rep AS (
+)"""
+
+
+DUPLICATE_SPAN_SQL = rf"""
+WITH {_SPAN_WINS_SQL}, rep AS (
     SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
 ), flagged AS (
     SELECT doc_id, count(*) AS n_dup_windows, min(pos) AS first_dup_pos
@@ -358,14 +385,22 @@ ORDER BY t.doc_id
 def top_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 20 most-repeated k-token spans (by occurrence count, hash
     tie-break) with their spread across documents — the report a corpus
-    audit reads before choosing what to cut."""
+    audit reads before choosing what to cut.
+
+    Aggregation shape: count(*) + count_distinct in ONE aggregate makes
+    Catalyst expand every input row (one copy per aggregate mode), which
+    measured 8.2x at the sf0.1→sf1 rehearsal. The two-level form —
+    pre-aggregate by (h, doc_id), then sum/count by h — is
+    expand-free and fully map-side combinable, and brought the scale
+    exponent back in line with the rest of the family (SCALE.md)."""
     docs = load_table(spark, sf_dir, "documents")
     wins = _span_windows(docs)
+    per_doc = wins.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
-        wins.groupBy("h")
+        per_doc.groupBy("h")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_occurrences"), F.desc("n_docs"), "h")
@@ -374,19 +409,13 @@ def top_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_SPANS_SQL = rf"""
-WITH toks AS (
-    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-    FROM documents
-), toks2 AS (SELECT * FROM toks WHERE len(t) >= {SPAN_K}
-), wins AS (
-    SELECT doc_id,
-           {_poly_hash_sql(f"array_to_string(t[i:i+{SPAN_K}-1], ' ')")} AS h
-    FROM toks2, unnest(range(1, len(t) - {SPAN_K} + 2)) AS u(i)
+WITH {_SPAN_WINS_SQL}, per_doc AS (
+    SELECT h, doc_id, count(*) AS n FROM wins GROUP BY h, doc_id
 )
-SELECT h, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
-FROM wins
+SELECT h, sum(n)::BIGINT AS n_occurrences, count(*) AS n_docs
+FROM per_doc
 GROUP BY h
-HAVING count(DISTINCT doc_id) >= 2
+HAVING count(*) >= 2
 ORDER BY n_occurrences DESC, n_docs DESC, h
 LIMIT 20
 """
