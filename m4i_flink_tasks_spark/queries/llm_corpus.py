@@ -790,7 +790,7 @@ ORDER BY r.lang, r.doc_id
 # NOTE: deliberately avoids list_reduce — DuckDB 1.0 mis-evaluates
 # VARCHAR-struct accumulators in lambda folds (verified repro), so the
 # rewrite is pure window/group relational algebra instead.
-BPE_MERGE_SQL = """
+BPE_MERGE_SQL = r"""
 WITH RECURSIVE base AS (
     SELECT word, count(*)::BIGINT AS freq,
            list_append(string_split_regex(word, ''), '</w>') AS symbols

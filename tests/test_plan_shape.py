@@ -363,3 +363,41 @@ def test_range_frame_single_shuffle(plans):
     n_hash = tree.count("Exchange hashpartitioning")
     assert n_hash <= 1, f"range frame has {n_hash} hash exchanges:\n{tree}"
     assert "Window" in tree
+
+
+def test_lm_scoring_broadcasts_the_model(plans):
+    """Bigram-LM pass 2: the unigram dimension broadcasts as a hash
+    join and the 1-row vocab-size scalar broadcasts as the standard
+    one-row nested-loop (the correct scalar-subquery shape — bounded by
+    the join count, never corpus x corpus); the bigram-keyed join is
+    the only shuffle. SortMergeJoin would mean the token stream got
+    re-shuffled against a dimension."""
+    for name in ("ngram_lm_perplexity", "lm_head_sample"):
+        plan = plans[name]
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        # only the single-row vocab scalar may nested-loop
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_span_dedup_has_no_expand_and_single_hash_kernel(plans):
+    """The span family's aggregates must be plain hash aggregates —
+    the count+count_distinct Expand (measured 8.2x at the sf1
+    rehearsal before the two-level rewrite) must not come back."""
+    for name in ("duplicate_span_stats", "top_duplicate_spans"):
+        plan = plans[name]
+        assert "Expand" not in plan, f"{name}: distinct-agg Expand returned"
+        assert "HashAggregate" in plan, name
+    assert "TakeOrderedAndProject" in plans["top_duplicate_spans"]
+
+
+def test_pq_broadcasts_codebook_never_corpus(plans):
+    """Every PQ join (seed centroids, refined centroids, ADC lookup
+    table) attaches a dimension-sized relation — all broadcast. A
+    SortMergeJoin would mean the corpus got shuffled against the
+    codebook; a nested loop would mean a cross join snuck in."""
+    for name in ("pq_encode", "pq_adc_topk"):
+        plan = plans[name]
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
