@@ -125,17 +125,19 @@ _MODULES = (
 # stream_distinct_sketch).
 #
 # ROTATION PLAN (next round, once the current 50 are attested): rotate
-# in the remaining unattested extras — approx_distinct_kmv,
-# bloom_semijoin_reduction, pagerank_power_iterations,
-# stream_scd2_dimension, table_profile, integrity_checks,
-# jl_random_projection, rolling_30d_customer_revenue,
-# nation_revenue_distribution, stratified_fixed_k_sample,
-# weighted_corpus_sample, temperature_mixture_sample, zorder_mapping,
-# sequence_packing, hard_negative_mining, kmeans_refine — against rows
-# that will then hold fresh r4 attestations (candidates: q3, q5,
-# session_windows, neardup_components, embedding_neardup_pairs,
-# repetition_metrics, corpus_sampling_splits, and this round's sixteen
-# rotated-in rows).
+# in the remaining unattested extras — strongest first: the round-4
+# builds (ngram_lm_perplexity, lm_head_sample, duplicate_span_stats,
+# top_duplicate_spans, pq_encode, pq_adc_topk, bpe_merge_table — now
+# oracle-backed), then approx_distinct_kmv, bloom_semijoin_reduction,
+# pagerank_power_iterations, stream_scd2_dimension, table_profile,
+# integrity_checks, jl_random_projection,
+# rolling_30d_customer_revenue, nation_revenue_distribution,
+# stratified_fixed_k_sample, weighted_corpus_sample,
+# temperature_mixture_sample, zorder_mapping, sequence_packing,
+# hard_negative_mining, kmeans_refine — against rows that will then
+# hold fresh r4 attestations (candidates: q3, q5, session_windows,
+# neardup_components, embedding_neardup_pairs, repetition_metrics,
+# corpus_sampling_splits, and this round's sixteen rotated-in rows).
 DRIVER_QUERIES: tuple[str, ...] = (
     # relational engine proofs (flagship bench queries)
     "q1_pricing_summary",

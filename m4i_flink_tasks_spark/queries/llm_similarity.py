@@ -541,23 +541,25 @@ _PQ_DSUB = 8     # dims per subspace (8 x 8 = 64)
 _PQ_K = 16       # codes per subspace
 
 
-def _pq_subvectors(emb: DataFrame) -> DataFrame:
-    """(vec_id, s, sub): the corpus exploded into per-subspace slices,
+def _pq_subvectors(
+    emb: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """(id, s, sub): the corpus exploded into per-subspace slices,
     cast to double once. One narrow scan-stage projection."""
     subs = F.array(
         *[
             F.struct(
                 F.lit(s).alias("s"),
                 F.transform(
-                    F.slice("embedding", s * _PQ_DSUB + 1, _PQ_DSUB),
+                    F.slice(emb_col, s * _PQ_DSUB + 1, _PQ_DSUB),
                     lambda x: x.cast("double"),
                 ).alias("sub"),
             )
             for s in range(_PQ_M)
         ]
     )
-    return emb.select("vec_id", F.explode(subs).alias("p")).select(
-        "vec_id", "p.s", "p.sub"
+    return emb.select(id_col, F.explode(subs).alias("p")).select(
+        id_col, "p.s", "p.sub"
     )
 
 
@@ -801,3 +803,201 @@ QUERIES["pq_encode"] = pq_encode
 QUERIES["pq_adc_topk"] = pq_adc_topk
 ORACLES["pq_encode"] = _pq_encode_sql()
 ORACLES["pq_adc_topk"] = _pq_adc_sql()
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (the FAISS IVFPQ composition): coarse inverted lists + product
+# quantization of the RESIDUALS. The billion-vector architecture —
+# a probe touches n_probe/n_clusters of the codes, and each candidate
+# costs 8 table lookups instead of a 64-dim distance.
+# --------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_DIM = 64
+
+
+def _coarse_centroids(emb: DataFrame) -> DataFrame:
+    """(label, ccent): per-cluster mean vector, every component rounded
+    to 6 so residuals start from identical numbers in both engines. The
+    ``label`` column plays the k-means build output, as in
+    ``ann_ivf_probe``."""
+    cents = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"s{i}"
+            )
+            for i in range(_IVFPQ_DIM)
+        ],
+    )
+    return cents.select(
+        "label",
+        F.array(
+            *[
+                F.round(F.col(f"s{i}") / F.col("n"), 6)
+                for i in range(_IVFPQ_DIM)
+            ]
+        ).alias("ccent"),
+    )
+
+
+def _residual(vec: Column, cent: Column) -> Column:
+    return F.zip_with(
+        F.transform(vec, lambda x: x.cast("double")),
+        cent,
+        lambda x, y: x - y,
+    )
+
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` nearest coarse cells by
+    exact L2 to the (broadcast, rounded) coarse centroids, then rank
+    the probed cells' vectors by ADC over a PQ codebook trained on the
+    RESIDUALS (vector minus its cell centroid) — residuals concentrate
+    near zero, which is why FAISS quantizes them instead of raw
+    vectors. Per probed cell the query's residual differs, so the
+    lookup table is keyed (cell, subspace, code) — still
+    n_probe × m × k rows, broadcast.
+
+    Plan: coarse centroids and the codebook are dimension-sized
+    aggregates; the corpus appears only in (a) the residual projection
+    (scan-stage), (b) the PQ encode joins (codebook broadcast), and
+    (c) one vec_id-keyed join re-attaching the cell label to the codes
+    (at cluster scale the label rides the code table so this join
+    disappears — kept here to reuse the label-free PQ kernel
+    verbatim). The probe semi-join and the LUT join are broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = _coarse_centroids(emb)
+    resid = emb.join(F.broadcast(coarse), "label").select(
+        "vec_id",
+        _residual(F.col("embedding"), F.col("ccent")).alias("embedding"),
+    )
+    final, codes = _pq_model(resid)
+
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    qdist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("q_emb"), lambda x: x.cast("double")),
+                F.col("ccent"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    probed = (
+        coarse.crossJoin(F.broadcast(q))
+        .select("label", "ccent", "q_emb", qdist.alias("d"))
+        .orderBy("d", "label")
+        .limit(_IVFPQ_NPROBE)
+    )
+    qr_subs = _pq_subvectors(
+        probed.select(
+            "label", _residual(F.col("q_emb"), F.col("ccent")).alias("qr")
+        ),
+        id_col="label",
+        emb_col="qr",
+    ).withColumnRenamed("sub", "qsub")
+    lut = final.join(F.broadcast(qr_subs), "s").select(
+        "label",
+        "s",
+        "code",
+        F.round(_pq_sqdist(F.col("qsub"), F.col("cent")), 6).alias("ld"),
+    )
+    labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
+    per_s = (
+        labeled.join(F.broadcast(lut), ["label", "s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").alias("label"),
+            *[
+                F.max(F.when(F.col("s") == s, F.col("ld"))).alias(f"l{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+    )
+    total = F.round(
+        sum((F.col(f"l{s}") for s in range(_PQ_M)), F.lit(0.0)), 6
+    )
+    return (
+        per_s.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "label", total.alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(_TOPK)
+    )
+
+
+def _ivfpq_sql() -> str:
+    dim = _IVFPQ_DIM
+    ccent_cols = ", ".join(
+        f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(dim)
+    )
+    l2_q_cc = (
+        "round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        "i -> (q_emb[i]::DOUBLE - ccent[i]) * (q_emb[i]::DOUBLE - ccent[i]))), "
+        "(a, b) -> a + b), 6)"
+    )
+    lcols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN ld END) AS l{s}" for s in range(_PQ_M)
+    )
+    total = " + ".join(f"l{s}" for s in range(_PQ_M))
+    qsqd = (
+        "round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {_PQ_DSUB} + 1), "
+        "i -> (qsub[i] - cent[i]) * (qsub[i] - cent[i]))), "
+        "(a, b) -> a + b), 6)"
+    )
+    # the shared PQ chain, retargeted at the residual relation
+    pq_chain = _pq_sql_parts().replace("FROM embeddings,", "FROM resid,")
+    return f"""
+WITH coarse AS (
+    SELECT label, [{ccent_cols}] AS ccent
+    FROM embeddings GROUP BY label
+), resid AS (
+    SELECT e.vec_id,
+           list_transform(range(1, {dim} + 1),
+                          i -> e.embedding[i]::DOUBLE - c.ccent[i])
+               AS embedding
+    FROM embeddings e JOIN coarse c USING (label)
+), {pq_chain}, qv AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+), probed AS (
+    SELECT label, ccent, q_emb FROM (
+        SELECT label, ccent, q_emb, {l2_q_cc} AS d
+        FROM coarse CROSS JOIN qv
+        ORDER BY d, label LIMIT {_IVFPQ_NPROBE}
+    )
+), qr_subs AS (
+    SELECT label, t.s,
+           list_transform(
+               list_transform(range(1, {dim} + 1),
+                              i -> q_emb[i]::DOUBLE - ccent[i])
+               [{_PQ_DSUB} * t.s + 1 : {_PQ_DSUB} * t.s + {_PQ_DSUB}],
+               x -> x) AS qsub
+    FROM probed, unnest(range(0, {_PQ_M})) AS t(s)
+), lut AS (
+    SELECT label, s, code, {qsqd} AS ld
+    FROM final JOIN qr_subs USING (s)
+), labeled AS (
+    SELECT c.vec_id, e.label, c.s, c.code
+    FROM codes c JOIN embeddings e USING (vec_id)
+), per_s AS (
+    SELECT vec_id, max(label) AS label, {lcols}
+    FROM labeled JOIN lut USING (label, s, code)
+    GROUP BY vec_id
+)
+SELECT vec_id, label, round(0.0 + {total}, 6) AS approx_dist
+FROM per_s
+WHERE vec_id != {_QUERY_VEC_ID}
+ORDER BY approx_dist, vec_id
+LIMIT {_TOPK}
+"""
+
+
+QUERIES["ivfpq_adc_topk"] = ivfpq_adc_topk
+ORACLES["ivfpq_adc_topk"] = _ivfpq_sql()

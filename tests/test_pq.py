@@ -44,3 +44,20 @@ def test_adc_recall_against_exact_topk(spark, sf_dir):
     approx = {r.vec_id for r in pq_adc_topk(spark, sf_dir).collect()}
     assert len(approx) == _TOPK
     assert len(exact & approx) >= 3
+
+
+def test_ivfpq_probe_restricts_and_recalls(spark, sf_dir):
+    """IVF-PQ results must come only from the probed cells, and the
+    probe+quantize pipeline must still recover part of the exact
+    top-10 (loose bound — correctness of the composition, not a tuned
+    recall benchmark)."""
+    from m4i_flink_tasks_spark.queries.llm_similarity import (
+        _IVFPQ_NPROBE,
+        ivfpq_adc_topk,
+    )
+
+    rows = ivfpq_adc_topk(spark, sf_dir).collect()
+    assert len(rows) == _TOPK
+    assert len({r.label for r in rows}) <= _IVFPQ_NPROBE
+    exact = {r.vec_id for r in ann_brute_force_topk(spark, sf_dir).collect()}
+    assert len(exact & {r.vec_id for r in rows}) >= 2
