@@ -718,6 +718,26 @@ ORDER BY lang, sample_key DESC, doc_id
 """
 
 
+
+def _stream_duplicate_spans_sql() -> str:
+    from .llm_dedup import DUPLICATE_SPAN_SQL
+
+    return DUPLICATE_SPAN_SQL
+
+
+def stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming span-level exact dedup (streaming/span_state.py):
+    per-(window-hash, doc) counts and per-doc totals maintained as
+    ADDITIVE keyed state across micro-batches; the readout recomputes
+    the duplicate surface, so the stream equals the batch
+    duplicate_span_stats exactly for any batch split."""
+    from ..streaming.span_state import run_stream_span_dedup
+
+    return run_stream_span_dedup(
+        spark, sf_dir, _workdir("span_dedup")
+    )
+
+
 def stream_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantiles via a mergeable bottom-k uniform sample
     (streaming/quantile_state.py): each micro-batch contributes its
@@ -1055,6 +1075,7 @@ QUERIES = {
     "stream_scd2_dimension": stream_scd2_dimension,
     "stream_windowed_distinct": stream_windowed_distinct,
     "stream_quantile_sample": stream_quantile_sample,
+    "stream_duplicate_spans": stream_duplicate_spans,
     "stream_weighted_sample": stream_weighted_sample,
 }
 
@@ -1076,5 +1097,6 @@ ORACLES = {
     "stream_scd2_dimension": _stream_scd2_sql(),
     "stream_windowed_distinct": _stream_windowed_distinct_sql(),
     "stream_quantile_sample": _stream_quantile_sample_sql(),
+    "stream_duplicate_spans": _stream_duplicate_spans_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
 }
