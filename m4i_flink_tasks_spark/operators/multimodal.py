@@ -8,22 +8,25 @@ struct usable for partition pruning and filter pushdown *without*
 touching bytes. Decode/feature work happens in ``mapInPandas`` so each
 Arrow batch crosses the JVM→Python boundary once — never per row.
 
-Codec posture: **formats the stdlib can decode decode for real** —
-RIFF/WAVE PCM (8/16-bit), BMP (BITMAPINFOHEADER, uncompressed 24-bit),
-binary PPM (P6) via ``struct`` + numpy, **PNG** (8-bit depth,
-gray/RGB/palette/gray-alpha/RGBA, all five scanline filters including
-Paeth) via ``zlib`` inflate + defilter, and **GIF** (87a/89a, global
-and local palettes, variable-width LZW with clears and the KwKwK case,
-deferred-clear table freeze, animated multi-frame — real frame counts,
-verified against real-world files) — routed by magic-byte sniffing.
-Codecs that genuinely need external libraries (JPEG/MP3/OGG/MP4: DCT,
-psychoacoustic models) stay at the clearly-marked
-``NotImplementedError`` seam in ``decode_media`` (plug PIL / soundfile
-/ av there), as do PNG features beyond the supported profile (16-bit
-depth, Adam7 interlace). Anything else falls back to a **deterministic
-byte-level fake** (length, boundary bytes, fixed-size chunk count) so
-the surrounding plumbing — schema, batching, partitioning, UDF
-signature — is real and oracle-checkable on arbitrary payloads.
+Codec posture: **every image/audio container decodes for real with
+stdlib + numpy** — RIFF/WAVE PCM (8/16-bit), BMP (BITMAPINFOHEADER,
+uncompressed 24-bit), binary PPM (P6) via ``struct``; **PNG** (8-bit
+depth, gray/RGB/palette/gray-alpha/RGBA, all five scanline filters
+including Paeth) via ``zlib`` inflate + defilter; **GIF** (87a/89a,
+global and local palettes, variable-width LZW with clears and the
+KwKwK case, deferred-clear table freeze, animated multi-frame — real
+frame counts); and **baseline JPEG** (operators/jpeg.py: Huffman
+entropy decode, dequant, IDCT, chroma upsample, YCbCr→RGB — validated
+by independent-encoder round-trips AND real-world files) — routed by
+magic-byte sniffing. Only formats that genuinely need external codec
+libraries (MP3/OGG/MP4: psychoacoustic + video codecs) stay at the
+clearly-marked ``NotImplementedError`` seam in ``decode_media`` (plug
+soundfile / av there), as do profile edges (16-bit/interlaced PNG,
+progressive/arithmetic JPEG). Anything else falls back to a
+**deterministic byte-level fake** (length, boundary bytes, fixed-size
+chunk count) so the surrounding plumbing — schema, batching,
+partitioning, UDF signature — is real and oracle-checkable on
+arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -49,7 +52,6 @@ FEATURE_SCHEMA = (
 # Formats whose decode requires codec libraries absent from this
 # container — the documented NotImplementedError seam.
 _COMPRESSED_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"\xff\xd8\xff", "jpeg"),
     (b"ID3", "mp3"),
     (b"OggS", "ogg"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
@@ -393,12 +395,30 @@ def _decode_gif(b: bytes) -> dict | None:
     }
 
 
+def _decode_jpeg(b: bytes) -> dict | None:
+    """Baseline JPEG via operators/jpeg.py (pure numpy: Huffman entropy
+    decode, dequant, IDCT, chroma upsample, YCbCr→RGB). Progressive /
+    arithmetic streams raise at the seam; malformed fall to bytes."""
+    from .jpeg import decode_jpeg_baseline
+
+    out = decode_jpeg_baseline(b)
+    if out is None:
+        return None
+    return {
+        **_NO_MEDIA,
+        "width": out["width"],
+        "height": out["height"],
+        "mean_value": out["mean_value"],
+    }
+
+
 _REAL_DECODERS: tuple[tuple[str, object], ...] = (
     ("wav", _decode_wav),
     ("bmp", _decode_bmp),
     ("ppm", _decode_ppm),
     ("png", _decode_png),
     ("gif", _decode_gif),
+    ("jpeg", _decode_jpeg),
 )
 
 
@@ -563,6 +583,69 @@ def synth_gif(doc_id: int) -> bytes:
     )
 
 
+def synth_jpeg(doc_id: int) -> bytes:
+    """Real baseline JPEG with closed-form features: a constant
+    grayscale image (value 127 or 129 by doc parity) whose DCT is
+    DC-only, with an all-ones quant table so the round-trip is EXACT —
+    decoded mean == the constant. Dimensions are block multiples
+    (w = 8·(1 + doc_id%3), h = 8·(1 + doc_id%2)).
+
+    The entropy stream length is a closed form because the custom
+    Huffman tables make every block a fixed bit count: 12 four-bit DC
+    category codes + a single one-bit AC EOB code; the first block
+    spends 4 (cat-4 code) + 4 (magnitude of DC=±8) + 1 (EOB) = 9 bits
+    and every later block 4 (cat-0) + 1 = 5 bits. All emitted bytes
+    are provably < 0xFF, so no byte stuffing can change the length:
+    n_bytes = 151 + ceil((9 + 5·(n_blocks − 1)) / 8)."""
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    n_blocks = (w // 8) * (h // 8)
+    negative = doc_id % 2 == 1  # c' = -1 -> pixel 127, else +1 -> 129
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    # DC table: 12 symbols (categories 0..11), all 4-bit codes
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 12)
+        + b"\x00"
+        + bytes(dc_counts)
+        + bytes(range(12))
+    )
+    # AC table: single 1-bit code for EOB (symbol 0x00)
+    ac_counts = [1] + [0] * 15
+    dht_ac = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x11"  # class 1 (AC), table id 1
+        + bytes(ac_counts)
+        + b"\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x01, 0, 63, 0])
+
+    bits: list[int] = []
+    # first block: DC cat 4 (code 0100), magnitude of ±8, EOB (0)
+    bits += [0, 1, 0, 0]
+    bits += [0, 1, 1, 1] if negative else [1, 0, 0, 0]
+    bits += [0]
+    for _ in range(n_blocks - 1):
+        bits += [0, 0, 0, 0, 0]  # DC cat 0 + EOB
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    data = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + data + b"\xff\xd9"
+    )
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Binary column + typed metadata from the documents table.
 
@@ -583,6 +666,8 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     def _payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         def one(d: int, t: str) -> bytes:
             m = d % 15
+            if m == 0:
+                return synth_jpeg(d)
             if m == 1:
                 return synth_wav(d)
             if m == 3:

@@ -5,17 +5,19 @@ Most payloads are the UTF-8 encoding of ``documents.text`` (ASCII in
 this corpus, so DuckDB's ``strlen``/``ascii`` compute the same bytes
 the Spark side sees) and take the deterministic byte-fake branch
 (``codec='bytes'``). A deterministic slice of rows (doc_id % 15 in
-(1, 3, 6, 9, 12)) carries REAL synthesized WAV/BMP/PPM/PNG/GIF
+(0, 1, 3, 6, 9, 12)) carries REAL synthesized JPEG/WAV/BMP/PPM/PNG/GIF
 payloads whose decoded sample-rate/dims/frames/mean are closed forms
-of doc_id — the PNG rows go through actual zlib inflate + scanline
-defilter, the GIF rows through the real LZW decoder (animated: the
-n_frames column is the true animation length), and both file SIZES
+of doc_id — PNG rows go through actual zlib inflate + scanline
+defilter, GIF rows through the real LZW decoder (animated: n_frames is
+the true animation length), JPEG rows through the full baseline
+pipeline (Huffman entropy decode + IDCT; DC-only constant images with
+an all-ones quant table make the round-trip EXACT), and all file SIZES
 are closed forms because the synth encoders emit fixed-layout streams
-(STORED deflate blocks for PNG; fixed-width literal codes with
-periodic clears for GIF) — so the driver hash covers the real
-decoders (operators/multimodal.py, also pinned by
-tests/test_multimodal_codecs.py against real-world GIF files), and
-library-requiring formats (JPEG/MP3/OGG/MP4) stay at the documented
+(STORED deflate blocks; fixed-width LZW literals; fixed-bit-count JPEG
+blocks provably free of byte stuffing) — so the driver hash covers the
+real decoders (operators/multimodal.py + operators/jpeg.py, also
+pinned by tests against real-world GIF/JPEG files), and only
+library-requiring formats (MP3/OGG/MP4) remain at the documented
 NotImplementedError seam.
 """
 
@@ -45,7 +47,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
 
 
-# Rows with doc_id % 15 in (1, 3, 6, 9) carry REAL synthesized media
+# Rows with doc_id % 15 in (0, 1, 3, 6, 9, 12) carry REAL synthesized media
 # (synth_wav/synth_bmp/synth_ppm/synth_png in operators/multimodal.py);
 # their decoded outputs are closed forms of doc_id because every
 # sample/pixel is a constant, so the oracle verifies the REAL decoder
@@ -56,10 +58,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id,
        {_MODALITY_SQL} AS modality,
-       CASE doc_id % 15 WHEN 1 THEN 'wav' WHEN 3 THEN 'bmp'
+       CASE doc_id % 15 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'wav'
+            WHEN 3 THEN 'bmp'
             WHEN 6 THEN 'ppm' WHEN 9 THEN 'png' WHEN 12 THEN 'gif'
             ELSE 'bytes' END AS codec,
        CASE doc_id % 15
+            WHEN 0 THEN 151 + (9 + 5 * (((1 + doc_id % 3) * (1 + doc_id % 2)) - 1) + 7) // 8
             WHEN 1 THEN 44 + 2 * (64 + doc_id % 32)
             WHEN 3 THEN 54 + (4 + 4 * (doc_id % 2)) * 3 * (3 + doc_id % 5)
             WHEN 6 THEN 11 + (3 + doc_id % 5) * (2 + doc_id % 4) * 3
@@ -67,10 +71,12 @@ SELECT doc_id,
             WHEN 12 THEN 20 + (1 + (doc_id // 15) % 3)
                  * (13 + (3 * ({_GIF_N} + {_GIF_N} // 2 + 2) + 7) // 8)
             ELSE strlen(text) END AS n_bytes,
-       CASE doc_id % 15 WHEN 1 THEN 82 WHEN 3 THEN 66 WHEN 6 THEN 80
+       CASE doc_id % 15 WHEN 0 THEN 255
+            WHEN 1 THEN 82 WHEN 3 THEN 66 WHEN 6 THEN 80
             WHEN 9 THEN 137 WHEN 12 THEN 71
             ELSE ascii(substring(text, 1, 1)) END AS first_byte,
        CASE doc_id % 15
+            WHEN 0 THEN 217
             WHEN 1 THEN CASE WHEN (doc_id % 100) - 50 >= 0 THEN 0 ELSE 255 END
             WHEN 3 THEN doc_id % 256
             WHEN 6 THEN (doc_id * 7) % 256
@@ -82,11 +88,13 @@ SELECT doc_id,
             WHEN {_MODALITY_SQL} = 'video'
             THEN CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS INT)
             ELSE 1 END AS n_frames,
-       CAST(CASE doc_id % 15 WHEN 3 THEN 4 + 4 * (doc_id % 2)
+       CAST(CASE doc_id % 15 WHEN 0 THEN (8 * (1 + doc_id % 3))
+            WHEN 3 THEN 4 + 4 * (doc_id % 2)
             WHEN 6 THEN 3 + doc_id % 5
             WHEN 9 THEN 2 + doc_id % 4
             WHEN 12 THEN 2 + doc_id % 4 END AS INTEGER) AS width,
-       CAST(CASE doc_id % 15 WHEN 3 THEN 3 + doc_id % 5
+       CAST(CASE doc_id % 15 WHEN 0 THEN (8 * (1 + doc_id % 2))
+            WHEN 3 THEN 3 + doc_id % 5
             WHEN 6 THEN 2 + doc_id % 4
             WHEN 9 THEN 2 + doc_id % 3
             WHEN 12 THEN 2 + doc_id % 2 END AS INTEGER) AS height,
@@ -94,7 +102,8 @@ SELECT doc_id,
             END AS INTEGER) AS sample_rate,
        CAST(CASE doc_id % 15 WHEN 1 THEN 64 + doc_id % 32
             END AS BIGINT) AS n_samples,
-       CAST(CASE doc_id % 15 WHEN 1 THEN abs((doc_id % 100) - 50)
+       CAST(CASE doc_id % 15 WHEN 0 THEN 129 - 2 * (doc_id % 2)
+            WHEN 1 THEN abs((doc_id % 100) - 50)
             WHEN 3 THEN doc_id % 256
             WHEN 6 THEN (doc_id * 7) % 256
             WHEN 9 THEN (doc_id * 11) % 256

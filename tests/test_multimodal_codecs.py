@@ -97,7 +97,7 @@ def test_truncated_media_falls_back_to_bytes():
 
 
 def test_compressed_formats_raise_at_the_seam():
-    for magic in (b"\xff\xd8\xff\xe0__", b"OggS__", b"ID3\x03__"):
+    for magic in (b"OggS__", b"ID3\x03__"):
         with pytest.raises(NotImplementedError):
             decode_media(magic, "image")
 
