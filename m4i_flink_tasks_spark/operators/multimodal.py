@@ -9,7 +9,9 @@ touching bytes. Decode/feature work happens in ``mapInPandas`` so each
 Arrow batch crosses the JVM→Python boundary once — never per row.
 
 Codec posture: **every image/audio container decodes for real with
-stdlib + numpy** — RIFF/WAVE PCM (8/16-bit), BMP (BITMAPINFOHEADER,
+stdlib + numpy** — RIFF/WAVE PCM (8/16-bit) AND mono IMA ADPCM
+(format 0x11 — 4-bit predictive, round-tripped exactly against an
+independent encoder), BMP (BITMAPINFOHEADER,
 uncompressed 24-bit), binary PPM (P6) via ``struct``; **PNG** (8-bit
 depth, gray/RGB/palette/gray-alpha/RGBA, all five scanline filters
 including Paeth) via ``zlib`` inflate + defilter; **GIF** (87a/89a,
@@ -67,10 +69,61 @@ _NO_MEDIA = {
 }
 
 
+# IMA ADPCM step-size and index-adjust tables (IMA spec constants)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode(data: bytes, block_align: int, spb: int) -> list[int] | None:
+    """Mono IMA ADPCM: per block, a 4-byte (predictor, step index)
+    header then two 4-bit samples per byte, low nibble first. The
+    predictive decode loop is the spec's: delta from the step table,
+    clamp to int16, nudge the step index."""
+    if block_align < 5 or len(data) % block_align:
+        return None
+    out: list[int] = []
+    for start in range(0, len(data), block_align):
+        pred, idx = struct.unpack_from("<hB", data, start)
+        if idx > 88:
+            return None
+        out.append(pred)
+        produced = 1
+        for p in range(start + 4, start + block_align):
+            byte = data[p]
+            for shift in (0, 4):
+                if produced >= spb:
+                    break
+                n = (byte >> shift) & 0x0F
+                step = _IMA_STEPS[idx]
+                diff = step >> 3
+                if n & 1:
+                    diff += step >> 2
+                if n & 2:
+                    diff += step >> 1
+                if n & 4:
+                    diff += step
+                if n & 8:
+                    diff = -diff
+                pred = max(-32768, min(32767, pred + diff))
+                idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+                out.append(pred)
+                produced += 1
+    return out
+
+
 def _decode_wav(b: bytes) -> dict | None:
-    """RIFF/WAVE PCM: chunk walk -> (sample_rate, n_samples, RMS).
-    Returns None unless the payload is a well-formed uncompressed
-    8/16-bit PCM file."""
+    """RIFF/WAVE: chunk walk -> (sample_rate, n_samples, RMS). Decodes
+    uncompressed 8/16-bit PCM AND mono IMA ADPCM (format 0x11 — the
+    4-bit predictive codec, 4x compression); other compressed WAV
+    formats return None (-> byte-fake)."""
     if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -87,7 +140,24 @@ def _decode_wav(b: bytes) -> dict | None:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None or len(fmt) < 16:
         return None
-    audio_format, n_ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    audio_format, n_ch, rate, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format == 0x11:  # IMA ADPCM
+        if n_ch != 1 or bits != 4 or len(fmt) < 20:
+            return None
+        (spb,) = struct.unpack_from("<H", fmt, 18)
+        samples = _ima_decode(data, block_align, spb)
+        if samples is None:
+            return None
+        arr = np.asarray(samples, np.float64)
+        rms = float(np.sqrt(np.mean(arr**2))) if arr.size else 0.0
+        return {
+            **_NO_MEDIA,
+            "sample_rate": int(rate),
+            "n_samples": len(samples),
+            "mean_value": rms,
+        }
     if audio_format != 1 or bits not in (8, 16) or n_ch == 0:
         return None
     frame = n_ch * bits // 8
@@ -496,6 +566,34 @@ def synth_ppm(doc_id: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + bytes([q]) * (w * h * 3)
 
 
+def synth_adpcm_wav(doc_id: int) -> bytes:
+    """Mono IMA-ADPCM WAV with closed-form features: every block's
+    predictor is the constant c = ((doc_id*3) % 100) - 50 and every
+    nibble is 0 — at the initial step index 0 the step is 7, so a zero
+    nibble adds 7>>3 = 0 and the index stays pinned at 0: every decoded
+    sample equals c exactly and the RMS is |c|. Layout is fixed
+    (block_align 12 → 17 samples/block), so
+    n_bytes = 60 + 12·n_blocks with n_blocks = 1 + doc_id % 2."""
+    rate = 8000 + (doc_id % 6) * 1000
+    c = ((doc_id * 3) % 100) - 50
+    n_blocks = 1 + doc_id % 2
+    block_align = 12
+    spb = (block_align - 4) * 2 + 1  # 17
+    block = struct.pack("<hBB", c, 0, 0) + b"\x00" * (block_align - 4)
+    data = block * n_blocks
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb,
+        block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_blocks * spb)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
     return (
         struct.pack(">I", len(body))
@@ -672,6 +770,8 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
                 return synth_wav(d)
             if m == 3:
                 return synth_bmp(d)
+            if m == 4:
+                return synth_adpcm_wav(d)
             if m == 6:
                 return synth_ppm(d)
             if m == 9:

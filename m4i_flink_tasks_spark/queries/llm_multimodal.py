@@ -59,12 +59,13 @@ MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id,
        {_MODALITY_SQL} AS modality,
        CASE doc_id % 15 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'wav'
-            WHEN 3 THEN 'bmp'
+            WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav'
             WHEN 6 THEN 'ppm' WHEN 9 THEN 'png' WHEN 12 THEN 'gif'
             ELSE 'bytes' END AS codec,
        CASE doc_id % 15
             WHEN 0 THEN 151 + (9 + 5 * (((1 + doc_id % 3) * (1 + doc_id % 2)) - 1) + 7) // 8
             WHEN 1 THEN 44 + 2 * (64 + doc_id % 32)
+            WHEN 4 THEN 60 + 12 * (1 + doc_id % 2)
             WHEN 3 THEN 54 + (4 + 4 * (doc_id % 2)) * 3 * (3 + doc_id % 5)
             WHEN 6 THEN 11 + (3 + doc_id % 5) * (2 + doc_id % 4) * 3
             WHEN 9 THEN 68 + (2 + doc_id % 3) * (1 + 3 * (2 + doc_id % 4))
@@ -72,13 +73,14 @@ SELECT doc_id,
                  * (13 + (3 * ({_GIF_N} + {_GIF_N} // 2 + 2) + 7) // 8)
             ELSE strlen(text) END AS n_bytes,
        CASE doc_id % 15 WHEN 0 THEN 255
-            WHEN 1 THEN 82 WHEN 3 THEN 66 WHEN 6 THEN 80
+            WHEN 1 THEN 82 WHEN 3 THEN 66 WHEN 4 THEN 82 WHEN 6 THEN 80
             WHEN 9 THEN 137 WHEN 12 THEN 71
             ELSE ascii(substring(text, 1, 1)) END AS first_byte,
        CASE doc_id % 15
             WHEN 0 THEN 217
             WHEN 1 THEN CASE WHEN (doc_id % 100) - 50 >= 0 THEN 0 ELSE 255 END
             WHEN 3 THEN doc_id % 256
+            WHEN 4 THEN 0
             WHEN 6 THEN (doc_id * 7) % 256
             WHEN 9 THEN 130
             WHEN 12 THEN 59
@@ -99,11 +101,14 @@ SELECT doc_id,
             WHEN 9 THEN 2 + doc_id % 3
             WHEN 12 THEN 2 + doc_id % 2 END AS INTEGER) AS height,
        CAST(CASE doc_id % 15 WHEN 1 THEN 8000 + (doc_id % 8) * 1000
+            WHEN 4 THEN 8000 + (doc_id % 6) * 1000
             END AS INTEGER) AS sample_rate,
        CAST(CASE doc_id % 15 WHEN 1 THEN 64 + doc_id % 32
+            WHEN 4 THEN 17 * (1 + doc_id % 2)
             END AS BIGINT) AS n_samples,
        CAST(CASE doc_id % 15 WHEN 0 THEN 129 - 2 * (doc_id % 2)
             WHEN 1 THEN abs((doc_id % 100) - 50)
+            WHEN 4 THEN abs(((doc_id * 3) % 100) - 50)
             WHEN 3 THEN doc_id % 256
             WHEN 6 THEN (doc_id * 7) % 256
             WHEN 9 THEN (doc_id * 11) % 256

@@ -479,3 +479,130 @@ def test_gif_decodes_real_world_files():
         assert out["codec"] == "gif", p
         assert out["width"] > 0 and out["height"] > 0
         assert 0.0 <= out["mean_value"] <= 255.0
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV: predictive 4-bit audio decode
+# ---------------------------------------------------------------------------
+
+
+def _ima_encode(samples: list[int], block_align: int = 256):
+    """Independent IMA ADPCM encoder (spec quantize/update loop).
+    Returns (payload bytes, the encoder's own reconstruction) — a
+    correct decoder must reproduce the reconstruction EXACTLY (the
+    decoder loop is deterministic given the nibble stream), while the
+    reconstruction-vs-source error is the codec's lossy part."""
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+    )
+
+    recon = []
+
+    spb = (block_align - 4) * 2 + 1
+    out = bytearray()
+    i = 0
+    idx = 0
+    while i < len(samples):
+        block_samples = samples[i : i + spb]
+        pred = block_samples[0]
+        out += struct.pack("<hBB", pred, idx, 0)
+        recon.append(pred)
+        nibbles = []
+        for s in block_samples[1:]:
+            step = _IMA_STEPS[idx]
+            diff = s - pred
+            n = 0
+            if diff < 0:
+                n = 8
+                diff = -diff
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            # reconstruct exactly as the decoder will
+            d = step >> 3
+            if n & 1:
+                d += step >> 2
+            if n & 2:
+                d += step >> 1
+            if n & 4:
+                d += step
+            if n & 8:
+                d = -d
+            pred = max(-32768, min(32767, pred + d))
+            idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+            recon.append(pred)
+            nibbles.append(n)
+        while len(nibbles) < (block_align - 4) * 2:
+            nibbles.append(0)
+        for j in range(0, len(nibbles), 2):
+            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+        i += spb
+    return bytes(out), recon
+
+
+def make_ima_wav(samples: list[int], rate: int = 8000,
+                 block_align: int = 256) -> bytes:
+    spb = (block_align - 4) * 2 + 1
+    # pad to whole blocks by repeating the last sample
+    n_blocks = -(-len(samples) // spb)
+    padded = samples + [samples[-1]] * (n_blocks * spb - len(samples))
+    data, recon = _ima_encode(padded, block_align)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb,
+        block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, recon
+
+
+def test_ima_adpcm_roundtrip_sine():
+    """A sine through the int16 range: the decoder must reproduce the
+    encoder's reconstruction EXACTLY (same deterministic update loop),
+    and the codec's lossy reconstruction must still track the source
+    RMS within ~15% (adaptation lag from the cold step index)."""
+    import numpy as np
+
+    t = np.arange(2048)
+    src = (12000 * np.sin(2 * np.pi * t / 64)).astype(int).tolist()
+    wav, recon = make_ima_wav(src, rate=16000)
+    out = decode_media(wav, "audio")
+    assert out["codec"] == "wav"
+    assert out["sample_rate"] == 16000
+    recon_rms = float(np.sqrt(np.mean(np.array(recon, float) ** 2)))
+    assert out["mean_value"] == pytest.approx(recon_rms, abs=1e-9)  # exact
+    src_rms = float(np.sqrt(np.mean(np.array(src, float) ** 2)))
+    assert out["mean_value"] == pytest.approx(src_rms, rel=0.15)
+
+
+def test_ima_adpcm_constant_is_exact():
+    wav, _ = make_ima_wav([123] * 505)
+    out = decode_media(wav, "audio")
+    assert out["mean_value"] == pytest.approx(123.0)
+
+
+def test_synth_adpcm_closed_forms():
+    from m4i_flink_tasks_spark.operators.multimodal import synth_adpcm_wav
+
+    for doc_id in (4, 19, 34, 49, 334, 9004):
+        b = synth_adpcm_wav(doc_id)
+        nb = 1 + doc_id % 2
+        assert len(b) == 60 + 12 * nb
+        out = decode_media(b, "audio")
+        assert out["codec"] == "wav"
+        assert out["sample_rate"] == 8000 + (doc_id % 6) * 1000
+        assert out["n_samples"] == 17 * nb
+        assert out["mean_value"] == abs(((doc_id * 3) % 100) - 50)  # exact
+
+
+def test_adpcm_malformed_falls_back():
+    good, _ = make_ima_wav([5] * 505)
+    assert decode_media(good[:-3], "audio")["codec"] == "bytes"
