@@ -41,6 +41,7 @@ from . import (
     lm_scoring,
     pipelines,
     profiling,
+    quality_classifier,
     relational,
     sketches,
     state_store,
@@ -78,6 +79,7 @@ _MODULES = (
     warehouse,
     analytic_windows,
     profiling,
+    quality_classifier,
 )
 
 # The declared driver surface: every SURVEY §2 operator family has exactly

@@ -401,3 +401,12 @@ def test_pq_broadcasts_codebook_never_corpus(plans):
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_quality_classifier_weight_table_broadcasts(plans):
+    """The 2^16-row weight relation must broadcast (256 KB by
+    construction); a sort-merge join would shuffle the corpus-sized
+    feature stream against the model."""
+    plan = plans["quality_classifier_scores"]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
