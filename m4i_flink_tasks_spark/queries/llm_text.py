@@ -286,6 +286,119 @@ ORDER BY doc_id
 """
 
 
+def corpus_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document filter LINEAGE for the selection pass: which gate
+    each document hit, in gate-priority order (near-dup > language >
+    quality > length), plus the final keep flag. This is the audit
+    table a pipeline operator reads to understand drop rates before
+    touching thresholds — the same gates as ``training_corpus_filter``
+    (one scan + the LSH candidate join + a broadcast dup set), emitted
+    as flags instead of filtered away."""
+    from ..operators import dedup as D
+    from ..sources.tables import table_num_rows
+    from .llm_dedup import _JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    dupes = (
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD,
+            rows_hint=table_num_rows(sf_dir, "documents"),
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    scored = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("predicted_lang"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    flagged = scored.join(F.broadcast(dupes), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        (F.col("predicted_lang") != "und").alias("lang_ok"),
+        (F.col("quality") >= 0.5).alias("quality_ok"),
+        F.col("n_tokens").between(5, 1000).alias("length_ok"),
+    )
+    kept = (
+        ~F.col("is_near_dup")
+        & F.col("lang_ok")
+        & F.col("quality_ok")
+        & F.col("length_ok")
+    )
+    reason = (
+        F.when(F.col("is_near_dup"), "near_duplicate")
+        .when(~F.col("lang_ok"), "language")
+        .when(~F.col("quality_ok"), "quality")
+        .when(~F.col("length_ok"), "length")
+    )
+    return flagged.select(
+        "doc_id", "is_near_dup", "lang_ok", "quality_ok", "length_ok",
+        kept.alias("kept"), reason.alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+def _corpus_filter_audit_sql() -> str:
+    from .llm_dedup import _PAIRS_SQL
+
+    return rf"""
+WITH pairs AS ({_PAIRS_SQL}),
+dupes AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+lang_scored AS (
+    SELECT doc_id, {_LANG_SCORE_SQL}
+    FROM documents
+), lang AS (
+    SELECT doc_id,
+           CASE
+               WHEN greatest(score_de, score_en, score_es) = 0 THEN 'und'
+               WHEN score_de >= score_en AND score_de >= score_es THEN 'de'
+               WHEN score_en >= score_es THEN 'en'
+               ELSE 'es'
+           END AS predicted_lang
+    FROM lang_scored
+), feat AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\s+')        AS toks,
+           string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+           length(text)                                  AS n_chars,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+    FROM documents
+), ratios AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(ltoks, t -> list_contains({_ALL_STOPWORDS_SQL}, t)))::DOUBLE
+               / greatest(len(ltoks), 1) AS sw_ratio,
+           len(list_distinct(ltoks))::DOUBLE / greatest(len(ltoks), 1) AS d_ratio,
+           n_punct::DOUBLE / greatest(n_chars, 1) AS p_ratio
+    FROM feat
+), qual AS (
+    SELECT doc_id, n_tokens,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * d_ratio
+               + 0.3 * least(sw_ratio * 5, 1.0)
+               - 0.2 * least(p_ratio * 10, 1.0), 6) AS quality
+    FROM ratios
+), flagged AS (
+    SELECT lang.doc_id,
+           lang.doc_id IN (SELECT doc_id FROM dupes) AS is_near_dup,
+           predicted_lang <> 'und' AS lang_ok,
+           quality >= 0.5 AS quality_ok,
+           n_tokens BETWEEN 5 AND 1000 AS length_ok
+    FROM lang JOIN qual USING (doc_id)
+)
+SELECT doc_id, is_near_dup, lang_ok, quality_ok, length_ok,
+       (NOT is_near_dup AND lang_ok AND quality_ok AND length_ok) AS kept,
+       CASE WHEN is_near_dup THEN 'near_duplicate'
+            WHEN NOT lang_ok THEN 'language'
+            WHEN NOT quality_ok THEN 'quality'
+            WHEN NOT length_ok THEN 'length'
+       END AS drop_reason
+FROM flagged
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_metrics": text_metrics,
     "token_stats": token_stats,
@@ -293,6 +406,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "document_fingerprints": document_fingerprints,
     "training_corpus_filter": training_corpus_filter,
+    "corpus_filter_audit": corpus_filter_audit,
 }
 
 ORACLES = {
@@ -302,4 +416,5 @@ ORACLES = {
     "quality_scores": QUALITY_SQL,
     "document_fingerprints": FINGERPRINT_SQL,
     "training_corpus_filter": _training_corpus_sql(),
+    "corpus_filter_audit": _corpus_filter_audit_sql(),
 }
