@@ -59,28 +59,34 @@ def _weights_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# combining base for bigram features (same constant as the span hash)
+_B2 = 1_000_003
+
+
 def _features(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket): hashed unigram + bigram features."""
+    """(doc_id, bucket): hashed unigram + bigram features, derived from
+    PER-TOKEN polynomial hashes — each character is hashed once and
+    bigram features are two integer ops, not a re-hash of the joined
+    text (the interpreted-HOF lesson from the span-dedup sf1 rehearsal:
+    character folds dominate; intermediate products stay < 2^63)."""
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 1)
-    grams = toks.select(
+    hashed = toks.select(
         "doc_id",
-        F.explode(
-            F.concat(
-                F.col("t"),
-                F.expr(
-                    "CASE WHEN size(t) >= 2 THEN "
-                    "transform(sequence(1, size(t) - 1), "
-                    "i -> concat(t[i-1], ' ', t[i])) "
-                    "ELSE array() END"
-                ),
-            )
-        ).alias("g"),
+        F.transform(F.col("t"), lambda w: T.poly_hash(w)).alias("th"),
     )
-    return grams.select(
-        "doc_id",
-        (T.scrambled_hash(F.col("g")) % N_BUCKETS).alias("bucket"),
+    feats = F.expr(
+        f"concat("
+        f"transform(th, x -> (x * {T.MIX_MULT}) % {T.HASH_MOD}), "
+        f"CASE WHEN size(th) >= 2 THEN "
+        f"transform(sequence(1, size(th) - 1), "
+        f"i -> (((th[i-1] * {_B2} + th[i]) % {T.HASH_MOD}) "
+        f"* {T.MIX_MULT}) % {T.HASH_MOD}) "
+        f"ELSE array() END)"
+    )
+    return hashed.select("doc_id", F.explode(feats).alias("f")).select(
+        "doc_id", (F.col("f") % N_BUCKETS).alias("bucket")
     )
 
 
@@ -107,27 +113,29 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classifier_sql() -> str:
-    from .sketches import _scrambled_hash_sql
+    from .sketches import _poly_hash_sql, _scrambled_hash_sql
 
-    bucket = f"({_scrambled_hash_sql('g')}) % {N_BUCKETS}"
     # weight derived from the bucket id, identically to _weights_df
     wh = _scrambled_hash_sql("'qw:' || bucket::VARCHAR")
     return rf"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
     FROM documents
-), grams AS (
-    SELECT doc_id, unnest(
-        list_concat(
-            t,
-            CASE WHEN len(t) >= 2 THEN
-                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
-            ELSE [] END
-        )
-    ) AS g
+), hashed AS (
+    SELECT doc_id, list_transform(t, w -> {_poly_hash_sql("w")}) AS th
     FROM toks WHERE len(t) >= 1
 ), feats AS (
-    SELECT doc_id, {bucket} AS bucket FROM grams
+    SELECT doc_id, unnest(
+        list_concat(
+            list_transform(th, x -> (x * {T.MIX_MULT}) % {T.HASH_MOD}),
+            CASE WHEN len(th) >= 2 THEN
+                list_transform(range(1, len(th)),
+                    i -> (((th[i] * {_B2} + th[i + 1]) % {T.HASH_MOD})
+                          * {T.MIX_MULT}) % {T.HASH_MOD})
+            ELSE [] END
+        )
+    ) % {N_BUCKETS} AS bucket
+    FROM hashed
 ), weights AS (
     SELECT range AS bucket,
            round(({wh.replace("bucket", "range")}) / 1000000007::DOUBLE * 2 - 1, 9)
