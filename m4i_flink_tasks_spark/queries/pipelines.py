@@ -467,6 +467,37 @@ ORDER BY signup_event_id, purchase_event_id
 """
 
 
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked interval join: every signup row appears,
+    with its in-window purchases or one NULL row once provably
+    unmatched — unmatched decided over the complete bounded stream via
+    the signup store, so the batch LEFT JOIN oracles it exactly (see
+    run_interval_join_left for why the native leftOuter operator's
+    end-of-stream NULL emission cannot be)."""
+    from ..streaming.interval_join import run_interval_join_left
+
+    final = run_interval_join_left(
+        spark, sf_dir, _workdir("interval_join_left")
+    )
+    return final.orderBy("signup_event_id", "purchase_event_id")
+
+
+INTERVAL_JOIN_LEFT_SQL = """
+SELECT s.event_id AS signup_event_id,
+       p.event_id AS purchase_event_id,
+       s.user_id,
+       epoch_ms(p.ts) - epoch_ms(s.ts) AS delay_ms
+FROM events s
+LEFT JOIN events p
+  ON s.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+ORDER BY signup_event_id, purchase_event_id
+"""
+
+
 def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation (streaming/corpus_ingest.py): documents
     arrive in doc_id-ordered micro-batches; each batch is scored with
@@ -1069,6 +1100,7 @@ QUERIES = {
     "stream_windowed_aggregation": stream_windowed_aggregation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_interval_join": stream_interval_join,
+    "stream_interval_join_left": stream_interval_join_left,
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_near_dedup": stream_near_dedup,
     "stream_distinct_sketch": stream_distinct_sketch,
@@ -1091,6 +1123,7 @@ ORACLES = {
     "stream_windowed_aggregation": WINDOWED_SQL,
     "stream_dedup_within_watermark": STREAM_DEDUP_SQL,
     "stream_interval_join": INTERVAL_JOIN_SQL,
+    "stream_interval_join_left": INTERVAL_JOIN_LEFT_SQL,
     "stream_corpus_ingest": _stream_corpus_ingest_sql(),
     "stream_near_dedup": _stream_near_dedup_sql(),
     "stream_distinct_sketch": _stream_distinct_sketch_sql(),

@@ -103,3 +103,88 @@ def run_interval_join(
     final = store.current()
     assert final is not None
     return final
+
+
+def run_interval_join_left(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """LEFT OUTER interval join over the same two streams: every signup
+    appears — with its in-window purchases, or one NULL-purchase row
+    once it is provably unmatched.
+
+    Shape: the watermarked inner join above runs unchanged, and a
+    second append-only store accumulates the signup side; the readout
+    anti-joins the two, so "provably unmatched" is decided over the
+    COMPLETE bounded stream and equals the batch LEFT JOIN exactly.
+    Spark's native ``joinType="leftOuter"`` stream-stream join is the
+    unbounded-production swap-in at the same call site — its
+    NULL-emission happens when the watermark passes a row's join
+    window, which at end-of-stream leaves the final window's unmatched
+    rows in state (their emission depends on trigger boundaries, not
+    data); the store-backed readout removes exactly that
+    nondeterminism, which is what makes a batch oracle possible."""
+    staging = stage_events(
+        spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
+    )
+    match_store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "interval_matches"),
+        key_cols=["signup_event_id", "purchase_event_id"],
+    )
+    signup_store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "signups"),
+        key_cols=["signup_event_id"],
+    )
+
+    def match_sink(batch: DataFrame, batch_id: int) -> None:
+        match_store.merge(batch, batch_id=batch_id, insert_only=True)
+
+    def signup_sink(batch: DataFrame, batch_id: int) -> None:
+        signup_store.merge(
+            batch.filter(F.col("event_type") == "signup").select(
+                F.col("event_id").alias("signup_event_id"),
+                F.col("user_id"),
+            ),
+            batch_id=batch_id,
+            insert_only=True,
+        )
+
+    q1 = (
+        interval_join(
+            events_file_stream(spark, staging, max_files_per_trigger),
+            events_file_stream(spark, staging, max_files_per_trigger),
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(match_sink)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_lj_match"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        events_file_stream(spark, staging, max_files_per_trigger)
+        .writeStream.outputMode("append")
+        .foreachBatch(signup_sink)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_lj_signup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    matches = match_store.current()
+    signups = signup_store.current()
+    assert matches is not None and signups is not None
+    unmatched = signups.join(
+        matches.select("signup_event_id"), "signup_event_id", "left_anti"
+    ).select(
+        "signup_event_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+        "user_id",
+        F.lit(None).cast("long").alias("delay_ms"),
+    )
+    return matches.unionByName(unmatched)
