@@ -174,14 +174,71 @@ ORDER BY modality
 """
 
 
+
+def media_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal selection gate a training pipeline runs AFTER
+    decode: per-modality thresholds over the decoded features (images:
+    real codec + minimum pixel count + non-degenerate mean; audio: real
+    codec + minimum duration; video stand-ins: minimum frame count),
+    emitted as flags + keep so the decode plumbing and the gate prove
+    out together in one dataflow."""
+    feats = multimodal_features(spark, sf_dir)
+    is_image_ok = (
+        (F.col("modality") == "image")
+        & F.col("codec").isin("bmp", "ppm", "png", "gif", "jpeg")
+        & (F.col("width") * F.col("height") >= 6)
+        & F.col("mean_value").between(1, 254)
+    )
+    is_audio_ok = (
+        (F.col("modality") == "audio")
+        & (F.col("codec") == "wav")
+        & (F.col("n_samples") >= 16)
+    )
+    is_video_ok = (F.col("modality") == "video") & (F.col("n_frames") >= 1)
+    keep = is_image_ok | is_audio_ok | is_video_ok
+    return feats.select(
+        "doc_id",
+        "modality",
+        "codec",
+        keep.alias("keep"),
+        F.when(keep, None)
+        .when(F.col("codec") == "bytes", "undecodable")
+        .otherwise("below_threshold")
+        .alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+MEDIA_QUALITY_SQL = f"""
+WITH feats AS ({{features}})
+SELECT doc_id, modality, codec,
+       keep,
+       CASE WHEN keep THEN NULL
+            WHEN codec = 'bytes' THEN 'undecodable'
+            ELSE 'below_threshold' END AS drop_reason
+FROM (
+    SELECT *,
+           (modality = 'image'
+            AND codec IN ('bmp', 'ppm', 'png', 'gif', 'jpeg')
+            AND width * height >= 6
+            AND mean_value BETWEEN 1 AND 254)
+           OR (modality = 'audio' AND codec = 'wav' AND n_samples >= 16)
+           OR (modality = 'video' AND n_frames >= 1) AS keep
+    FROM feats
+)
+ORDER BY doc_id
+""".format(features=MULTIMODAL_FEATURES_SQL.replace("ORDER BY doc_id", ""))
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sampling": multimodal_frame_sampling,
     "multimodal_metadata_pruning": multimodal_metadata_pruning,
+    "media_quality_filter": media_quality_filter,
 }
 
 ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sampling": FRAME_SAMPLING_SQL,
     "multimodal_metadata_pruning": METADATA_PRUNING_SQL,
+    "media_quality_filter": MEDIA_QUALITY_SQL,
 }
