@@ -756,6 +756,24 @@ def _stream_duplicate_spans_sql() -> str:
     return DUPLICATE_SPAN_SQL
 
 
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog (streaming/hll_state.py): per-batch partial
+    registers fold into keyed state with an elementwise max — the
+    textbook mergeable sketch, so the streamed estimate equals the
+    batch approx_distinct_hll for any batch split."""
+    from ..streaming.hll_state import run_stream_hll_distinct
+
+    return run_stream_hll_distinct(
+        spark, sf_dir, _workdir("hll_distinct")
+    )
+
+
+def _stream_hll_sql() -> str:
+    from .sketches import ORACLES as SK
+
+    return SK["approx_distinct_hll"]
+
+
 def stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming span-level exact dedup (streaming/span_state.py):
     per-(window-hash, doc) counts and per-doc totals maintained as
@@ -1108,6 +1126,7 @@ QUERIES = {
     "stream_windowed_distinct": stream_windowed_distinct,
     "stream_quantile_sample": stream_quantile_sample,
     "stream_duplicate_spans": stream_duplicate_spans,
+    "stream_hll_distinct": stream_hll_distinct,
     "stream_weighted_sample": stream_weighted_sample,
 }
 
@@ -1131,5 +1150,6 @@ ORACLES = {
     "stream_windowed_distinct": _stream_windowed_distinct_sql(),
     "stream_quantile_sample": _stream_quantile_sample_sql(),
     "stream_duplicate_spans": _stream_duplicate_spans_sql(),
+    "stream_hll_distinct": _stream_hll_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
 }
