@@ -129,8 +129,11 @@ _MODULES = (
 # ROTATION PLAN (next round, once the current 50 are attested): rotate
 # in the remaining unattested extras — strongest first: the round-4
 # builds (ngram_lm_perplexity, lm_head_sample, duplicate_span_stats,
-# top_duplicate_spans, pq_encode, pq_adc_topk, bpe_merge_table — now
-# oracle-backed), then approx_distinct_kmv, bloom_semijoin_reduction,
+# top_duplicate_spans, stream_duplicate_spans, pq_encode, pq_adc_topk,
+# ivfpq_adc_topk, quality_classifier_scores, corpus_filter_audit,
+# media_quality_filter, approx_distinct_hll, stream_hll_distinct,
+# stream_interval_join_left, bpe_merge_table — all oracle-backed),
+# then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,
 # rolling_30d_customer_revenue, nation_revenue_distribution,
