@@ -855,6 +855,72 @@ WHERE ml IS NOT NULL
 ORDER BY rank
 """
 
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: the final training-corpus MANIFEST a
+    data build emits, produced by running EVERY round-4 selection stage
+    in one dataflow — the rule-based gate chain (near-dup / language /
+    quality / length via corpus_filter_audit), the bigram-LM perplexity
+    head/middle cut (CCNet's shape: drop the tail bucket), the hashed
+    linear classifier keep, and the deterministic split assignment.
+    Output: one row per surviving document with its scores and split —
+    what downstream tokenization reads.
+
+    Plan shape: each stage is the already-proven dataflow (one scan +
+    its own dimension-sized broadcasts); the stages meet in doc_id
+    equi-joins. At 100 TB you would persist each stage's verdict column
+    once and join on the shared doc_id partitioning — exactly what AQE
+    arranges here."""
+    from .llm_text import corpus_filter_audit
+    from .lm_scoring import ngram_lm_perplexity
+    from .quality_classifier import quality_classifier_scores
+
+    audit = corpus_filter_audit(spark, sf_dir).filter(F.col("kept")).select(
+        "doc_id"
+    )
+    lm = ngram_lm_perplexity(spark, sf_dir).filter(
+        F.col("lm_bucket") != "tail"
+    ).select("doc_id", "ppl", "lm_bucket")
+    clf = quality_classifier_scores(spark, sf_dir).filter(
+        F.col("keep")
+    ).select("doc_id", F.col("score").alias("clf_score"))
+    splits = corpus_sampling_splits(spark, sf_dir).select(
+        "doc_id", "lang", "split"
+    )
+    return (
+        audit.join(lm, "doc_id")
+        .join(clf, "doc_id")
+        .join(splits, "doc_id")
+        .select("doc_id", "lang", "split", "ppl", "lm_bucket", "clf_score")
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_build_manifest_sql() -> str:
+    from .llm_text import ORACLES as TEXT_ORACLES
+    from .lm_scoring import NGRAM_LM_SQL
+    from .quality_classifier import ORACLES as CLF_ORACLES
+
+    audit = TEXT_ORACLES["corpus_filter_audit"].replace("ORDER BY doc_id", "")
+    lm = NGRAM_LM_SQL.replace("ORDER BY doc_id", "")
+    clf = CLF_ORACLES["quality_classifier_scores"].replace(
+        "ORDER BY doc_id", ""
+    )
+    splits = _sampling_splits_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH audit_out AS ({audit}),
+lm_out AS ({lm}),
+clf_out AS ({clf}),
+split_out AS ({splits})
+SELECT a.doc_id, s.lang, s.split, l.ppl, l.lm_bucket, c.score AS clf_score
+FROM audit_out a
+JOIN lm_out l USING (doc_id)
+JOIN clf_out c USING (doc_id)
+JOIN split_out s USING (doc_id)
+WHERE a.kept AND l.lm_bucket <> 'tail' AND c.keep
+ORDER BY a.doc_id
+"""
+
+
 QUERIES = {
     "bpe_merge_table": bpe_merge_table,
     "weighted_corpus_sample": weighted_corpus_sample,
@@ -865,6 +931,7 @@ QUERIES = {
     "stratified_fixed_k_sample": stratified_fixed_k_sample,
     "pii_scrub": pii_scrub,
     "sequence_packing": sequence_packing,
+    "corpus_build_manifest": corpus_build_manifest,
 }
 
 ORACLES = {
@@ -877,4 +944,5 @@ ORACLES = {
     "stratified_fixed_k_sample": _fixed_k_sql(),
     "pii_scrub": PII_SCRUB_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
+    "corpus_build_manifest": _corpus_build_manifest_sql(),
 }
