@@ -870,3 +870,37 @@ def sample_video_frames(with_payload: DataFrame, every_nth: int = 2) -> DataFram
             ).alias("frame_bytes"),
         )
     )
+
+
+def features_from_files(spark, media_dir: str) -> DataFrame:
+    """The PATH-COLUMN variant of the multimodal pipeline: payloads live
+    as FILES (the 100 TB reality — media bytes sit in object storage,
+    parquet carries URIs), loaded through Spark's ``binaryFile`` source
+    and fed to the SAME Arrow-batched feature extraction as the inline
+    BinaryType column. File layout contract:
+    ``<media_dir>/<doc_id>_<modality>.bin``; the reader parses both
+    from the path, so the feature rows are byte-identical to the
+    inline pipeline's (pinned by tests/test_multimodal_codecs.py).
+
+    Scale notes: binaryFile is a real FileFormat — predicate pushdown
+    on (path, length, modificationTime) prunes files before any byte
+    is read, ``pathGlobFilter`` narrows by extension/pattern, and each
+    file is one row of one partition task, so decode parallelism is
+    file-level. The 2 GB per-file row limit is the format's; larger
+    media shards chunk at ingest."""
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(media_dir)
+    )
+    name = F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1)
+    with_meta = binary.select(
+        F.split(name, "_")[0].cast("bigint").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.split(name, "_")[1].alias("modality"),
+            F.col("length").alias("declared_size"),
+            F.lit("file").alias("origin"),
+        ).alias("media"),
+    )
+    return extract_features(with_meta)

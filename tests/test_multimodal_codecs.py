@@ -606,3 +606,57 @@ def test_synth_adpcm_closed_forms():
 def test_adpcm_malformed_falls_back():
     good, _ = make_ima_wav([5] * 505)
     assert decode_media(good[:-3], "audio")["codec"] == "bytes"
+
+
+# ---------------------------------------------------------------------------
+# path/URI columns: the binaryFile-source variant
+# ---------------------------------------------------------------------------
+
+
+def test_file_backed_features_match_inline(spark, sf_dir, tmp_path):
+    """SURVEY §2.6 asks for multimodal via BinaryType AND path/URI
+    columns: write the same payloads as files, load through the
+    binaryFile source, and the feature rows must be byte-identical to
+    the inline-column pipeline's."""
+    import os
+
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        attach_binary_payload,
+        features_from_files,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    inline = attach_binary_payload(docs)
+    media_dir = str(tmp_path / "media")
+    os.makedirs(media_dir)
+    for r in inline.collect():
+        p = os.path.join(media_dir, f"{r.doc_id}_{r.media.modality}.bin")
+        with open(p, "wb") as fh:
+            fh.write(bytes(r.payload))
+
+    from_files = sorted(
+        map(tuple, features_from_files(spark, media_dir).collect())
+    )
+    expected = sorted(map(tuple, extract_features(inline).collect()))
+    assert from_files == expected and from_files
+
+
+def test_file_backed_source_prunes_by_glob(spark, tmp_path):
+    """pathGlobFilter keeps non-media files out of the scan entirely."""
+    import os
+
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        features_from_files,
+        synth_png,
+    )
+
+    media_dir = str(tmp_path / "mixed")
+    os.makedirs(media_dir)
+    with open(os.path.join(media_dir, "9_image.bin"), "wb") as fh:
+        fh.write(synth_png(9))
+    with open(os.path.join(media_dir, "_manifest.json"), "w") as fh:
+        fh.write("{}")
+    out = features_from_files(spark, media_dir).collect()
+    assert [r.doc_id for r in out] == [9]
+    assert out[0].codec == "png"
