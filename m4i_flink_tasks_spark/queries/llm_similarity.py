@@ -1001,3 +1001,123 @@ LIMIT {_TOPK}
 
 QUERIES["ivfpq_adc_topk"] = ivfpq_adc_topk
 ORACLES["ivfpq_adc_topk"] = _ivfpq_sql()
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization — the third compression family next to PQ and
+# IVF-PQ: per-dimension affine int8 codes (4x), the format FAISS calls
+# ScalarQuantizer and vector DBs ship as "int8 embeddings".
+# --------------------------------------------------------------------------
+
+
+def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the per-dimension affine quantizer (min/max over the
+    corpus — one tiny aggregate, broadcast back), encode every vector
+    to 64 uint8 codes, reconstruct, and report per-vector error
+    (max abs + MSE). This is the evaluation a pipeline runs before
+    switching its ANN serving tier to int8.
+
+    Determinism: min/max of float32 values are exact in double; codes
+    use floor(x + 0.5) — NOT round(), whose half-way tie rule differs
+    between engines (Spark HALF_UP vs DuckDB half-even); error sums are
+    pinned ascending folds. The trained (min, scale) pairs live in one
+    broadcast 64-element array at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    stats = emb.agg(
+        *[
+            F.min(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"lo{i}"
+            )
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"hi{i}"
+            )
+            for i in range(dim)
+        ],
+    ).select(
+        F.array(*[F.col(f"lo{i}") for i in range(dim)]).alias("lo"),
+        F.array(
+            *[
+                # degenerate dims (hi == lo) quantize to code 0 via a
+                # guard scale of 1
+                F.when(
+                    F.col(f"hi{i}") > F.col(f"lo{i}"),
+                    (F.col(f"hi{i}") - F.col(f"lo{i}")) / 255.0,
+                ).otherwise(F.lit(1.0)).alias(f"s{i}")
+                for i in range(dim)
+            ]
+        ).alias("scale"),
+    )
+    joined = emb.crossJoin(F.broadcast(stats))
+    code = F.expr(
+        "transform(sequence(1, 64), i -> "
+        "least(255L, greatest(0L, cast(floor("
+        "(embedding[i - 1] - lo[i - 1]) / scale[i - 1] + 0.5d) as bigint))))"
+    )
+    recon_err = F.expr(
+        "aggregate(sequence(1, 64), cast(0.0 as double), (acc, i) -> "
+        "acc + pow(embedding[i - 1] - "
+        "(lo[i - 1] + code[i - 1] * scale[i - 1]), 2))"
+    )
+    max_err = F.expr(
+        "aggregate(sequence(1, 64), cast(0.0 as double), (acc, i) -> "
+        "greatest(acc, abs(embedding[i - 1] - "
+        "(lo[i - 1] + code[i - 1] * scale[i - 1]))))"
+    )
+    return (
+        joined.withColumn("code", code)
+        .select(
+            "vec_id",
+            F.round((recon_err / 64).alias("x"), 9).alias("mse"),
+            F.round(max_err, 9).alias("max_abs_err"),
+            F.element_at("code", 1).alias("c0"),
+            F.element_at("code", 64).alias("c63"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sq8_sql() -> str:
+    dim = 64
+    lo = ", ".join(
+        f"min(embedding[{i + 1}]::DOUBLE)" for i in range(dim)
+    )
+    hi = ", ".join(
+        f"CASE WHEN max(embedding[{i + 1}]::DOUBLE) >"
+        f" min(embedding[{i + 1}]::DOUBLE)"
+        f" THEN (max(embedding[{i + 1}]::DOUBLE) -"
+        f" min(embedding[{i + 1}]::DOUBLE)) / 255.0 ELSE 1.0 END"
+        for i in range(dim)
+    )
+    return f"""
+WITH stats AS (
+    SELECT [{lo}] AS lo, [{hi}] AS scale FROM embeddings
+), coded AS (
+    SELECT vec_id, embedding, lo, scale,
+           list_transform(range(1, {dim} + 1), i ->
+               least(255, greatest(0, CAST(floor(
+                   (embedding[i]::DOUBLE - lo[i]) / scale[i] + 0.5)
+                   AS BIGINT)))) AS code
+    FROM embeddings CROSS JOIN stats
+)
+SELECT vec_id,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, {dim} + 1), i ->
+               pow(embedding[i]::DOUBLE - (lo[i] + code[i] * scale[i]), 2))),
+           (a, b) -> a + b) / {dim}, 9) AS mse,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, {dim} + 1), i ->
+               abs(embedding[i]::DOUBLE - (lo[i] + code[i] * scale[i])))),
+           (a, b) -> greatest(a, b)) , 9) AS max_abs_err,
+       code[1] AS c0,
+       code[{dim}] AS c63
+FROM coded
+ORDER BY vec_id
+"""
+
+
+QUERIES["sq8_reconstruction_error"] = sq8_reconstruction_error
+ORACLES["sq8_reconstruction_error"] = _sq8_sql()

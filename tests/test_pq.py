@@ -61,3 +61,36 @@ def test_ivfpq_probe_restricts_and_recalls(spark, sf_dir):
     assert len({r.label for r in rows}) <= _IVFPQ_NPROBE
     exact = {r.vec_id for r in ann_brute_force_topk(spark, sf_dir).collect()}
     assert len(exact & {r.vec_id for r in rows}) >= 2
+
+
+def test_sq8_error_bounded_by_half_step(spark, sf_dir):
+    """Affine int8 quantization error is at most half a step per
+    dimension: max_abs_err <= max_dim_range / 255 / 2 (+ float slack)."""
+    from pyspark.sql import functions as F
+
+    from m4i_flink_tasks_spark.queries.llm_similarity import (
+        sq8_reconstruction_error,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = emb.select(
+        F.max(
+            F.expr(
+                "aggregate(sequence(1, 64), cast(0.0 as double), (acc, i) "
+                "-> greatest(acc, embedding[i-1]))"
+            )
+        ).alias("hi"),
+        F.min(
+            F.expr(
+                "aggregate(sequence(1, 64), cast(999.0 as double), (acc, i) "
+                "-> least(acc, embedding[i-1]))"
+            )
+        ).alias("lo"),
+    ).collect()[0]
+    bound = (rng.hi - rng.lo) / 255 / 2 + 1e-9
+    out = sq8_reconstruction_error(spark, sf_dir)
+    worst = out.agg(F.max("max_abs_err")).collect()[0][0]
+    assert 0 < worst <= bound
+    codes = out.agg(F.min("c0"), F.max("c0")).collect()[0]
+    assert 0 <= codes[0] and codes[1] <= 255
