@@ -1121,3 +1121,195 @@ ORDER BY vec_id
 
 QUERIES["sq8_reconstruction_error"] = sq8_reconstruction_error
 ORACLES["sq8_reconstruction_error"] = _sq8_sql()
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", 2023) — semantic near-dup removal
+# scoped to k-means clusters, + ANN quality evaluation (recall@k) and
+# multi-probe LSH (Lv et al., "Multi-Probe LSH", VLDB 2007).
+# --------------------------------------------------------------------------
+
+_SEM_TAU = 0.3
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: pairwise cosine is computed only
+    WITHIN each k-means cluster (the given ``label`` assignment, the one
+    ``kmeans_refine`` trains), and a vector is a duplicate iff some
+    lower-id vector in its cluster sits at cosine >= tau (keep-first —
+    the same deterministic survivor rule as the text dedup family).
+
+    Scale posture: the paper's exact trick — the self-join is keyed by
+    the cluster id, so pairwise work is bounded by the largest cluster
+    (~n/k rows), never corpus-O(n^2); one shuffle on ``label``, one
+    keyed aggregate, and the verdict joins back on the embedding PK.
+    Emits every vector with its nearest lower-id in-cluster similarity
+    so downstream can re-gate at a different tau without recomputing.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("l_id"),
+        F.col("label").alias("l_label"),
+        F.col("embedding").alias("l_emb"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("r_id"),
+        F.col("label").alias("r_label"),
+        F.col("embedding").alias("r_emb"),
+    )
+    nn = (
+        left.join(
+            right,
+            (F.col("l_label") == F.col("r_label"))
+            & (F.col("l_id") < F.col("r_id")),
+        )
+        .select(
+            F.col("r_id").alias("vec_id"),
+            F.round(S.cosine(F.col("l_emb"), F.col("r_emb")), 6).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("sim_max"))
+    )
+    return (
+        emb.join(nn, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("sim_max"), F.lit(-1.0)).alias("nn_sim"),
+            (F.coalesce(F.col("sim_max"), F.lit(-1.0)) >= F.lit(_SEM_TAU)).alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH nn AS (
+    SELECT r.vec_id AS vec_id,
+           max(round({_cosine_sql('l.embedding', 'r.embedding')}, 6)) AS sim_max
+    FROM embeddings l
+    JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+    GROUP BY r.vec_id
+)
+SELECT e.vec_id,
+       e.label,
+       coalesce(nn.sim_max, -1.0) AS nn_sim,
+       coalesce(nn.sim_max, -1.0) >= {_SEM_TAU} AS is_dup
+FROM embeddings e
+LEFT JOIN nn ON e.vec_id = nn.vec_id
+ORDER BY e.vec_id
+"""
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact scan — the
+    evaluation harness every approximate index needs before it replaces
+    the brute-force path in production. One row: |approx ∩ exact| / k.
+
+    Both sides are the already-proven operators (`brute_force_topk`,
+    `lsh_bucketed_topk`); the intersection is a 10-row broadcast join,
+    so the eval costs one exact scan + one bucket probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, _QUERY_VEC_ID, _TOPK).select("vec_id")
+    approx = S.lsh_bucketed_topk(
+        emb, _QUERY_VEC_ID, _TOPK, bits=_GATE_LSH_BITS
+    ).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.lit(_TOPK).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(_TOPK), 6).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact_topk AS ({ANN_BRUTE_SQL.strip()}),
+approx_topk AS ({ANN_LSH_SQL.strip()})
+SELECT {_TOPK} AS k,
+       count(*) AS n_hits,
+       round(count(*) / {_TOPK}.0, 6) AS recall
+FROM exact_topk e JOIN approx_topk a ON e.vec_id = a.vec_id
+"""
+
+
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): probe the query's sign-bit
+    bucket AND every bucket at Hamming distance 1 (flip each of the b
+    bits), exact-cosine rerank, top-k. The recall/cost knob between the
+    single-bucket probe (1/2^b of the data) and the exact scan: b+1
+    buckets scanned instead of 1, recall provably >= the single probe.
+
+    The probe set is derived from the one-row query by XOR, exploded,
+    and broadcast — the corpus side still prunes on bucket equality, so
+    at 100 TB this reads (b+1)/2^b of a bucket-partitioned table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = _GATE_LSH_BITS
+    with_bucket = emb.withColumn(
+        "bucket", S.bit_sample_bucket(F.col("embedding"), bits)
+    )
+    probes = (
+        with_bucket.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("query_emb"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                        for i in range(bits)
+                    ],
+                )
+            ).alias("probe_bucket"),
+        )
+    )
+    return (
+        with_bucket.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        .select(
+            "vec_id",
+            F.round(
+                S.cosine(F.col("embedding"), F.col("query_emb")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(_TOPK)
+    )
+
+
+_MULTIPROBE_LIST = ", ".join(
+    ["query_bucket"]
+    + [f"xor(query_bucket, {1 << i})" for i in range(_GATE_LSH_BITS)]
+)
+
+ANN_MULTIPROBE_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           {_BUCKET_SQL.format(e='embedding')} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT embedding AS query_emb, bucket AS query_bucket
+    FROM b WHERE vec_id = {_QUERY_VEC_ID}
+), probes AS (
+    SELECT query_emb, unnest(list_value({_MULTIPROBE_LIST})) AS probe_bucket
+    FROM q
+)
+SELECT vec_id,
+       round({_cosine_sql('embedding', 'query_emb')}, 6) AS cosine_sim
+FROM b JOIN probes ON b.bucket = probes.probe_bucket
+WHERE vec_id != {_QUERY_VEC_ID}
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {_TOPK}
+"""
+
+
+QUERIES["semantic_dedup"] = semantic_dedup
+QUERIES["ann_recall_at_k"] = ann_recall_at_k
+QUERIES["ann_multiprobe_topk"] = ann_multiprobe_topk
+ORACLES["semantic_dedup"] = SEMANTIC_DEDUP_SQL
+ORACLES["ann_recall_at_k"] = ANN_RECALL_SQL
+ORACLES["ann_multiprobe_topk"] = ANN_MULTIPROBE_SQL
