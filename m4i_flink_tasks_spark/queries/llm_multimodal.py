@@ -242,3 +242,67 @@ ORACLES = {
     "multimodal_metadata_pruning": METADATA_PRUNING_SQL,
     "media_quality_filter": MEDIA_QUALITY_SQL,
 }
+
+
+def multimodal_container_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container demux over compressed media payloads (MP3 / Ogg / MP4)
+    — the metadata layer of the codec seam, parsed for REAL: MPEG
+    frame-header walk, Ogg page walk + Vorbis ident packet, ISO-BMFF
+    box-tree walk. Spark PARSES the synthesized bytes to recover
+    duration/dims/frame counts; the oracle states the same facts as
+    closed forms of doc_id, so any demux bug breaks the hash. The inner
+    sample/pixel decode (the part that genuinely needs codec libraries)
+    stays behind the documented seam. Reference scope: the reference
+    has no binary surface (SURVEY §2.6); this is north-star plumbing
+    for 100 TB media curation, where selection runs on container facts
+    long before anything is decoded."""
+    from ..operators.multimodal import (
+        attach_container_payload,
+        extract_container_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_container_metadata(attach_container_payload(docs)).orderBy(
+        "doc_id"
+    )
+
+
+CONTAINER_DEMUX_SQL = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' ELSE 'ogg' END
+      AS container,
+  CASE doc_id % 3
+    WHEN 0 THEN 'mp4:avc1'
+    WHEN 1 THEN 'mpeg1-layer3'
+    ELSE 'vorbis-' || CAST(1 + (doc_id // 2) % 2 AS VARCHAR) || 'ch'
+  END AS codec,
+  CAST(CASE WHEN doc_id % 3 = 0
+       THEN 16 * (1 + (doc_id // 3) % 4) END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 0
+       THEN 16 * (1 + (doc_id // 5) % 3) END AS INT) AS height,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN 3 + (doc_id // 2) % 5
+    WHEN 1 THEN 4 + (doc_id // 2) % 6
+    ELSE 2
+  END AS INT) AS n_frames,
+  CAST(CASE doc_id % 3
+    WHEN 1 THEN 44100
+    WHEN 2 THEN CASE WHEN doc_id % 2 = 0 THEN 22050 ELSE 44100 END
+  END AS INT) AS sample_rate,
+  CAST(CASE doc_id % 3
+    WHEN 1 THEN (4 + (doc_id // 2) % 6) * 1152
+    WHEN 2 THEN 1000 + 17 * ((doc_id // 4) % 50)
+  END AS BIGINT) AS n_samples,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN (3 + (doc_id // 2) % 5) * 40
+    WHEN 1 THEN ((4 + (doc_id // 2) % 6) * 1152 * 1000) // 44100
+    ELSE ((1000 + 17 * ((doc_id // 4) % 50)) * 1000)
+         // (CASE WHEN doc_id % 2 = 0 THEN 22050 ELSE 44100 END)
+  END AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES["multimodal_container_demux"] = multimodal_container_demux
+ORACLES["multimodal_container_demux"] = CONTAINER_DEMUX_SQL

@@ -76,6 +76,10 @@ def test_documented_query_names_exist():
             "max_by",
             "schema",
             "word_entropy",
+            "demux_mp3",
+            "demux_ogg",
+            "demux_mp4",
+            "mapInPandas",
             "pandas_udf",
             "percentile",
             "percentile_approx",

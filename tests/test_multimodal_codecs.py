@@ -660,3 +660,107 @@ def test_file_backed_source_prunes_by_glob(spark, tmp_path):
     out = features_from_files(spark, media_dir).collect()
     assert [r.doc_id for r in out] == [9]
     assert out[0].codec == "png"
+
+
+# ---------------------------------------------------------------------------
+# Container demux (MP3 / Ogg / MP4) — metadata layer of the codec seam
+# ---------------------------------------------------------------------------
+
+from m4i_flink_tasks_spark.operators.multimodal import (  # noqa: E402
+    demux_container,
+    demux_mp3,
+    demux_mp4,
+    demux_ogg,
+    synth_mp3,
+    synth_mp4,
+    synth_ogg,
+)
+
+
+def test_demux_mp3_closed_form_round_trip():
+    for d in (1, 7, 13, 49, 451):
+        out = demux_mp3(synth_mp3(d))
+        nf = 4 + (d // 2) % 6
+        assert out["n_frames"] == nf
+        assert out["sample_rate"] == 44100
+        assert out["n_samples"] == nf * 1152
+        assert out["duration_ms"] == nf * 1152 * 1000 // 44100
+
+
+def test_demux_mp3_without_id3_tag():
+    # Bare frame stream (no ID3) is valid — common for stream rips.
+    raw = synth_mp3(9)[20:]  # strip the 10-byte header + 10-byte body
+    out = demux_mp3(raw)
+    assert out["n_frames"] == 4 + (9 // 2) % 6
+
+
+def test_demux_mp3_rejects_truncation():
+    import pytest
+
+    b = synth_mp3(5)
+    with pytest.raises(ValueError):
+        demux_mp3(b[:-7])  # mid-frame cut: trailing garbage
+
+
+def test_demux_ogg_round_trip_and_granule():
+    for d in (2, 5, 14, 23, 998):
+        out = demux_ogg(synth_ogg(d))
+        assert out["n_frames"] == 2
+        assert out["sample_rate"] == (22050 if d % 2 == 0 else 44100)
+        assert out["n_samples"] == 1000 + 17 * ((d // 4) % 50)
+        assert out["codec"] == f"vorbis-{1 + (d // 2) % 2}ch"
+
+
+def test_demux_ogg_rejects_non_vorbis_first_packet():
+    import pytest
+
+    b = bytearray(synth_ogg(2))
+    # corrupt the ident packet type byte (first payload byte, page 1)
+    b[28] = 0x42
+    with pytest.raises(ValueError):
+        demux_ogg(bytes(b))
+
+
+def test_demux_mp4_box_walk_round_trip():
+    for d in (0, 3, 12, 30, 120):
+        out = demux_mp4(synth_mp4(d))
+        assert out["codec"] == "mp4:avc1"
+        assert out["width"] == 16 * (1 + (d // 3) % 4)
+        assert out["height"] == 16 * (1 + (d // 5) % 3)
+        n = 3 + (d // 2) % 5
+        assert out["n_frames"] == n
+        assert out["duration_ms"] == n * 40
+
+
+def test_demux_mp4_stco_points_at_real_mdat_payload():
+    # The sample table must be honest: the chunk offset lands exactly on
+    # the first mdat payload byte.
+    import struct
+
+    b = synth_mp4(6)
+    found: dict = {}
+    from m4i_flink_tasks_spark.operators.multimodal import _walk_boxes
+
+    _walk_boxes(b, 0, len(b), found)
+    offset = struct.unpack_from(">I", found[b"stco"], 8)[0]
+    first_size = struct.unpack_from(">I", found[b"stsz"], 12)[0]
+    assert b[offset : offset + first_size] == found[b"mdat"][:first_size]
+
+
+def test_demux_mp4_rejects_bad_box_size():
+    import pytest
+
+    b = bytearray(synth_mp4(0))
+    b[0:4] = (2).to_bytes(4, "big")  # ftyp box size < 8
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(b))
+
+
+def test_demux_container_routing_by_magic():
+    assert demux_container(synth_mp4(0))["container"] == "mp4"
+    assert demux_container(synth_mp3(1))["container"] == "mp3"
+    assert demux_container(synth_ogg(2))["container"] == "ogg"
+    import pytest
+
+    with pytest.raises(ValueError):
+        demux_container(b"plain text payload")
