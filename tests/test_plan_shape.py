@@ -410,3 +410,44 @@ def test_quality_classifier_weight_table_broadcasts(plans):
     plan = plans["quality_classifier_scores"]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_is_cluster_keyed_never_cartesian(plans):
+    """SemDeDup's pairwise stage must be an equi-join on the cluster id
+    — a nested-loop or cartesian node would mean corpus-O(n^2) pairwise
+    cosine, exactly what the cluster scoping exists to prevent."""
+    plan = plans["semantic_dedup"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiprobe_probe_set_broadcasts(plans):
+    """The XOR-derived probe set is b+1 rows from the one-row query —
+    it must broadcast against the bucketed corpus, and the rerank must
+    be a TakeOrdered, not a global sort."""
+    plan = plans["ann_multiprobe_topk"]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_recall_join_is_small_side_broadcast(plans):
+    """recall@k intersects two k-row result sets — the intersection must
+    be a broadcast hash join and nothing may fall to a cartesian. The
+    single BroadcastNestedLoopJoin is the sanctioned one-row
+    query-vector attach inside brute_force_topk (broadcast cross of a
+    1-row frame — the correct brute-force shape per the r3 audit)."""
+    plan = plans["ann_recall_at_k"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_container_demux_is_arrow_batched_only(plans):
+    """The demux pipeline crosses to Python exactly twice (payload
+    synthesis + demux), both Arrow-batched; the global BatchEvalPython
+    test covers the row-at-a-time case, this pins the batch operators
+    actually present."""
+    plan = plans["multimodal_container_demux"]
+    assert "MapInPandas" in plan
+    assert "ArrowEvalPython" in plan
