@@ -133,8 +133,8 @@ _MODULES = (
 # ivfpq_adc_topk, quality_classifier_scores, corpus_filter_audit,
 # media_quality_filter, approx_distinct_hll, stream_hll_distinct,
 # stream_interval_join_left, bpe_merge_table, semantic_dedup,
-# ann_recall_at_k, ann_multiprobe_topk, multimodal_container_demux —
-# all oracle-backed),
+# ann_recall_at_k, ann_multiprobe_topk, multimodal_container_demux,
+# dsir_importance_resampling — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

@@ -63,7 +63,7 @@ def _weights_df(spark: SparkSession) -> DataFrame:
 _B2 = 1_000_003
 
 
-def _features(docs: DataFrame) -> DataFrame:
+def _features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     """(doc_id, bucket): hashed unigram + bigram features, derived from
     PER-TOKEN polynomial hashes — each character is hashed once and
     bigram features are two integer ops, not a re-hash of the joined
@@ -86,7 +86,7 @@ def _features(docs: DataFrame) -> DataFrame:
         f"ELSE array() END)"
     )
     return hashed.select("doc_id", F.explode(feats).alias("f")).select(
-        "doc_id", (F.col("f") % N_BUCKETS).alias("bucket")
+        "doc_id", (F.col("f") % n_buckets).alias("bucket")
     )
 
 
@@ -112,13 +112,12 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _classifier_sql() -> str:
-    from .sketches import _poly_hash_sql, _scrambled_hash_sql
+def _features_sql(n_buckets: int) -> str:
+    """toks/hashed/feats CTE bodies shared by the classifier and DSIR
+    oracles — must mirror ``_features`` expression for expression."""
+    from .sketches import _poly_hash_sql
 
-    # weight derived from the bucket id, identically to _weights_df
-    wh = _scrambled_hash_sql("'qw:' || bucket::VARCHAR")
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
     FROM documents
 ), hashed AS (
@@ -134,9 +133,18 @@ WITH toks AS (
                           * {T.MIX_MULT}) % {T.HASH_MOD})
             ELSE [] END
         )
-    ) % {N_BUCKETS} AS bucket
+    ) % {n_buckets} AS bucket
     FROM hashed
-), weights AS (
+)"""
+
+
+def _classifier_sql() -> str:
+    from .sketches import _scrambled_hash_sql
+
+    # weight derived from the bucket id, identically to _weights_df
+    wh = _scrambled_hash_sql("'qw:' || bucket::VARCHAR")
+    return rf"""
+WITH {_features_sql(N_BUCKETS)}, weights AS (
     SELECT range AS bucket,
            round(({wh.replace("bucket", "range")}) / 1000000007::DOUBLE * 2 - 1, 9)
                AS weight
@@ -160,3 +168,123 @@ QUERIES = {
 ORACLES = {
     "quality_classifier_scores": _classifier_sql(),
 }
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): the other canonical pretraining-data selection method next to
+# the classifier above. Fit two bag-of-hashed-ngrams models — the TARGET
+# distribution p (a small in-domain corpus; stood in by the src0/src1
+# slice) and the SOURCE distribution q (the whole corpus) — and weight
+# every document by its log likelihood ratio sum(count_f * (ln p_f -
+# ln q_f)); resample the top of that ranking.
+# --------------------------------------------------------------------------
+
+N_DSIR_BUCKETS = 1 << 12  # the paper's hashed feature space (10^4-ish)
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_K = 100
+
+
+def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight + top-k selection flag.
+
+    Scale shape: featurization is the classifier's scan-stage hashing
+    (no vocabulary join); both distributions are single map-side-
+    combinable aggregates with 2^12-row outputs; the log-ratio table
+    broadcasts everywhere; scoring is one groupBy(doc) sum. The
+    selection here is the deterministic top-k of the ROUNDED weight
+    (doc_id tiebreak, repo round-before-rank rule) — the paper's
+    Gumbel-noised resampling drops in as one extra column derived from
+    the cross-engine hash. Smoothing is add-one over the bucket space,
+    so buckets unseen in the target get a finite negative lambda.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _features(docs, N_DSIR_BUCKETS)
+    tgt_feats = _features(
+        docs.filter(F.col("source").isin(*_DSIR_TARGET)), N_DSIR_BUCKETS
+    )
+
+    cq = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    cp = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    nq = cq.agg(F.sum("cq").cast("double").alias("nq"))
+    np_ = cp.agg(F.sum("cp").cast("double").alias("np"))
+
+    b = float(N_DSIR_BUCKETS)
+    lam = (
+        cq.join(cp, "bucket", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("cp"), F.lit(0)) + 1) / (F.col("np") + b))
+                - F.log((F.col("cq") + 1) / (F.col("nq") + b))
+            ).alias("lam"),
+        )
+    )
+
+    scored = (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.sum("lam"), 4).alias("log_w"),
+        )
+    )
+    out = docs.select("doc_id", "source").join(scored, "doc_id")
+    topk = (
+        out.orderBy(F.desc("log_w"), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return (
+        out.join(F.broadcast(topk), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_features",
+            "log_w",
+            F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql() -> str:
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    b = N_DSIR_BUCKETS
+    return rf"""
+WITH {_features_sql(N_DSIR_BUCKETS)}, tgt_ids AS (
+    SELECT doc_id FROM documents WHERE source IN ({tgt})
+), cq AS (
+    SELECT bucket, count(*) AS cq FROM feats GROUP BY bucket
+), cp AS (
+    SELECT f.bucket, count(*) AS cp
+    FROM feats f JOIN tgt_ids USING (doc_id)
+    GROUP BY f.bucket
+), lam AS (
+    SELECT cq.bucket,
+           ln((coalesce(cp.cp, 0) + 1) /
+              ((SELECT sum(cp)::DOUBLE FROM cp) + {b}))
+         - ln((cq.cq + 1) /
+              ((SELECT sum(cq)::DOUBLE FROM cq) + {b})) AS lam
+    FROM cq LEFT JOIN cp USING (bucket)
+), scored AS (
+    SELECT doc_id, count(*) AS n_features, round(sum(lam), 4) AS log_w
+    FROM feats JOIN lam USING (bucket)
+    GROUP BY doc_id
+), out AS (
+    SELECT d.doc_id, d.source, s.n_features, s.log_w
+    FROM documents d JOIN scored s USING (doc_id)
+), topk AS (
+    SELECT doc_id FROM out ORDER BY log_w DESC, doc_id LIMIT {_DSIR_K}
+)
+SELECT o.doc_id, o.source, o.n_features, o.log_w,
+       o.doc_id IN (SELECT doc_id FROM topk) AS selected
+FROM out o
+ORDER BY o.doc_id
+"""
+
+
+QUERIES["dsir_importance_resampling"] = dsir_importance_resampling
+ORACLES["dsir_importance_resampling"] = _dsir_sql()
