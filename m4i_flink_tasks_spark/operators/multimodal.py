@@ -1198,10 +1198,16 @@ _DEMUXERS = (
 
 
 def demux_container(payload: bytes) -> dict:
-    """Route a media payload to its container demuxer by magic bytes."""
+    """Route a media payload to its container demuxer by magic bytes.
+    Malformed containers (truncated boxes, short headers) surface as
+    ValueError uniformly — struct underflows are normalized so a crawl
+    shard full of garbage dead-letters instead of killing the task."""
     for sniff, fn in _DEMUXERS:
         if sniff(payload):
-            return fn(payload)
+            try:
+                return fn(payload)
+            except (struct.error, IndexError) as e:
+                raise ValueError(f"malformed {fn.__name__[6:]}: {e}") from e
     raise ValueError("unrecognized container")
 
 

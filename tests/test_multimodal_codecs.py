@@ -764,3 +764,30 @@ def test_demux_container_routing_by_magic():
 
     with pytest.raises(ValueError):
         demux_container(b"plain text payload")
+
+
+def test_demux_never_crashes_on_arbitrary_bytes():
+    """Fuzz the container demuxers: any byte string either demuxes to a
+    complete metadata dict or raises ValueError — never an unhandled
+    IndexError/struct.error/hang (a 100 TB crawl WILL contain garbage
+    with valid magic bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = {
+        "container", "codec", "width", "height",
+        "n_frames", "sample_rate", "n_samples", "duration_ms",
+    }
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(payload):
+        for prefix in (b"", b"ID3", b"OggS", b"\x00\x00\x00\x18ftyp", b"\xff\xfb"):
+            try:
+                out = demux_container(prefix + payload)
+            except ValueError:
+                continue
+            assert set(out) == keys
+        return None
+
+    run()
