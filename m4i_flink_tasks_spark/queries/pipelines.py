@@ -607,6 +607,25 @@ ORDER BY doc_id
 """
 
 
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup (streaming/semantic_dedup.py): embeddings
+    arrive in vec_id-ordered micro-batches; each vector's nearest
+    lower-id in-cluster cosine is evaluated against cluster-pruned
+    member state + the in-batch triangle, reproducing the batch
+    semantic_dedup verdicts row for row (so the batch SQL is the
+    oracle). Duplicates stay in state per the batch nn semantics."""
+    from ..streaming.semantic_dedup import run_stream_semantic_dedup
+
+    final = run_stream_semantic_dedup(spark, sf_dir, _workdir("semantic_dedup"))
+    return final.orderBy("vec_id")
+
+
+def _stream_semantic_dedup_sql() -> str:
+    from .llm_similarity import SEMANTIC_DEDUP_SQL
+
+    return SEMANTIC_DEDUP_SQL
+
+
 def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV distinct-count (streaming/sketch_state.py): orders
     arrive in micro-batches; each batch folds its bounded k-min partial
@@ -1121,6 +1140,7 @@ QUERIES = {
     "stream_interval_join_left": stream_interval_join_left,
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_near_dedup": stream_near_dedup,
+    "stream_semantic_dedup": stream_semantic_dedup,
     "stream_distinct_sketch": stream_distinct_sketch,
     "stream_scd2_dimension": stream_scd2_dimension,
     "stream_windowed_distinct": stream_windowed_distinct,
@@ -1145,6 +1165,7 @@ ORACLES = {
     "stream_interval_join_left": INTERVAL_JOIN_LEFT_SQL,
     "stream_corpus_ingest": _stream_corpus_ingest_sql(),
     "stream_near_dedup": _stream_near_dedup_sql(),
+    "stream_semantic_dedup": _stream_semantic_dedup_sql(),
     "stream_distinct_sketch": _stream_distinct_sketch_sql(),
     "stream_scd2_dimension": _stream_scd2_sql(),
     "stream_windowed_distinct": _stream_windowed_distinct_sql(),
