@@ -179,3 +179,54 @@ ORACLES = {
     "ngram_lm_perplexity": NGRAM_LM_SQL,
     "lm_head_sample": _lm_head_sample_sql(),
 }
+
+
+_N_STAGES = 4
+
+
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: assign every document an easy→hard training
+    stage (quartile of the bigram-LM perplexity, the standard
+    difficulty proxy) and emit the per-stage manifest a staged training
+    run consumes — doc counts, token mass, and the perplexity band.
+
+    Ranks the ROUNDED ppl with doc_id tiebreak (round-before-rank
+    rule). ntile is a global sort here; at 100 TB the same cut is two
+    scans — percentile boundaries via the quantile sketch, then a
+    scan-stage CASE on the broadcast cut points — with this query as
+    the semantics contract."""
+    scored = ngram_lm_perplexity(spark, sf_dir)
+    stage = F.ntile(_N_STAGES).over(Window.orderBy("ppl", "doc_id"))
+    return (
+        scored.select("doc_id", "n_bigrams", "ppl", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams_total"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+            F.round(F.avg("ppl"), 4).alias("ppl_avg"),
+        )
+        .orderBy("stage")
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH scored AS ({NGRAM_LM_SQL.replace("ORDER BY doc_id", "")}),
+staged AS (
+    SELECT doc_id, n_bigrams, ppl,
+           ntile({_N_STAGES}) OVER (ORDER BY ppl, doc_id) AS stage
+    FROM scored
+)
+SELECT stage, count(*) AS n_docs,
+       sum(n_bigrams)::BIGINT AS n_bigrams_total,
+       min(ppl) AS ppl_min, max(ppl) AS ppl_max,
+       round(avg(ppl), 4) AS ppl_avg
+FROM staged
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+QUERIES["curriculum_shards"] = curriculum_shards
+ORACLES["curriculum_shards"] = CURRICULUM_SQL
