@@ -192,10 +192,13 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no vocabulary join); both distributions are single map-side-
     combinable aggregates with 2^12-row outputs; the log-ratio table
     broadcasts everywhere; scoring is one groupBy(doc) sum. The
-    selection here is the deterministic top-k of the ROUNDED weight
-    (doc_id tiebreak, repo round-before-rank rule) — the paper's
-    Gumbel-noised resampling drops in as one extra column derived from
-    the cross-engine hash. Smoothing is add-one over the bucket space,
+    selection comes in BOTH forms the paper discusses: ``selected`` is
+    the deterministic top-k of the ROUNDED weight (doc_id tiebreak,
+    repo round-before-rank rule), and ``gumbel_selected`` is the
+    paper's Gumbel-top-k resampling — log_w + Gumbel(0,1) noise derived
+    from the cross-engine hash (u in (0,1) from the scrambled doc_id
+    hash; g = -ln(-ln u)), which draws WITHOUT replacement from the
+    softmax of the weights. Smoothing is add-one over the bucket space,
     so buckets unseen in the target get a finite negative lambda.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -231,28 +234,47 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lam"), 4).alias("log_w"),
         )
     )
-    out = docs.select("doc_id", "source").join(scored, "doc_id")
+    u = (
+        T.scrambled_hash(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(float(T.HASH_MOD) + 1)
+    out = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .withColumn("log_w_noisy", F.round(F.col("log_w") - F.log(-F.log(u)), 4))
+    )
     topk = (
         out.orderBy(F.desc("log_w"), "doc_id")
         .limit(_DSIR_K)
         .select("doc_id", F.lit(True).alias("sel"))
     )
+    gumbel_topk = (
+        out.orderBy(F.desc("log_w_noisy"), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", F.lit(True).alias("gsel"))
+    )
     return (
         out.join(F.broadcast(topk), "doc_id", "left")
+        .join(F.broadcast(gumbel_topk), "doc_id", "left")
         .select(
             "doc_id",
             "source",
             "n_features",
             "log_w",
             F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
+            "log_w_noisy",
+            F.coalesce(F.col("gsel"), F.lit(False)).alias("gumbel_selected"),
         )
         .orderBy("doc_id")
     )
 
 
 def _dsir_sql() -> str:
+    from .sketches import _scrambled_hash_sql
+
     tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
     b = N_DSIR_BUCKETS
+    gh = _scrambled_hash_sql("'dsir:' || doc_id::VARCHAR")
     return rf"""
 WITH {_features_sql(N_DSIR_BUCKETS)}, tgt_ids AS (
     SELECT doc_id FROM documents WHERE source IN ({tgt})
@@ -274,13 +296,19 @@ WITH {_features_sql(N_DSIR_BUCKETS)}, tgt_ids AS (
     FROM feats JOIN lam USING (bucket)
     GROUP BY doc_id
 ), out AS (
-    SELECT d.doc_id, d.source, s.n_features, s.log_w
+    SELECT d.doc_id, d.source, s.n_features, s.log_w,
+           round(s.log_w - ln(-ln((({gh}) + 1) / {float(T.HASH_MOD) + 1})), 4)
+               AS log_w_noisy
     FROM documents d JOIN scored s USING (doc_id)
 ), topk AS (
     SELECT doc_id FROM out ORDER BY log_w DESC, doc_id LIMIT {_DSIR_K}
+), gtopk AS (
+    SELECT doc_id FROM out ORDER BY log_w_noisy DESC, doc_id LIMIT {_DSIR_K}
 )
 SELECT o.doc_id, o.source, o.n_features, o.log_w,
-       o.doc_id IN (SELECT doc_id FROM topk) AS selected
+       o.doc_id IN (SELECT doc_id FROM topk) AS selected,
+       o.log_w_noisy,
+       o.doc_id IN (SELECT doc_id FROM gtopk) AS gumbel_selected
 FROM out o
 ORDER BY o.doc_id
 """

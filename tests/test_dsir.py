@@ -42,3 +42,16 @@ def test_dsir_target_overrepresented_in_selection(spark, sf_dir):
     sel = [r for r in rows if r.selected]
     sel_rate = sum(r.source in _DSIR_TARGET for r in sel) / len(sel)
     assert sel_rate > base
+
+
+def test_dsir_gumbel_resampling_is_a_real_draw(spark, sf_dir):
+    """Gumbel-top-k must (a) select exactly k, (b) overlap heavily with
+    the deterministic top-k (the noise perturbs, the weights dominate),
+    and (c) not equal it exactly at this corpus size — otherwise the
+    noise column is dead code."""
+    rows = dsir_importance_resampling(spark, sf_dir).collect()
+    det = {r.doc_id for r in rows if r.selected}
+    gum = {r.doc_id for r in rows if r.gumbel_selected}
+    assert len(gum) == min(_DSIR_K, len(rows))
+    assert len(det & gum) >= len(det) // 4
+    assert det != gum
