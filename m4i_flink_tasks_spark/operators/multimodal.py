@@ -20,9 +20,10 @@ KwKwK case, deferred-clear table freeze, animated multi-frame — real
 frame counts); and **baseline JPEG** (operators/jpeg.py: Huffman
 entropy decode, dequant, IDCT, chroma upsample, YCbCr→RGB — validated
 by independent-encoder round-trips AND real-world files) — routed by
-magic-byte sniffing. For MP3/Ogg/MP4 the CONTAINER layer also parses
-for real (``demux_mp3``/``demux_ogg``/``demux_mp4``: MPEG frame-header
-walk, Ogg page walk + Vorbis ident packet, ISO-BMFF box tree — the
+magic-byte sniffing. For MP3/Ogg/MP4/WebM the CONTAINER layer also
+parses for real (``demux_mp3``/``demux_ogg``/``demux_mp4``/
+``demux_webm``: MPEG frame-header walk, Ogg page walk + Vorbis ident
+packet, ISO-BMFF box tree, Matroska EBML element walk — the
 duration/dims/frame-count facts a 100 TB pipeline filters on); only
 the inner sample/pixel decode (psychoacoustic + video codecs) stays at
 the clearly-marked ``NotImplementedError`` seam in ``decode_media``
@@ -1190,10 +1191,116 @@ def demux_mp4(b: bytes) -> dict:
     }
 
 
+# --- WebM / Matroska (EBML) ------------------------------------------------
+
+def _ebml_num(b: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at ``pos``; returns
+    (value, next_pos). Element IDs keep the length-marker bit
+    (keep_marker=True), sizes strip it."""
+    if pos >= len(b):
+        raise ValueError("EBML varint past end")
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint lead byte 0x00")
+    length = 9 - first.bit_length()
+    if pos + length > len(b):
+        raise ValueError("truncated EBML varint")
+    # The marker bit for an L-byte varint is bit (8-L) of the lead byte;
+    # IDs keep it (the spec compares IDs marker-included), sizes drop it.
+    val = first if keep_marker else first & ((0x80 >> (length - 1)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | b[pos + i]
+    return val, pos + length
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    """Serialize an EBML element with a 2-byte size field (payloads here
+    are < 2^14 bytes)."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    assert len(payload) < (1 << 14)
+    return id_bytes + (0x4000 | len(payload)).to_bytes(2, "big") + payload
+
+
+_WEBM_CONTAINERS = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+# EBML header, Segment, Info, Tracks, TrackEntry, Video
+
+
+def synth_webm(doc_id: int) -> bytes:
+    """Deterministic minimal WebM: EBML header (DocType webm) + Segment
+    with Info (TimestampScale 1e6 ns, Duration in ms) and one VP9 video
+    TrackEntry (PixelWidth/Height). Closed forms of doc_id."""
+    width = 32 * (1 + (doc_id // 3) % 4)
+    height = 32 * (1 + (doc_id // 5) % 3)
+    duration_ms = 200 + 8 * ((doc_id // 2) % 40)
+
+    ebml = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4282, b"webm") + _ebml_el(0x4287, bytes([2])),
+    )
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(0x4489, struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_el(
+        0xE0,
+        _ebml_el(0xB0, width.to_bytes(2, "big"))
+        + _ebml_el(0xBA, height.to_bytes(2, "big")),
+    )
+    track = _ebml_el(
+        0xAE,
+        _ebml_el(0xD7, bytes([1]))
+        + _ebml_el(0x83, bytes([1]))  # TrackType video
+        + _ebml_el(0x86, b"V_VP9")
+        + video,
+    )
+    tracks = _ebml_el(0x1654AE6B, track)
+    segment = _ebml_el(0x18538067, info + tracks)
+    return ebml + segment
+
+
+def demux_webm(b: bytes) -> dict:
+    """Walk the EBML element tree; no codec payload is touched."""
+    found: dict = {}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos < end:
+            eid, pos = _ebml_num(b, pos, keep_marker=True)
+            size, pos = _ebml_num(b, pos, keep_marker=False)
+            if pos + size > end:
+                raise ValueError(f"EBML element 0x{eid:x} overruns parent")
+            if eid in _WEBM_CONTAINERS:
+                walk(pos, pos + size)
+            else:
+                found.setdefault(eid, b[pos : pos + size])
+            pos += size
+
+    walk(0, len(b))
+    if found.get(0x4282) != b"webm":
+        raise ValueError("not a webm DocType")
+    if 0xB0 not in found or 0x4489 not in found:
+        raise ValueError("missing video dims / duration")
+    scale = int.from_bytes(found.get(0x2AD7B1, b"\x0fB@"), "big")  # ns/tick
+    duration_ticks = struct.unpack(">d", found[0x4489])[0]
+    codec = found.get(0x86, b"?").decode("ascii", "replace")
+    return {
+        "container": "webm",
+        "codec": f"webm:{codec}",
+        "width": int.from_bytes(found[0xB0], "big"),
+        "height": int.from_bytes(found[0xBA], "big"),
+        "n_frames": None,  # no Cluster/SimpleBlock index in the skeleton
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_ms": int(duration_ticks * scale) // 1_000_000,
+    }
+
+
 _DEMUXERS = (
     (lambda b: b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF), demux_mp3),
     (lambda b: b[:4] == b"OggS", demux_ogg),
     (lambda b: b[4:8] == b"ftyp", demux_mp4),
+    (lambda b: b[:4] == b"\x1aE\xdf\xa3", demux_webm),
 )
 
 
@@ -1213,19 +1320,21 @@ def demux_container(payload: bytes) -> dict:
 
 def attach_container_payload(docs: DataFrame) -> DataFrame:
     """Compressed-container payload column for the demux pipeline:
-    doc_id % 3 routes 0 → MP4, 1 → MP3, 2 → Ogg (all synthesized with
-    closed-form parameters so the oracle can state the expected
-    metadata as SQL over doc_id alone)."""
+    doc_id % 4 routes 0 → MP4, 1 → MP3, 2 → Ogg, 3 → WebM (all
+    synthesized with closed-form parameters so the oracle can state the
+    expected metadata as SQL over doc_id alone)."""
 
     @F.pandas_udf("binary")
     def _payload(doc_id: pd.Series) -> pd.Series:
         def one(d: int) -> bytes:
-            m = d % 3
+            m = d % 4
             if m == 0:
                 return synth_mp4(d)
             if m == 1:
                 return synth_mp3(d)
-            return synth_ogg(d)
+            if m == 2:
+                return synth_ogg(d)
+            return synth_webm(d)
 
         return pd.Series([one(int(d)) for d in doc_id], dtype=object)
 

@@ -245,10 +245,10 @@ ORACLES = {
 
 
 def multimodal_container_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Container demux over compressed media payloads (MP3 / Ogg / MP4)
-    — the metadata layer of the codec seam, parsed for REAL: MPEG
+    """Container demux over compressed media payloads (MP3 / Ogg / MP4 /
+    WebM) — the metadata layer of the codec seam, parsed for REAL: MPEG
     frame-header walk, Ogg page walk + Vorbis ident packet, ISO-BMFF
-    box-tree walk. Spark PARSES the synthesized bytes to recover
+    box-tree walk, Matroska EBML element walk. Spark PARSES the synthesized bytes to recover
     duration/dims/frame counts; the oracle states the same facts as
     closed forms of doc_id, so any demux bug breaks the hash. The inner
     sample/pixel decode (the part that genuinely needs codec libraries)
@@ -269,40 +269,45 @@ def multimodal_container_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINER_DEMUX_SQL = """
 SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' ELSE 'ogg' END
-      AS container,
-  CASE doc_id % 3
+  CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
+                  WHEN 2 THEN 'ogg' ELSE 'webm' END AS container,
+  CASE doc_id % 4
     WHEN 0 THEN 'mp4:avc1'
     WHEN 1 THEN 'mpeg1-layer3'
-    ELSE 'vorbis-' || CAST(1 + (doc_id // 2) % 2 AS VARCHAR) || 'ch'
+    WHEN 2 THEN 'vorbis-' || CAST(1 + (doc_id // 2) % 2 AS VARCHAR) || 'ch'
+    ELSE 'webm:V_VP9'
   END AS codec,
-  CAST(CASE WHEN doc_id % 3 = 0
-       THEN 16 * (1 + (doc_id // 3) % 4) END AS INT) AS width,
-  CAST(CASE WHEN doc_id % 3 = 0
-       THEN 16 * (1 + (doc_id // 5) % 3) END AS INT) AS height,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 16 * (1 + (doc_id // 3) % 4)
+    WHEN 3 THEN 32 * (1 + (doc_id // 3) % 4)
+  END AS INT) AS width,
+  CAST(CASE doc_id % 4
+    WHEN 0 THEN 16 * (1 + (doc_id // 5) % 3)
+    WHEN 3 THEN 32 * (1 + (doc_id // 5) % 3)
+  END AS INT) AS height,
+  CAST(CASE doc_id % 4
     WHEN 0 THEN 3 + (doc_id // 2) % 5
     WHEN 1 THEN 4 + (doc_id // 2) % 6
-    ELSE 2
+    WHEN 2 THEN 2
   END AS INT) AS n_frames,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
     WHEN 1 THEN 44100
     WHEN 2 THEN CASE WHEN doc_id % 2 = 0 THEN 22050 ELSE 44100 END
   END AS INT) AS sample_rate,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
     WHEN 1 THEN (4 + (doc_id // 2) % 6) * 1152
     WHEN 2 THEN 1000 + 17 * ((doc_id // 4) % 50)
   END AS BIGINT) AS n_samples,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
     WHEN 0 THEN (3 + (doc_id // 2) % 5) * 40
     WHEN 1 THEN ((4 + (doc_id // 2) % 6) * 1152 * 1000) // 44100
-    ELSE ((1000 + 17 * ((doc_id // 4) % 50)) * 1000)
+    WHEN 2 THEN ((1000 + 17 * ((doc_id // 4) % 50)) * 1000)
          // (CASE WHEN doc_id % 2 = 0 THEN 22050 ELSE 44100 END)
+    ELSE 200 + 8 * ((doc_id // 2) % 40)
   END AS BIGINT) AS duration_ms
 FROM documents
 ORDER BY doc_id
 """
-
 
 QUERIES["multimodal_container_demux"] = multimodal_container_demux
 ORACLES["multimodal_container_demux"] = CONTAINER_DEMUX_SQL

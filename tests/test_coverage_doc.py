@@ -79,6 +79,7 @@ def test_documented_query_names_exist():
             "demux_mp3",
             "demux_ogg",
             "demux_mp4",
+            "demux_webm",
             "mapInPandas",
             "pandas_udf",
             "percentile",

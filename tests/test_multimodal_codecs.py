@@ -782,7 +782,10 @@ def test_demux_never_crashes_on_arbitrary_bytes():
     @settings(max_examples=300, deadline=None)
     @given(st.binary(max_size=400))
     def run(payload):
-        for prefix in (b"", b"ID3", b"OggS", b"\x00\x00\x00\x18ftyp", b"\xff\xfb"):
+        for prefix in (
+            b"", b"ID3", b"OggS", b"\x00\x00\x00\x18ftyp",
+            b"\xff\xfb", b"\x1aE\xdf\xa3",
+        ):
             try:
                 out = demux_container(prefix + payload)
             except ValueError:
@@ -791,3 +794,33 @@ def test_demux_never_crashes_on_arbitrary_bytes():
         return None
 
     run()
+
+
+def test_demux_webm_ebml_walk_round_trip():
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        demux_webm,
+        synth_webm,
+    )
+
+    for d in (3, 7, 15, 27, 451):
+        out = demux_webm(synth_webm(d))
+        assert out["container"] == "webm"
+        assert out["codec"] == "webm:V_VP9"
+        assert out["width"] == 32 * (1 + (d // 3) % 4)
+        assert out["height"] == 32 * (1 + (d // 5) % 3)
+        assert out["duration_ms"] == 200 + 8 * ((d // 2) % 40)
+
+
+def test_demux_webm_rejects_overrunning_element():
+    import pytest
+
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        demux_webm,
+        synth_webm,
+    )
+
+    b = bytearray(synth_webm(3))
+    # inflate the EBML header's declared size past the buffer end
+    b[5] = 0x7F
+    with pytest.raises(ValueError):
+        demux_webm(bytes(b))
