@@ -40,6 +40,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.similarity import cosine
 from .ann_index import EMBEDDINGS_STREAM_SCHEMA, stage_embeddings
@@ -73,8 +74,23 @@ def semantic_dedup_batch(
     batch_id: int,
     tau: float = SEM_TAU,
 ) -> None:
-    """Process one micro-batch of (vec_id, embedding, label) rows."""
-    batch = batch.select("vec_id", "embedding", "label")
+    """Process one micro-batch of (vec_id, embedding, label) rows.
+
+    The micro-batch frame and the unioned probe side are materialized
+    (repartition + persist) before the pairwise join: the raw
+    foreachBatch frame arrives as a generic-row RDD with one partition
+    per source file, and probing the label hash relation with the
+    interpreted cosine fold over those rows measured ~15x slower than
+    over cached columnar rows at the sf1 rehearsal (199 s -> 32 s
+    end-to-end; SCALE.md). The persist also stops the 5-consumer plan
+    from re-reading the source per action."""
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    batch = (
+        batch.select("vec_id", "embedding", "label")
+        .repartition(n_parts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    batch.count()
 
     # Prior members of the clusters this batch touches: posting-list
     # read pruned to touched label buckets, then member rows pruned to
@@ -106,7 +122,12 @@ def semantic_dedup_batch(
         F.col("label").alias("l_label"),
         F.col("embedding").alias("l_emb"),
     )
-    left = in_batch if prior is None else prior.unionByName(in_batch)
+    left = (
+        (in_batch if prior is None else prior.unionByName(in_batch))
+        .repartition(n_parts)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    left.count()
     sims = (
         left.join(
             right,
@@ -142,6 +163,8 @@ def semantic_dedup_batch(
         batch_id=batch_id,
         insert_only=True,
     )
+    left.unpersist()
+    batch.unpersist()
 
 
 def run_stream_semantic_dedup(
