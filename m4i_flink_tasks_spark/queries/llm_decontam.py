@@ -175,3 +175,92 @@ ORACLES = {
     "word_entropy_quality": WORD_ENTROPY_SQL,
     "domain_mixture_weights": MIXTURE_WEIGHTS_SQL,
 }
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source lexical overlap matrix: Jaccard of the distinct
+    token vocabularies for every source pair — the corpus-analysis
+    view behind mixture design and cross-split contamination checks
+    (two 'different' sources with near-identical vocabularies are one
+    domain, and a train/eval source pair overlapping heavily is a
+    leak).
+
+    Scale shape: one explode → distinct (source, token) relation
+    (vocabulary-sized, Heaps-sublinear), ONE shuffle on token for the
+    intersection self-join (token posting lists are |sources|-bounded,
+    so the join fans out at most |sources|² per token), per-source
+    vocab sizes broadcast back; |union| is computed as |a|+|b|−|∩|
+    rather than a second join. Output is |sources|²/2 rows — a report,
+    not a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
+    l = vocab.select(F.col("source").alias("source_a"), "w")
+    r = vocab.select(F.col("source").alias("source_b"), "w")
+    common = (
+        l.join(r, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("vsize", "vocab_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("vsize", "vocab_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH vocab AS (
+    SELECT DISTINCT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents
+), vocab2 AS (
+    SELECT * FROM vocab WHERE w <> ''
+), sizes AS (
+    SELECT source, count(*) AS vsize FROM vocab2 GROUP BY source
+), common AS (
+    SELECT l.source AS source_a, r.source AS source_b, count(*) AS n_common
+    FROM vocab2 l JOIN vocab2 r ON l.w = r.w AND l.source < r.source
+    GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b,
+       sa.vsize AS vocab_a, sb.vsize AS vocab_b,
+       c.n_common,
+       round(c.n_common / (sa.vsize + sb.vsize - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
+ORDER BY c.source_a, c.source_b
+"""
+
+
+QUERIES["source_vocab_overlap"] = source_vocab_overlap
+ORACLES["source_vocab_overlap"] = SOURCE_OVERLAP_SQL
