@@ -193,12 +193,23 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than a second join. Output is |sources|²/2 rows — a report,
     not a corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # BIGRAM vocabularies: the unigram vocabulary of this synthetic
+    # corpus is one shared pool (all Jaccards ~1.0 — a degenerate
+    # demo), while bigram sets are combinatorial and source-specific,
+    # giving the report the spread a real corpus shows.
+    toks = docs.select(
+        "source", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
     vocab = (
-        docs.select(
+        toks.select(
             "source",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(t[i-1], ' ', t[i]))"
+                )
+            ).alias("w"),
         )
-        .filter(F.col("w") != "")
         .distinct()
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
@@ -238,12 +249,14 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SOURCE_OVERLAP_SQL = r"""
-WITH vocab AS (
-    SELECT DISTINCT source,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+WITH toks AS (
+    SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
     FROM documents
 ), vocab2 AS (
-    SELECT * FROM vocab WHERE w <> ''
+    SELECT DISTINCT source,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS w
+    FROM toks WHERE len(t) >= 2
 ), sizes AS (
     SELECT source, count(*) AS vsize FROM vocab2 GROUP BY source
 ), common AS (
