@@ -946,3 +946,129 @@ ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "corpus_build_manifest": _corpus_build_manifest_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Split drift monitor (PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 8
+_PSI_WIDTH = 16  # token-count bucket width
+
+
+def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the token-length distribution
+    between the train split and each held-out split — the standard
+    drift monitor a corpus pipeline runs before trusting an eval split
+    (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted; a
+    deterministic hash split should sit near 0, so a high value here
+    means the split gate leaked a correlate).
+
+    Distributions are add-one-smoothed over the fixed bucket space so
+    empty buckets stay finite; per-bucket contributions are rounded
+    before the total (round-before-sum keeps the cross-engine ln ulp
+    noise out of the hash). Scale shape: one narrow scan → one
+    (split, bucket) count aggregate (|splits|×|buckets| rows), the
+    rest is arithmetic on the report."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_bucket = T.poly_hash(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(split_bucket < _TRAIN_UPPER, "train")
+        .when(split_bucket < _VAL_UPPER, "val")
+        .otherwise("test")
+    )
+    n_tokens = F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    bucket = F.least(F.lit(_PSI_BUCKETS - 1), (n_tokens / _PSI_WIDTH).cast("int"))
+    counts = (
+        docs.select(split.alias("split"), bucket.alias("bucket"))
+        .groupBy("split", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        spark.range(_PSI_BUCKETS)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("train",), ("val",), ("test",)], "split string"
+            )
+        )
+    )
+    filled = (
+        spine.join(counts, ["split", "bucket"], "left")
+        .select("split", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    totals = filled.groupBy("split").agg(F.sum("c").alias("n"))
+    probs = filled.join(F.broadcast(totals), "split").select(
+        "split",
+        "bucket",
+        "c",
+        ((F.col("c") + 1) / (F.col("n") + _PSI_BUCKETS)).alias("p"),
+    )
+    train = probs.filter(F.col("split") == "train").select(
+        "bucket", F.col("c").alias("n_train"), F.col("p").alias("p_train")
+    )
+    held = probs.filter(F.col("split") != "train")
+    joined = held.join(F.broadcast(train), "bucket").select(
+        "split",
+        "bucket",
+        "n_train",
+        F.col("c").alias("n_split"),
+        F.round(
+            (F.col("p") - F.col("p_train")) * F.log(F.col("p") / F.col("p_train")),
+            6,
+        ).alias("psi_contrib"),
+    )
+    w = Window.partitionBy("split")
+    return joined.select(
+        "split",
+        "bucket",
+        "n_train",
+        "n_split",
+        "psi_contrib",
+        F.round(F.sum("psi_contrib").over(w), 6).alias("psi_total"),
+    ).orderBy("split", "bucket")
+
+
+def _split_drift_sql() -> str:
+    split_hash = _poly_hash_sql("'split:' || doc_id::VARCHAR")
+    return rf"""
+WITH assigned AS (
+    SELECT CASE WHEN ({split_hash}) % 100 < {_TRAIN_UPPER} THEN 'train'
+                WHEN ({split_hash}) % 100 < {_VAL_UPPER} THEN 'val'
+                ELSE 'test' END AS split,
+           least({_PSI_BUCKETS - 1},
+                 (len(string_split_regex(trim(lower(text)), '\s+'))
+                  // {_PSI_WIDTH})::INT) AS bucket
+    FROM documents
+), counts AS (
+    SELECT split, bucket, count(*) AS c FROM assigned GROUP BY 1, 2
+), spine AS (
+    SELECT s.split, r.range::INT AS bucket
+    FROM (VALUES ('train'), ('val'), ('test')) s(split),
+         range({_PSI_BUCKETS}) r
+), filled AS (
+    SELECT sp.split, sp.bucket, coalesce(c.c, 0) AS c
+    FROM spine sp LEFT JOIN counts c USING (split, bucket)
+), probs AS (
+    SELECT split, bucket, c,
+           (c + 1) / (sum(c) OVER (PARTITION BY split) + {_PSI_BUCKETS}) AS p
+    FROM filled
+), train AS (
+    SELECT bucket, c AS n_train, p AS p_train FROM probs WHERE split = 'train'
+), joined AS (
+    SELECT h.split, h.bucket, t.n_train, h.c AS n_split,
+           round((h.p - t.p_train) * ln(h.p / t.p_train), 6) AS psi_contrib
+    FROM probs h JOIN train t USING (bucket)
+    WHERE h.split <> 'train'
+)
+SELECT split, bucket, n_train, n_split, psi_contrib,
+       round(sum(psi_contrib) OVER (PARTITION BY split), 6) AS psi_total
+FROM joined
+ORDER BY split, bucket
+"""
+
+
+QUERIES["split_drift_psi"] = split_drift_psi
+ORACLES["split_drift_psi"] = _split_drift_sql()

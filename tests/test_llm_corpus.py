@@ -338,3 +338,42 @@ def test_repetition_matches_reference_fold(spark, words):
         )
     else:
         assert got["top_bigram_frac"] == 0.0
+
+
+def test_split_drift_psi_structure_and_nonnegativity(spark, sf_dir):
+    """PSI contributions (p-q)*ln(p/q) are nonnegative by construction
+    (both factors share a sign); the total is the sum of the rounded
+    contributions; the bucket spine is complete for both held-out
+    splits."""
+    from m4i_flink_tasks_spark.queries.llm_corpus import (
+        _PSI_BUCKETS,
+        split_drift_psi,
+    )
+
+    rows = split_drift_psi(spark, sf_dir).collect()
+    assert len(rows) == 2 * _PSI_BUCKETS
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+        assert r.psi_contrib >= 0.0, r
+    assert set(by_split) == {"val", "test"}
+    for split, rs in by_split.items():
+        assert sorted(r.bucket for r in rs) == list(range(_PSI_BUCKETS))
+        assert rs[0].psi_total == round(sum(r.psi_contrib for r in rs), 6)
+
+
+def test_split_drift_psi_converges_with_corpus_size(spark):
+    """A deterministic hash split is unbiased, so PSI between train and
+    the held-out splits must SHRINK as the corpus grows (small-sample
+    noise, not structure) — the property that makes a stable high PSI
+    a real alarm."""
+    from m4i_flink_tasks_spark.queries.llm_corpus import split_drift_psi
+
+    def totals(sf):
+        return {
+            r.split: r.psi_total for r in split_drift_psi(spark, sf).collect()
+        }
+
+    small = totals("/root/testdata/sf0.001")
+    large = totals("/root/testdata/sf0.01")
+    assert sum(large.values()) < sum(small.values())
