@@ -206,20 +206,19 @@ def minhash_frame(
     )
 
 
-def ngram_jaccard_pairs(
+def candidate_pairs_with_shingles(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    threshold: float = 0.5,
     rows_hint: int | None = None,
 ) -> DataFrame:
-    """All-pairs near-dup by n-gram Jaccard, LSH-accelerated.
-
-    Candidates come from MinHash band buckets (no O(n²) cross join);
-    each candidate pair is verified with exact Jaccard. At 100 TB the
-    band-bucket shuffle is the only wide operation.
-    """
+    """LSH candidate pairs with both shingle-hash sets attached —
+    the shared front half of every pairwise near-dup scorer
+    (Jaccard, containment): MinHash band buckets generate candidates
+    (no O(n²) cross join), signatures re-attach after candidate dedup.
+    At 100 TB the band-bucket shuffle is the only wide operation.
+    Returns (id_a, id_b, sh_a, sh_b)."""
     sh = (
         minhash_frame(df, id_col, text_col, n=n, rows_hint=rows_hint)
         # Both the band join and the verify join read the signatures;
@@ -268,6 +267,22 @@ def ngram_jaccard_pairs(
             "id_b",
         )
     )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """All-pairs near-dup by n-gram Jaccard, LSH-accelerated (see
+    ``candidate_pairs_with_shingles`` for the candidate machinery)."""
+    verified = candidate_pairs_with_shingles(
+        df, id_col, text_col, n=n, rows_hint=rows_hint
+    )
     return (
         verified.select(
             "id_a",
@@ -275,6 +290,41 @@ def ngram_jaccard_pairs(
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup by n-gram CONTAINMENT: |A∩B| / |A| (and
+    /|B|) over the same LSH candidates. Containment catches
+    subset/quote relations a symmetric Jaccard misses — a short
+    document fully embedded in a long one has low Jaccard (union is
+    large) but containment 1.0 on the short side. Emits pairs whose
+    larger-side containment clears the threshold, with both directions
+    and the Jaccard for comparison."""
+    verified = candidate_pairs_with_shingles(
+        df, id_col, text_col, n=n, rows_hint=rows_hint
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    scored = verified.select(
+        "id_a",
+        "id_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        F.round(
+            inter / F.greatest(F.size("sh_a"), F.lit(1)), 6
+        ).alias("containment_a"),
+        F.round(
+            inter / F.greatest(F.size("sh_b"), F.lit(1)), 6
+        ).alias("containment_b"),
+    )
+    return scored.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
     )
 
 

@@ -440,3 +440,42 @@ ORACLES = {
     "duplicate_span_stats": DUPLICATE_SPAN_SQL,
     "top_duplicate_spans": TOP_SPANS_SQL,
 }
+
+
+_CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by n-gram containment |A∩B|/|A| over the
+    same MinHash-LSH candidates as the Jaccard pass — catches
+    subset/quote relations a symmetric Jaccard misses (a short doc
+    embedded in a long one has low Jaccard but containment 1.0 on the
+    short side). Emits both directions + the Jaccard for comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=_CONTAINMENT_THRESHOLD,
+        rows_hint=table_num_rows(sf_dir, "documents"),
+    ).orderBy("id_a", "id_b")
+
+
+_CAND_PREFIX_SQL = _PAIRS_SQL.split("SELECT id_a, id_b,")[0]
+
+CONTAINMENT_SQL = rf"""{_CAND_PREFIX_SQL}
+SELECT * FROM (
+    SELECT id_a, id_b,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                 / greatest(len(list_distinct(sh_a || sh_b)), 1), 6)
+               AS jaccard_sim,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                 / greatest(len(sh_a), 1), 6) AS containment_a,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                 / greatest(len(sh_b), 1), 6) AS containment_b
+    FROM cand
+)
+WHERE greatest(containment_a, containment_b) >= {_CONTAINMENT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["dedup_ngram_containment"] = dedup_ngram_containment
+ORACLES["dedup_ngram_containment"] = CONTAINMENT_SQL

@@ -80,6 +80,8 @@ def test_documented_query_names_exist():
             "demux_ogg",
             "demux_mp4",
             "demux_webm",
+            "candidate_pairs_with_shingles",
+            "ngram_containment_pairs",
             "mapInPandas",
             "pandas_udf",
             "percentile",
