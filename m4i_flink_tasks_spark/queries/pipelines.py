@@ -626,6 +626,24 @@ def _stream_semantic_dedup_sql() -> str:
     return SEMANTIC_DEDUP_SQL
 
 
+def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming media-ingest catalog (streaming/media_ingest.py):
+    container payloads arrive in micro-batches, each demuxed through
+    the batch query's Arrow kernel into an insert-only catalog store.
+    Demux is a pure row function, so the catalog is batch-split
+    invariant and the batch demux SQL is the oracle."""
+    from ..streaming.media_ingest import run_stream_media_ingest
+
+    final = run_stream_media_ingest(spark, sf_dir, _workdir("media_ingest"))
+    return final.orderBy("doc_id")
+
+
+def _stream_media_ingest_sql() -> str:
+    from .llm_multimodal import CONTAINER_DEMUX_SQL
+
+    return CONTAINER_DEMUX_SQL
+
+
 def stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV distinct-count (streaming/sketch_state.py): orders
     arrive in micro-batches; each batch folds its bounded k-min partial
@@ -1141,6 +1159,7 @@ QUERIES = {
     "stream_corpus_ingest": stream_corpus_ingest,
     "stream_near_dedup": stream_near_dedup,
     "stream_semantic_dedup": stream_semantic_dedup,
+    "stream_media_ingest": stream_media_ingest,
     "stream_distinct_sketch": stream_distinct_sketch,
     "stream_scd2_dimension": stream_scd2_dimension,
     "stream_windowed_distinct": stream_windowed_distinct,
@@ -1166,6 +1185,7 @@ ORACLES = {
     "stream_corpus_ingest": _stream_corpus_ingest_sql(),
     "stream_near_dedup": _stream_near_dedup_sql(),
     "stream_semantic_dedup": _stream_semantic_dedup_sql(),
+    "stream_media_ingest": _stream_media_ingest_sql(),
     "stream_distinct_sketch": _stream_distinct_sketch_sql(),
     "stream_scd2_dimension": _stream_scd2_sql(),
     "stream_windowed_distinct": _stream_windowed_distinct_sql(),

@@ -458,3 +458,41 @@ def test_semantic_dedup_mid_stream_restart(spark, sf_dir):
         t for t in expected if t[0] not in first_ids and t[3]  # is_dup
     ]
     assert crossed, "no post-restart duplicate hit pre-crash state"
+
+
+def test_media_ingest_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming media ingest mid-stream and restart: the
+    insert-only catalog plus checkpointed offsets must reproduce the
+    one-shot demuxed catalog."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.media_ingest import (
+        run_stream_media_ingest,
+        stage_media,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_mi_ref_")
+    expected = sorted(
+        map(tuple, run_stream_media_ingest(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_mi_restart_")
+    staging = stage_media(spark, sf_dir, os.path.join(wd, "staging_media"), 4)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_mi_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_media_ingest(spark, sf_dir, wd)
+    n_first = first.count()
+    assert 0 < n_first < len(expected)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_media_ingest(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
