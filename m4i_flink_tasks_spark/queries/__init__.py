@@ -136,7 +136,8 @@ _MODULES = (
 # ann_recall_at_k, ann_multiprobe_topk, multimodal_container_demux,
 # dsir_importance_resampling, stream_semantic_dedup,
 # curriculum_shards, source_vocab_overlap, split_drift_psi,
-# dedup_ngram_containment, stream_media_ingest — all oracle-backed),
+# dedup_ngram_containment, stream_media_ingest,
+# dedup_impact_report — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

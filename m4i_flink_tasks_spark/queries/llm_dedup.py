@@ -479,3 +479,67 @@ ORDER BY id_a, id_b
 
 QUERIES["dedup_ngram_containment"] = dedup_ngram_containment
 ORACLES["dedup_ngram_containment"] = CONTAINMENT_SQL
+
+
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What would near-dedup actually remove: the cluster-size
+    histogram of the LSH component graph plus the singleton mass — the
+    one-page report a curation run reads before committing a dedup
+    pass (n_removable = every cluster keeps its min-id survivor).
+
+    Pure aggregation over the components output (dimension-sized);
+    the corpus scan cost is the components query itself."""
+    cc = neardup_components(spark, sf_dir)
+    clusters = cc.select("component_id", "n_members").distinct()
+    hist = (
+        clusters.groupBy(F.col("n_members").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    clustered = cc.agg(F.count(F.lit(1)).alias("clustered_docs"))
+    singletons = (
+        totals.crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("int").alias("cluster_size"),
+            (F.col("total_docs") - F.col("clustered_docs")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("int"), "n_clusters")
+        .unionByName(singletons)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_COMPONENTS_CORE_SQL = NEARDUP_COMPONENTS_SQL.replace("ORDER BY doc_id", "")
+
+DEDUP_IMPACT_SQL = f"""
+WITH comp AS ({_COMPONENTS_CORE_SQL}),
+clusters AS (
+    SELECT DISTINCT component_id, n_members FROM comp
+), hist AS (
+    SELECT n_members::INT AS cluster_size, count(*) AS n_clusters
+    FROM clusters GROUP BY 1
+    UNION ALL
+    SELECT 1,
+           (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+)
+SELECT cluster_size, n_clusters,
+       (cluster_size * n_clusters)::BIGINT AS n_docs,
+       ((cluster_size - 1) * n_clusters)::BIGINT AS n_removable
+FROM hist
+ORDER BY cluster_size
+"""
+
+
+QUERIES["dedup_impact_report"] = dedup_impact_report
+ORACLES["dedup_impact_report"] = DEDUP_IMPACT_SQL
