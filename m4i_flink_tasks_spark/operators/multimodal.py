@@ -12,9 +12,10 @@ Codec posture: **every image/audio container decodes for real with
 stdlib + numpy** — RIFF/WAVE PCM (8/16-bit) AND mono IMA ADPCM
 (format 0x11 — 4-bit predictive, round-tripped exactly against an
 independent encoder), BMP (BITMAPINFOHEADER,
-uncompressed 24-bit), binary PPM (P6) via ``struct``; **PNG** (8-bit
-depth, gray/RGB/palette/gray-alpha/RGBA, all five scanline filters
-including Paeth) via ``zlib`` inflate + defilter; **GIF** (87a/89a,
+uncompressed 24-bit), binary PPM (P6) via ``struct``; **PNG** (8- AND
+16-bit depths, gray/RGB/palette/gray-alpha/RGBA, all five scanline
+filters including Paeth, non-interlaced AND Adam7) via ``zlib``
+inflate + defilter; **GIF** (87a/89a,
 global and local palettes, variable-width LZW with clears and the
 KwKwK case, deferred-clear table freeze, animated multi-frame — real
 frame counts); and **baseline JPEG** (operators/jpeg.py: Huffman
@@ -27,8 +28,8 @@ packet, ISO-BMFF box tree, Matroska EBML element walk — the
 duration/dims/frame-count facts a 100 TB pipeline filters on); only
 the inner sample/pixel decode (psychoacoustic + video codecs) stays at
 the clearly-marked ``NotImplementedError`` seam in ``decode_media``
-(plug soundfile / av there), as do profile edges (16-bit/interlaced
-PNG, progressive/arithmetic JPEG). Anything else falls back to a
+(plug soundfile / av there), as do the remaining profile edges
+(sub-byte PNG bit packing, progressive/arithmetic JPEG). Anything else falls back to a
 **deterministic byte-level fake** (length, boundary bytes, fixed-size
 chunk count) so the surrounding plumbing — schema, batching,
 partitioning, UDF signature — is real and oracle-checkable on
@@ -221,6 +222,12 @@ def _decode_ppm(b: bytes) -> dict | None:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
@@ -264,12 +271,13 @@ def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def _decode_png(b: bytes) -> dict | None:
     """PNG via stdlib zlib: chunk walk → IDAT inflate → defilter →
-    (width, height, mean pixel value). Supported profile: bit depth 8,
-    color types 0/2/3/4/6, no interlace. The mean is over color
-    channels only (palette entries mapped through PLTE; alpha dropped)
-    so it is comparable with the BMP/PPM decoders. PNG features outside
-    the profile (16-bit, Adam7) raise at the codec seam like the
-    library-requiring formats."""
+    (width, height, mean pixel value). Supported profile: bit depths 8
+    AND 16 (big-endian samples), color types 0/2/3/4/6, non-interlaced
+    AND Adam7-interlaced (each pass defiltered as its own sub-image —
+    no reassembly needed for a mean). The mean is over color channels
+    only (palette entries mapped through PLTE; alpha dropped) so it is
+    comparable with the BMP/PPM decoders. Only sub-byte bit packing
+    (1/2/4-bit) remains at the codec seam."""
     if len(b) < 8 or b[:8] != _PNG_MAGIC:
         return None
     pos, ihdr, plte, idat = 8, None, None, b""
@@ -297,35 +305,68 @@ def _decode_png(b: bytes) -> dict | None:
         return None
     if ctype not in _PNG_CHANNELS:
         return None
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or (ctype == 3 and depth == 16):
         raise NotImplementedError(
-            f"png depth={depth} interlace={interlace}: outside the "
-            "stdlib-decodable profile — plug PIL.Image.open here"
+            f"png depth={depth} ctype={ctype}: outside the "
+            "stdlib-decodable profile (1/2/4-bit packing) — plug "
+            "PIL.Image.open here"
         )
     channels = _PNG_CHANNELS[ctype]
-    stride = w * channels
+    nbytes = depth // 8
+    bpp = channels * nbytes
     raw = zlib.decompress(idat)
-    if len(raw) != h * (1 + stride):
+
+    # Sub-images to defilter: the whole image, or (Adam7) one per pass —
+    # each pass is an independently-filtered sub-image, and since the
+    # output is (dims, mean) the passes never need reassembly: every
+    # pixel appears in exactly one pass, so the mean over pass pixels IS
+    # the image mean.
+    subs: list[tuple[int, int]] = []  # (pass_w, pass_h)
+    if interlace == 0:
+        subs = [(w, h)]
+    elif interlace == 1:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                subs.append((pw, ph))
+    else:
         return None
-    img = _png_defilter(raw, h, stride, channels)
-    if ctype == 3:  # palette -> RGB through PLTE
-        if plte is None or len(plte) % 3:
-            return None
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        if int(img.max(initial=0)) >= len(pal):
-            return None
-        vals = pal[img.reshape(-1)]
-    elif ctype == 4:  # gray + alpha: gray channel only
-        vals = img.reshape(h, w, 2)[..., 0]
-    elif ctype == 6:  # RGBA: drop alpha
-        vals = img.reshape(h, w, 4)[..., :3]
-    else:  # gray or RGB: all bytes are color bytes
-        vals = img
+    expect = sum(ph * (1 + pw * bpp) for pw, ph in subs)
+    if len(raw) != expect:
+        return None
+
+    pos = 0
+    acc_sum, acc_n = 0.0, 0
+    for pw, ph in subs:
+        stride = pw * bpp
+        img = _png_defilter(raw[pos : pos + ph * (1 + stride)], ph, stride, bpp)
+        pos += ph * (1 + stride)
+        if depth == 16:
+            grid = np.frombuffer(img.tobytes(), ">u2").reshape(ph, pw, channels)
+        else:
+            grid = img.reshape(ph, pw, channels)
+        if ctype == 3:  # palette -> RGB through PLTE
+            if plte is None or len(plte) % 3:
+                return None
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            if int(grid.max(initial=0)) >= len(pal):
+                return None
+            vals = pal[grid.reshape(-1)]
+        elif ctype == 4:  # gray + alpha: gray channel only
+            vals = grid[..., 0]
+        elif ctype == 6:  # RGBA: drop alpha
+            vals = grid[..., :3]
+        else:  # gray or RGB: all samples are color samples
+            vals = grid
+        flat = np.asarray(vals, np.float64).reshape(-1)
+        acc_sum += float(flat.sum())
+        acc_n += flat.size
     return {
         **_NO_MEDIA,
         "width": int(w),
         "height": int(h),
-        "mean_value": float(np.asarray(vals, np.float64).mean()),
+        "mean_value": acc_sum / acc_n,
     }
 
 

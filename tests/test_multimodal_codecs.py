@@ -205,35 +205,59 @@ def make_png(
     """Encode a pixel grid with a CHOSEN filter per scanline, applying
     the forward filter independently of the decoder under test."""
     h, w = len(pixels), len(pixels[0])
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    filters = filters or [0] * h
-    rows = [
-        bytes(v for px in row for v in (px if isinstance(px, tuple) else (px,)))
-        for row in pixels
-    ]
-    raw = b""
-    prev = bytes(w * bpp)
-    for ftype, cur in zip(filters, rows):
-        line = bytearray()
-        for x in range(len(cur)):
-            a = cur[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = a
-            elif ftype == 2:
-                pred = b
-            elif ftype == 3:
-                pred = (a + b) // 2
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            line.append((cur[x] - pred) & 0xFF)
-        raw += bytes([ftype]) + bytes(line)
-        prev = cur
+    nbytes = depth // 8
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * nbytes
+
+    def row_bytes(row):
+        return bytes(
+            byte
+            for px in row
+            for v in (px if isinstance(px, tuple) else (px,))
+            for byte in v.to_bytes(nbytes, "big")
+        )
+
+    def filter_grid(grid, ftypes):
+        raw, prev = b"", bytes(len(grid[0]) if grid else 0)
+        for ftype, cur in zip(ftypes, grid):
+            line = bytearray()
+            for x in range(len(cur)):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line.append((cur[x] - pred) & 0xFF)
+            raw += bytes([ftype]) + bytes(line)
+            prev = cur
+        return raw
+
+    if interlace == 0:
+        rows = [row_bytes(row) for row in pixels]
+        raw = filter_grid(rows, filters or [0] * h)
+    else:  # Adam7: each pass filtered as its own sub-image
+        _ADAM7 = (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = [
+                row_bytes(pixels[y][x0::dx])
+                for y in range(y0, h, dy)
+                if pixels[y][x0::dx]
+            ]
+            if sub:
+                raw += filter_grid(sub, (filters or [0, 1, 2, 3, 4]) * len(sub))
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
@@ -282,12 +306,55 @@ def test_png_palette_maps_through_plte():
     assert out["mean_value"] == pytest.approx(3 * 180 / 12)
 
 
+def test_png_16bit_depth_decodes_for_real():
+    import random
+
+    rng = random.Random(7)
+    px = [
+        [tuple(rng.randrange(65536) for _ in range(3)) for _ in range(5)]
+        for _ in range(4)
+    ]
+    expected = sum(v for row in px for p in row for v in p) / (4 * 5 * 3)
+    out = decode_media(make_png(px, depth=16, filters=[0, 1, 2, 3]), "image")
+    assert out["codec"] == "png"
+    assert (out["width"], out["height"]) == (5, 4)
+    assert out["mean_value"] == pytest.approx(expected)
+
+
+def test_png_adam7_interlace_decodes_for_real():
+    import random
+
+    rng = random.Random(11)
+    # 9x10 exercises every one of the seven passes non-trivially
+    px = [
+        [tuple(rng.randrange(256) for _ in range(3)) for _ in range(9)]
+        for _ in range(10)
+    ]
+    expected = sum(v for row in px for p in row for v in p) / (9 * 10 * 3)
+    out = decode_media(make_png(px, interlace=1), "image")
+    assert out["codec"] == "png"
+    assert (out["width"], out["height"]) == (9, 10)
+    assert out["mean_value"] == pytest.approx(expected)
+
+
+def test_png_16bit_adam7_combination():
+    px = [[(300,), (70000 % 65536,)], [(12345,), (54321,)], [(9,), (65535,)]]
+    expected = sum(v for row in px for p in row for v in p) / 6
+    out = decode_media(
+        make_png(px, ctype=0, depth=16, interlace=1), "image"
+    )
+    assert out["mean_value"] == pytest.approx(expected)
+    assert (out["width"], out["height"]) == (2, 3)
+
+
 def test_png_unsupported_profile_raises_at_seam():
-    px = [[(1, 1, 1)]]
+    # sub-byte bit packing remains the documented seam: patch a valid
+    # PNG's IHDR depth byte to 4 (the encoder can't build sub-byte rows)
+    b = bytearray(make_png([[(1, 1, 1)]]))
+    assert b[24] == 8  # IHDR bit-depth byte
+    b[24] = 4
     with pytest.raises(NotImplementedError):
-        decode_media(make_png(px, depth=16), "image")
-    with pytest.raises(NotImplementedError):
-        decode_media(make_png(px, interlace=1), "image")
+        decode_media(bytes(b), "image")
 
 
 def test_png_malformed_falls_back_to_bytes():
