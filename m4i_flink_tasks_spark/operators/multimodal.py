@@ -28,8 +28,9 @@ packet, ISO-BMFF box tree, Matroska EBML element walk — the
 duration/dims/frame-count facts a 100 TB pipeline filters on); only
 the inner sample/pixel decode (psychoacoustic + video codecs) stays at
 the clearly-marked ``NotImplementedError`` seam in ``decode_media``
-(plug soundfile / av there), as do the remaining profile edges
-(sub-byte PNG bit packing, progressive/arithmetic JPEG). Anything else falls back to a
+(plug soundfile / av there), as do the remaining JPEG profile edges
+(progressive/arithmetic coding); the PNG feature matrix decodes in
+full. Anything else falls back to a
 **deterministic byte-level fake** (length, boundary bytes, fixed-size
 chunk count) so the surrounding plumbing — schema, batching,
 partitioning, UDF signature — is real and oracle-checkable on
@@ -223,6 +224,12 @@ def _decode_ppm(b: bytes) -> dict | None:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+def _png_stride(pw: int, channels: int, depth: int) -> int:
+    """Bytes per scanline: sub-byte depths pack MSB-first with the last
+    byte padded (RFC 2083 §2.3)."""
+    return (pw * channels * depth + 7) // 8
+
+
 # Adam7 interlace passes: (x_start, y_start, x_step, y_step)
 _ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -276,8 +283,10 @@ def _decode_png(b: bytes) -> dict | None:
     AND Adam7-interlaced (each pass defiltered as its own sub-image —
     no reassembly needed for a mean). The mean is over color channels
     only (palette entries mapped through PLTE; alpha dropped) so it is
-    comparable with the BMP/PPM decoders. Only sub-byte bit packing
-    (1/2/4-bit) remains at the codec seam."""
+    comparable with the BMP/PPM decoders (sub-byte grays are raw
+    0..2^d-1 sample values). The full baseline PNG feature matrix
+    decodes — every depth (1/2/4/8/16), every color type, every
+    filter, both interlace modes."""
     if len(b) < 8 or b[:8] != _PNG_MAGIC:
         return None
     pos, ihdr, plte, idat = 8, None, None, b""
@@ -305,15 +314,12 @@ def _decode_png(b: bytes) -> dict | None:
         return None
     if ctype not in _PNG_CHANNELS:
         return None
-    if depth not in (8, 16) or (ctype == 3 and depth == 16):
-        raise NotImplementedError(
-            f"png depth={depth} ctype={ctype}: outside the "
-            "stdlib-decodable profile (1/2/4-bit packing) — plug "
-            "PIL.Image.open here"
-        )
+    if depth not in (1, 2, 4, 8, 16) or (ctype == 3 and depth == 16) or (
+        depth < 8 and ctype not in (0, 3)
+    ):
+        return None  # combination the PNG spec does not define
     channels = _PNG_CHANNELS[ctype]
-    nbytes = depth // 8
-    bpp = channels * nbytes
+    bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(idat)
 
     # Sub-images to defilter: the whole image, or (Adam7) one per pass —
@@ -332,18 +338,24 @@ def _decode_png(b: bytes) -> dict | None:
                 subs.append((pw, ph))
     else:
         return None
-    expect = sum(ph * (1 + pw * bpp) for pw, ph in subs)
+    expect = sum(ph * (1 + _png_stride(pw, channels, depth)) for pw, ph in subs)
     if len(raw) != expect:
         return None
 
     pos = 0
     acc_sum, acc_n = 0.0, 0
     for pw, ph in subs:
-        stride = pw * bpp
+        stride = _png_stride(pw, channels, depth)
         img = _png_defilter(raw[pos : pos + ph * (1 + stride)], ph, stride, bpp)
         pos += ph * (1 + stride)
         if depth == 16:
             grid = np.frombuffer(img.tobytes(), ">u2").reshape(ph, pw, channels)
+        elif depth < 8:
+            # sub-byte packing: samples fill each byte MSB-first; strip
+            # the padding bits of the final byte by truncating to pw.
+            bits = np.unpackbits(img, axis=1).reshape(ph, -1, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            grid = (bits * weights).sum(axis=2)[:, :pw].reshape(ph, pw, 1)
         else:
             grid = img.reshape(ph, pw, channels)
         if ctype == 3:  # palette -> RGB through PLTE

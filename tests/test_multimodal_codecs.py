@@ -206,15 +206,24 @@ def make_png(
     the forward filter independently of the decoder under test."""
     h, w = len(pixels), len(pixels[0])
     nbytes = depth // 8
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * nbytes
+    bpp = max(1, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * nbytes)
 
     def row_bytes(row):
-        return bytes(
-            byte
-            for px in row
-            for v in (px if isinstance(px, tuple) else (px,))
-            for byte in v.to_bytes(nbytes, "big")
-        )
+        samples = [
+            v for px in row for v in (px if isinstance(px, tuple) else (px,))
+        ]
+        if depth >= 8:
+            return bytes(b for v in samples for b in v.to_bytes(nbytes, "big"))
+        out, acc, nbits = bytearray(), 0, 0  # sub-byte: MSB-first packing
+        for v in samples:
+            acc = (acc << depth) | v
+            nbits += depth
+            if nbits == 8:
+                out.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return bytes(out)
 
     def filter_grid(grid, ftypes):
         raw, prev = b"", bytes(len(grid[0]) if grid else 0)
@@ -347,14 +356,42 @@ def test_png_16bit_adam7_combination():
     assert (out["width"], out["height"]) == (2, 3)
 
 
-def test_png_unsupported_profile_raises_at_seam():
-    # sub-byte bit packing remains the documented seam: patch a valid
-    # PNG's IHDR depth byte to 4 (the encoder can't build sub-byte rows)
+def test_png_sub_byte_gray_depths_decode_for_real():
+    # 4-bit gray, 5 samples/row -> padded final byte, all filters
+    px4 = [[(v,) for v in row] for row in
+           [[0, 15, 7, 3, 12], [1, 2, 3, 4, 5], [15, 15, 0, 0, 8]]]
+    expected = sum(v for row in px4 for (v,) in row) / 15
+    out = decode_media(make_png(px4, ctype=0, depth=4, filters=[0, 1, 2]), "image")
+    assert (out["codec"], out["width"], out["height"]) == ("png", 5, 3)
+    assert out["mean_value"] == pytest.approx(expected)
+    # 1-bit gray, 10 samples/row
+    px1 = [[(x % 2,) for x in range(10)], [(1,) for _ in range(10)]]
+    out = decode_media(make_png(px1, ctype=0, depth=1), "image")
+    assert out["mean_value"] == pytest.approx(15 / 20)
+
+
+def test_png_sub_byte_palette_maps_through_plte():
+    plte = bytes([0, 0, 0, 30, 60, 90, 9, 9, 9, 0, 0, 0])
+    px = [[(1,), (2,), (1,)], [(0,), (3,), (2,)]]  # 2-bit indices
+    out = decode_media(make_png(px, ctype=3, depth=2, plte=plte), "image")
+    expected = (180 + 27 + 180 + 0 + 0 + 27) / 18
+    assert out["mean_value"] == pytest.approx(expected)
+
+
+def test_png_sub_byte_adam7_combination():
+    px = [[(v % 16,) for v in range(6)] for _ in range(5)]
+    expected = sum(v % 16 for v in range(6)) * 5 / 30
+    out = decode_media(make_png(px, ctype=0, depth=4, interlace=1), "image")
+    assert (out["width"], out["height"]) == (6, 5)
+    assert out["mean_value"] == pytest.approx(expected)
+
+
+def test_png_spec_invalid_combination_falls_back_to_bytes():
+    # depth 4 with RGB is not defined by the spec -> byte-fake, not a raise
     b = bytearray(make_png([[(1, 1, 1)]]))
     assert b[24] == 8  # IHDR bit-depth byte
     b[24] = 4
-    with pytest.raises(NotImplementedError):
-        decode_media(bytes(b), "image")
+    assert decode_media(bytes(b), "image")["codec"] == "bytes"
 
 
 def test_png_malformed_falls_back_to_bytes():
