@@ -418,3 +418,50 @@ ORACLES = {
     "training_corpus_filter": _training_corpus_sql(),
     "corpus_filter_audit": _corpus_filter_audit_sql(),
 }
+
+
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled lang column — the accuracy report a pipeline reads before
+    trusting the classifier's gate decisions (per-cell counts + the
+    row fraction within each true label). One scan + one
+    labels²-bounded aggregate; the fraction is an exact integer ratio
+    rounded at the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("lang", T.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("row_frac"),
+            (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+LANGUAGE_CONFUSION_SQL = f"""
+WITH pred AS ({LANGUAGE_ID_SQL.replace("ORDER BY doc_id", "")}),
+cells AS (
+    SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+), totals AS (
+    SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM cells GROUP BY lang
+)
+SELECT c.lang, c.predicted_lang, c.n_docs,
+       round(c.n_docs / t.n_lang, 6) AS row_frac,
+       c.lang = c.predicted_lang AS is_correct
+FROM cells c JOIN totals t USING (lang)
+ORDER BY c.lang, c.predicted_lang
+"""
+
+
+QUERIES["language_confusion_matrix"] = language_confusion_matrix
+ORACLES["language_confusion_matrix"] = LANGUAGE_CONFUSION_SQL
