@@ -18,9 +18,12 @@ filters including Paeth, non-interlaced AND Adam7) via ``zlib``
 inflate + defilter; **GIF** (87a/89a,
 global and local palettes, variable-width LZW with clears and the
 KwKwK case, deferred-clear table freeze, animated multi-frame — real
-frame counts); and **baseline JPEG** (operators/jpeg.py: Huffman
-entropy decode, dequant, IDCT, chroma upsample, YCbCr→RGB — validated
-by independent-encoder round-trips AND real-world files) — routed by
+frame counts); and **JPEG** — baseline AND progressive (operators/jpeg.py:
+coefficient-accumulating multi-scan decode with spectral selection,
+successive approximation and EOB runs; Huffman entropy decode,
+dequant, IDCT, chroma upsample, YCbCr→RGB — validated by independent
+baseline and progressive encoders that must agree exactly, plus
+real-world files) — routed by
 magic-byte sniffing. For MP3/Ogg/MP4/WebM the CONTAINER layer also
 parses for real (``demux_mp3``/``demux_ogg``/``demux_mp4``/
 ``demux_webm``: MPEG frame-header walk, Ogg page walk + Vorbis ident
@@ -28,9 +31,9 @@ packet, ISO-BMFF box tree, Matroska EBML element walk — the
 duration/dims/frame-count facts a 100 TB pipeline filters on); only
 the inner sample/pixel decode (psychoacoustic + video codecs) stays at
 the clearly-marked ``NotImplementedError`` seam in ``decode_media``
-(plug soundfile / av there), as do the remaining JPEG profile edges
-(progressive/arithmetic coding); the PNG feature matrix decodes in
-full. Anything else falls back to a
+(plug soundfile / av there), as do the remaining JPEG edges
+(arithmetic/hierarchical coding, 12-bit); the PNG feature matrix and
+both JPEG coding modes decode in full. Anything else falls back to a
 **deterministic byte-level fake** (length, boundary bytes, fixed-size
 chunk count) so the surrounding plumbing — schema, batching,
 partitioning, UDF signature — is real and oracle-checkable on
