@@ -804,6 +804,82 @@ def synth_jpeg(doc_id: int) -> bytes:
     )
 
 
+def synth_progressive_jpeg(doc_id: int) -> bytes:
+    """Real PROGRESSIVE JPEG (SOF2, three scans) with the same decoded
+    output as ``synth_jpeg`` for even doc_ids: the constant-129 image
+    whose DC-only coefficients arrive via DC-first (Al=1), DC-refine
+    (the appended bit of dc=8 is 0) and an AC-first scan of EOB codes.
+    Closed forms: dims as the baseline synth; n_bytes = 171 +
+    ceil((7 + 4(n_blocks-1))/8) + 2*ceil(n_blocks/8) (custom tables
+    make every scan's bit count exact; flushes pad with 0s so no
+    entropy byte can hit 0xFF and trigger stuffing)."""
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    n_blocks = (w // 8) * (h // 8)
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = (
+        b"\xff\xc2"  # SOF2: progressive
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 12)
+        + b"\x00"
+        + bytes(dc_counts)
+        + bytes(range(12))
+    )
+    ac_counts = [1] + [0] * 15
+    dht_ac = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x11"
+        + bytes(ac_counts)
+        + b"\x00"
+    )
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x01, ss, se, (ah << 4) | al])
+        )
+
+    def pack_bits(bits: list[int]) -> bytes:
+        while len(bits) % 8:
+            bits.append(0)  # zero padding: provably no 0xFF bytes
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+    # scan 1 — DC first at Al=1: first block diff = 8>>1 = 4 (cat 3,
+    # code 0011, magnitude 100), later blocks cat 0 (0000)
+    s1 = [0, 0, 1, 1, 1, 0, 0]
+    for _ in range(n_blocks - 1):
+        s1 += [0, 0, 0, 0]
+    # scan 2 — DC refine to Al=0: appended bit of dc=8 is 0, per block
+    s2 = [0] * n_blocks
+    # scan 3 — AC first band 1..63: the 1-bit EOB code per block
+    s3 = [0] * n_blocks
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht_dc
+        + dht_ac
+        + sos(0, 0, 0, 1)
+        + pack_bits(s1)
+        + sos(0, 0, 1, 0)
+        + pack_bits(s2)
+        + sos(1, 63, 0, 0)
+        + pack_bits(s3)
+        + b"\xff\xd9"
+    )
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Binary column + typed metadata from the documents table.
 
@@ -825,7 +901,9 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
         def one(d: int, t: str) -> bytes:
             m = d % 15
             if m == 0:
-                return synth_jpeg(d)
+                # even 15-multiples carry the PROGRESSIVE stream (same
+                # decoded output, different closed-form byte count)
+                return synth_progressive_jpeg(d) if d % 30 == 0 else synth_jpeg(d)
             if m == 1:
                 return synth_wav(d)
             if m == 3:

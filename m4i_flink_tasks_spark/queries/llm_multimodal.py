@@ -63,7 +63,12 @@ SELECT doc_id,
             WHEN 6 THEN 'ppm' WHEN 9 THEN 'png' WHEN 12 THEN 'gif'
             ELSE 'bytes' END AS codec,
        CASE doc_id % 15
-            WHEN 0 THEN 151 + (9 + 5 * (((1 + doc_id % 3) * (1 + doc_id % 2)) - 1) + 7) // 8
+            WHEN 0 THEN CASE WHEN doc_id % 30 = 0
+                 THEN 171
+                      + (7 + 4 * (((1 + doc_id % 3) * (1 + doc_id % 2)) - 1) + 7) // 8
+                      + 2 * ((((1 + doc_id % 3) * (1 + doc_id % 2)) + 7) // 8)
+                 ELSE 151 + (9 + 5 * (((1 + doc_id % 3) * (1 + doc_id % 2)) - 1) + 7) // 8
+                 END
             WHEN 1 THEN 44 + 2 * (64 + doc_id % 32)
             WHEN 4 THEN 60 + 12 * (1 + doc_id % 2)
             WHEN 3 THEN 54 + (4 + 4 * (doc_id % 2)) * 3 * (3 + doc_id % 5)

@@ -928,3 +928,24 @@ def test_demux_webm_rejects_overrunning_element():
     b[5] = 0x7F
     with pytest.raises(ValueError):
         demux_webm(bytes(b))
+
+
+def test_progressive_jpeg_rides_the_driver_checked_path():
+    """Even 15-multiples of doc_id carry a PROGRESSIVE stream through
+    attach_binary_payload; it must decode to the same features as the
+    baseline synth (same flat image) with its own closed-form byte
+    count — so the driver hash now exercises the multi-scan decoder."""
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        synth_jpeg,
+        synth_progressive_jpeg,
+    )
+
+    for d in (0, 30, 60, 450, 900):
+        prog = synth_progressive_jpeg(d)
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog  # SOF2, no SOF0
+        p, b = decode_media(prog, "image"), decode_media(synth_jpeg(d), "image")
+        assert (p["codec"], p["width"], p["height"], p["mean_value"]) == (
+            b["codec"], b["width"], b["height"], b["mean_value"],
+        )
+        n = (1 + d % 3) * (1 + d % 2)
+        assert len(prog) == 171 + (7 + 4 * (n - 1) + 7) // 8 + 2 * ((n + 7) // 8)
