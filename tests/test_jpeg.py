@@ -639,3 +639,78 @@ def test_synth_jpeg_closed_forms():
         assert out["codec"] == "jpeg"
         assert (out["width"], out["height"]) == (w, h)
         assert out["mean_value"] == (127 if doc_id % 2 else 129)  # exact
+
+
+def encode_gray_progressive_dri(img: np.ndarray, q=Q50, dri=2) -> bytes:
+    """Single-band progressive gray with restart markers: DC-first scan
+    only (Al=0 — full precision), RSTn every ``dri`` blocks, then one
+    AC-first scan, also restarted. Pins the decoder's progressive
+    restart handling (predictor + EOB-run resets, marker alignment)."""
+    h, w = img.shape
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    grids = _coeff_grids({1: (img.astype(float), bw_, bh_)}, q)
+    blocks = grids[1]
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(q[r, c]) for (r, c) in ZIGZAG
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+
+    def restarted(emit_block, n):
+        """Emit blocks with flush+RSTn every dri, NEW writer segments."""
+        chunks, rst = b"", 0
+        bw2, start = _BitWriter(), 0
+        for m in range(n):
+            if m and m % dri == 0:
+                bw2.flush()
+                chunks += bytes(bw2.out) + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw2 = _BitWriter()
+                start = m
+            emit_block(bw2, m, start)
+        bw2.flush()
+        return chunks + bytes(bw2.out)
+
+    # DC-first scan at Al=0 with per-segment predictor reset
+    dc_syms = []
+    for seg_start in range(0, len(blocks), dri):
+        seg = [(1, int(b_[0])) for b_ in blocks[seg_start : seg_start + dri]]
+        dc_syms += _emit_dc_first(None, seg, 0, None)
+    dc_codes, dc_body = _uniform_table(dc_syms)
+
+    def dc_block(bw2, m, seg_start):
+        if m == seg_start:
+            dc_block.pred = 0
+        v = int(blocks[m][0])
+        diff = v - dc_block.pred
+        dc_block.pred = v
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        bw2.put(code, ln)
+        if t:
+            bw2.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    out += _dht(0, 0, dc_body) + _sos([(1, 0, 0)], 0, 0, 0, 0)
+    out += restarted(dc_block, len(blocks))
+
+    ac_syms = _emit_ac_first(None, blocks, 1, 63, 0, None)
+    ac_codes, ac_body = _uniform_table(ac_syms)
+
+    def ac_block(bw2, m, _seg_start):
+        _emit_ac_first(bw2, [blocks[m]], 1, 63, 0, ac_codes)
+
+    out += _dht(1, 0, ac_body) + _sos([(1, 0, 0)], 1, 63, 0, 0)
+    out += restarted(ac_block, len(blocks))
+    return out + b"\xff\xd9"
+
+
+def test_progressive_with_restart_markers_equals_baseline():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 40), dtype=np.uint8)  # 10 blocks
+    base = decode_jpeg_baseline(encode_gray(img))
+    prog = decode_jpeg_baseline(encode_gray_progressive_dri(img, dri=3))
+    assert prog is not None
+    assert prog["mean_value"] == base["mean_value"]
