@@ -451,3 +451,31 @@ def test_container_demux_is_arrow_batched_only(plans):
     plan = plans["multimodal_container_demux"]
     assert "MapInPandas" in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_dsir_ratio_table_broadcasts(plans):
+    """DSIR's 2^12-row log-ratio relation must broadcast against the
+    corpus-sized feature stream; a sort-merge join here would shuffle
+    every hashed feature against a dimension table."""
+    plan = plans["dsir_importance_resampling"]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_is_single_token_shuffle(plans):
+    """The intersection self-join keys on the token; the vocab-size
+    relations rejoin broadcast. No nested loop may appear — the
+    |sources|-bounded posting lists are what keep the join linear."""
+    plan = plans["source_vocab_overlap"]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_shares_the_lsh_candidate_shape(plans):
+    """Containment scoring must keep the Jaccard pass's plan posture:
+    band-bucket equi-join candidates, no quadratic fallback."""
+    plan = plans["dedup_ngram_containment"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan  # the MinHash signature kernel
