@@ -137,7 +137,8 @@ _MODULES = (
 # dsir_importance_resampling, stream_semantic_dedup,
 # curriculum_shards, source_vocab_overlap, split_drift_psi,
 # dedup_ngram_containment, stream_media_ingest,
-# dedup_impact_report, language_confusion_matrix — all oracle-backed),
+# dedup_impact_report, language_confusion_matrix,
+# audio_spectral_profile — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

@@ -316,3 +316,63 @@ ORDER BY doc_id
 
 QUERIES["multimodal_container_demux"] = multimodal_container_demux
 ORACLES["multimodal_container_demux"] = CONTAINER_DEMUX_SQL
+
+
+def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level spectral features over binary audio payloads: WAV
+    decode + full-clip rFFT in one Arrow-batched map-only stage
+    (``operators/audio.py``). The synthesized tones put all energy at
+    DFT bins {0, N/4, N/2} with exact integer samples, so the REAL FFT
+    output is a closed form of doc_id the oracle states directly —
+    peak/centroid move with doc_id parity, so nothing is degenerate.
+    North-star scope (audio curation); the reference has no audio
+    surface."""
+    from ..operators.audio import attach_tone_payload, extract_spectral_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_spectral_features(attach_tone_payload(docs))
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak_hz", 4).alias("peak_hz"),
+        F.round("centroid_hz", 4).alias("centroid_hz"),
+        F.round("hf_power_ratio", 6).alias("hf_power_ratio"),
+        F.round("dc_level", 6).alias("dc_level"),
+    ).orderBy("doc_id")
+
+
+# Closed forms (see synth_tone_wav): with h4 = |X[N/4]|/N and
+# c2 = |X[N/2]|/N,
+#   rms         = sqrt(c0^2 + 2*h4^2 + c2^2)       (exact — integer mean)
+#   peak_hz     = rate/4 if h4 > c2 else rate/2    (ranges never tie)
+#   centroid_hz = (rate/4*h4 + rate/2*c2)/(h4+c2)  (DC excluded)
+#   hf_ratio    = c2^2/(h4^2 + c2^2)               (power above rate/4)
+AUDIO_SPECTRAL_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         8000 + (doc_id % 8) * 1000 AS rate,
+         64 + 16 * (doc_id % 4) AS n,
+         (doc_id % 41) - 20 AS c0,
+         CASE WHEN doc_id % 2 = 0 THEN 60 + doc_id % 40
+              ELSE 10 + doc_id % 35 END AS h4,
+         CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 35
+              ELSE 60 + doc_id % 40 END AS c2
+  FROM documents
+  WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       round(sqrt(1.0*c0*c0 + 2.0*h4*h4 + 1.0*c2*c2), 6) AS rms,
+       round(CASE WHEN h4 > c2 THEN rate/4.0 ELSE rate/2.0 END, 4) AS peak_hz,
+       round((rate/4.0*h4 + rate/2.0*c2) / (h4 + c2), 4) AS centroid_hz,
+       round(1.0*c2*c2 / (1.0*h4*h4 + 1.0*c2*c2), 6) AS hf_power_ratio,
+       round(abs(1.0*c0), 6) AS dc_level
+FROM p
+ORDER BY doc_id
+"""
+
+QUERIES["audio_spectral_profile"] = audio_spectral_profile
+ORACLES["audio_spectral_profile"] = AUDIO_SPECTRAL_SQL

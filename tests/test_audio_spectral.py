@@ -1,0 +1,101 @@
+"""Audio spectral operator (operators/audio.py): WAV sample access,
+FFT feature math vs closed forms, and the map-only plan shape."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from m4i_flink_tasks_spark.operators.audio import (
+    attach_tone_payload,
+    clip_spectral_features,
+    extract_spectral_features,
+    synth_tone_wav,
+    wav_pcm_samples,
+)
+
+
+def _wav(rate: int, data: bytes, n_ch: int = 1, bits: int = 16) -> bytes:
+    frame = n_ch * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_ch, rate, rate * frame, frame, bits
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_wav_pcm_samples_16bit_mono():
+    data = struct.pack("<4h", 100, -100, 50, -50)
+    rate, x = wav_pcm_samples(_wav(8000, data))
+    assert rate == 8000
+    assert x.tolist() == [100.0, -100.0, 50.0, -50.0]
+
+
+def test_wav_pcm_samples_8bit_centering():
+    # 8-bit WAV is unsigned; 128 must decode to 0
+    rate, x = wav_pcm_samples(_wav(8000, bytes([128, 228, 28, 128]), bits=8))
+    assert x.tolist() == [0.0, 100.0, -100.0, 0.0]
+
+
+def test_wav_pcm_samples_stereo_mixdown():
+    data = struct.pack("<8h", 100, 200, -100, -200, 0, 50, 10, 30)
+    _, x = wav_pcm_samples(_wav(8000, data, n_ch=2))
+    assert x.tolist() == [150.0, -150.0, 25.0, 20.0]
+
+
+def test_wav_pcm_samples_rejects_non_wav():
+    assert wav_pcm_samples(b"not a wav at all, nope") is None
+    assert wav_pcm_samples(b"") is None
+
+
+def test_tone_features_match_closed_form():
+    for doc_id in (1, 4, 7, 10, 13, 31, 97, 1000003):
+        rate, x = wav_pcm_samples(synth_tone_wav(doc_id))
+        feats = clip_spectral_features(rate, x)
+        c0 = (doc_id % 41) - 20
+        a, b = 60 + doc_id % 40, 10 + doc_id % 35
+        h4, c2 = (a, b) if doc_id % 2 == 0 else (b, a)
+        assert feats["rms"] == math.sqrt(c0 * c0 + 2 * h4 * h4 + c2 * c2)
+        want_peak = rate / 4.0 if h4 > c2 else rate / 2.0
+        assert abs(feats["peak_hz"] - want_peak) < 1e-6
+        want_centroid = (rate / 4.0 * h4 + rate / 2.0 * c2) / (h4 + c2)
+        assert abs(feats["centroid_hz"] - want_centroid) < 1e-6
+        want_hf = c2 * c2 / (h4 * h4 + c2 * c2)
+        assert abs(feats["hf_power_ratio"] - want_hf) < 1e-9
+        assert abs(feats["dc_level"] - abs(c0)) < 1e-9
+
+
+def test_spectrum_is_sparse():
+    # all non-signal bins must be numerically ~zero (integer periods,
+    # rectangular window -> no leakage)
+    rate, x = wav_pcm_samples(synth_tone_wav(42))
+    mag = np.abs(np.fft.rfft(x))
+    n = x.size
+    signal_bins = {0, n // 4, n // 2}
+    noise = [m for k, m in enumerate(mag) if k not in signal_bins]
+    assert max(noise) < 1e-8
+
+
+def test_degenerate_clip():
+    feats = clip_spectral_features(8000, np.array([1.0, 2.0]))
+    assert feats["rms"] == 0.0 and feats["peak_hz"] == 0.0
+
+
+def test_extract_is_map_only(spark, sf_dir):
+    from m4i_flink_tasks_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = extract_spectral_features(attach_tone_payload(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # decode+FFT must not shuffle
+    row = df.filter("doc_id = 1").collect()[0]
+    assert row.sample_rate == 9000 and row.n_samples == 80
