@@ -811,6 +811,25 @@ def _stream_hll_sql() -> str:
     return SK["approx_distinct_hll"]
 
 
+def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch (streaming/countmin_state.py):
+    per-batch partial counters fold into keyed state with an
+    elementwise sum — counter addition is a commutative monoid, so the
+    streamed sketch (and every probe off it) equals the batch
+    approx_freq_countmin for any batch split."""
+    from ..streaming.countmin_state import run_stream_countmin_freq
+
+    return run_stream_countmin_freq(
+        spark, sf_dir, _workdir("countmin_freq")
+    )
+
+
+def _stream_countmin_sql() -> str:
+    from .sketches import ORACLES as SK
+
+    return SK["approx_freq_countmin"]
+
+
 def stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming span-level exact dedup (streaming/span_state.py):
     per-(window-hash, doc) counts and per-doc totals maintained as
@@ -1166,6 +1185,7 @@ QUERIES = {
     "stream_quantile_sample": stream_quantile_sample,
     "stream_duplicate_spans": stream_duplicate_spans,
     "stream_hll_distinct": stream_hll_distinct,
+    "stream_countmin_freq": stream_countmin_freq,
     "stream_weighted_sample": stream_weighted_sample,
 }
 
@@ -1192,5 +1212,6 @@ ORACLES = {
     "stream_quantile_sample": _stream_quantile_sample_sql(),
     "stream_duplicate_spans": _stream_duplicate_spans_sql(),
     "stream_hll_distinct": _stream_hll_sql(),
+    "stream_countmin_freq": _stream_countmin_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
 }

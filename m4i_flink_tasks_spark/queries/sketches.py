@@ -539,3 +539,95 @@ QUERIES["approx_distinct_hll"] = approx_distinct_hll
 ORACLES["approx_distinct_hll"] = _hll_sql(
     "orders", "o_orderpriority", "'hll:' || o_custkey::VARCHAR"
 )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (frequency estimation)
+# --------------------------------------------------------------------------
+
+_CM_D = 4   # hash rows
+_CM_W = 64  # counters per row — deliberately small so collisions (and
+            # the CMS overestimate property) are visible at test SFs
+
+
+def _cm_col(d, key):
+    """Counter column for hash row ``d``: the cross-engine scrambled
+    hash of 'cm<d>:<key>' mod the row width."""
+    return T.scrambled_hash(
+        F.concat(F.lit("cm"), d.cast("string"), F.lit(":"), key)
+    ) % _CM_W
+
+
+def approx_freq_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order frequency per customer via a count-min sketch (Cormode &
+    Muthukrishnan 2005): D x W counters, point estimate = min over the
+    D hashed cells, never an underestimate.
+
+    Scale shape: the sketch build is ONE map-side-combinable groupBy
+    over (d, col) — the shuffle carries at most D*W = 256 rows per
+    partition regardless of input size, and the finished sketch is
+    dimension-sized, so the probe join broadcasts it. The exact counts
+    beside the estimates are the report's verification column (and
+    what a 100 TB run would NOT compute — it would read estimates
+    alone off the 256-cell sketch)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(F.col("o_custkey").cast("string").alias("k"))
+    ds = F.sequence(F.lit(0), F.lit(_CM_D - 1))
+    counters = (
+        rows.withColumn("d", F.explode(ds))
+        .select("d", _cm_col(F.col("d"), F.col("k")).alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = rows.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "k").limit(10)
+    probe = top.withColumn("d", F.explode(ds)).withColumn(
+        "col", _cm_col(F.col("d"), F.col("k"))
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["d", "col"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("k").cast("long").alias("o_custkey"),
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy(F.desc("exact_cnt"), "o_custkey")
+
+
+def _cm_col_sql(d_expr: str, key_expr: str) -> str:
+    inner = "'cm' || " + d_expr + " || ':' || " + key_expr
+    return f"({_scrambled_hash_sql(inner)}) % {_CM_W}"
+
+
+COUNTMIN_SQL = f"""
+WITH rows_ AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+ds AS (SELECT d FROM range({_CM_D}) t(d)),
+cells AS (
+    SELECT ds.d, {_cm_col_sql('ds.d', 'k')} AS col
+    FROM rows_ CROSS JOIN ds
+),
+counters AS (SELECT d, col, count(*) AS c FROM cells GROUP BY d, col),
+exact AS (SELECT k, count(*) AS exact_cnt FROM rows_ GROUP BY k),
+top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, k LIMIT 10),
+probe AS (
+    SELECT top.k, top.exact_cnt, ds.d, {_cm_col_sql('ds.d', 'top.k')} AS col
+    FROM top CROSS JOIN ds
+),
+est AS (
+    SELECT k, exact_cnt, min(c) AS cm_estimate
+    FROM probe JOIN counters USING (d, col)
+    GROUP BY k, exact_cnt
+)
+SELECT k::BIGINT AS o_custkey,
+       exact_cnt,
+       cm_estimate,
+       cm_estimate - exact_cnt AS overestimate
+FROM est
+ORDER BY exact_cnt DESC, o_custkey
+"""
+
+QUERIES["approx_freq_countmin"] = approx_freq_countmin
+ORACLES["approx_freq_countmin"] = COUNTMIN_SQL
