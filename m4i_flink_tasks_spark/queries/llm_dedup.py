@@ -543,3 +543,72 @@ ORDER BY cluster_size
 
 QUERIES["dedup_impact_report"] = dedup_impact_report
 ORACLES["dedup_impact_report"] = DEDUP_IMPACT_SQL
+
+
+def image_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via average hash (operators/image_hash.py):
+    REAL 24-bit BMP decode -> 8x8 mean-pooled aHash in one Arrow-batched
+    map-only stage, then duplicate grouping by hash equality (one
+    shuffle on the 16-byte hash key — never pixels). The patterned
+    synth repeats every 40 doc_ids, so duplicate groups exist by
+    construction; the oracle RECONSTRUCTS every pixel independently and
+    recomputes the hash with the same integer arithmetic, so any
+    raster-walk bug (row order, padding, channel order, cell bounds)
+    flips bits and breaks the driver hash."""
+    from ..operators.image_hash import (
+        attach_pattern_payload,
+        extract_ahash,
+        perceptual_dup_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = extract_ahash(attach_pattern_payload(docs))
+    return perceptual_dup_groups(hashed).select(
+        "doc_id", "ahash_hi", "ahash_lo", "group_size", "keep_doc_id",
+        "is_dup",
+    ).orderBy("doc_id")
+
+
+# Pixel-level reconstruction: same pattern, same integer bit rule
+# (cell mean > image mean cleared of division: 64*cell_sum > total).
+IMAGE_AHASH_SQL = """
+WITH img AS (
+    SELECT doc_id, doc_id % 40 AS g FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+    SELECT doc_id,
+           x.x AS x, y.y AS y,
+           ((1 + g % 7) * x.x + (1 + g % 5) * y.y + (g * 37) % 256) % 256 AS v
+    FROM img CROSS JOIN range(16) x(x) CROSS JOIN range(16) y(y)
+),
+tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
+cells AS (
+    SELECT doc_id, y // 2 AS i, x // 2 AS j, sum(v) AS cs
+    FROM px GROUP BY doc_id, y // 2, x // 2
+),
+bits AS (
+    SELECT c.doc_id, i, j,
+           CASE WHEN 64 * cs > total THEN 1 ELSE 0 END AS bit
+    FROM cells c JOIN tot USING (doc_id)
+),
+hashes AS (
+    SELECT doc_id,
+           sum(CASE WHEN i * 8 + j >= 32
+                    THEN bit::BIGINT << (i * 8 + j - 32) ELSE 0 END)::BIGINT
+               AS ahash_hi,
+           sum(CASE WHEN i * 8 + j < 32
+                    THEN bit::BIGINT << (i * 8 + j) ELSE 0 END)::BIGINT
+               AS ahash_lo
+    FROM bits GROUP BY doc_id
+)
+SELECT doc_id, ahash_hi, ahash_lo,
+       count(*) OVER w AS group_size,
+       min(doc_id) OVER w AS keep_doc_id,
+       doc_id <> min(doc_id) OVER w AS is_dup
+FROM hashes
+WINDOW w AS (PARTITION BY ahash_hi, ahash_lo)
+ORDER BY doc_id
+"""
+
+QUERIES["image_perceptual_dedup"] = image_perceptual_dedup
+ORACLES["image_perceptual_dedup"] = IMAGE_AHASH_SQL

@@ -1,0 +1,108 @@
+"""Perceptual image hash (operators/image_hash.py): BMP raster walk,
+aHash bit rule, duplicate grouping, plan shape."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from m4i_flink_tasks_spark.operators.image_hash import (
+    ahash_halves,
+    attach_pattern_payload,
+    bmp_gray_raster,
+    extract_ahash,
+    perceptual_dup_groups,
+    synth_pattern_bmp,
+)
+
+
+def _bmp(w: int, h: int, rows_bottom_up: list[list[tuple]]) -> bytes:
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in rows_bottom_up:
+        line = bytearray()
+        for bgr in row:
+            line += bytes(bgr)
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0
+        )
+    )
+    return hdr + bytes(raster)
+
+
+def test_raster_flips_bottom_up_and_honors_padding():
+    # 3x2: bottom row = 10s, top row = 200s; stride pads 3*3=9 -> 12
+    img = _bmp(
+        3, 2,
+        [[(10, 10, 10)] * 3, [(200, 200, 200)] * 3],
+    )
+    gray = bmp_gray_raster(img)
+    assert gray.shape == (2, 3)
+    assert gray[0].tolist() == [200, 200, 200]  # top-down after flip
+    assert gray[1].tolist() == [10, 10, 10]
+
+
+def test_raster_channel_mean_floors():
+    img = _bmp(1, 1, [[(1, 2, 3)]])
+    assert bmp_gray_raster(img)[0, 0] == 2  # (1+2+3)//3
+
+
+def test_raster_rejects_garbage():
+    assert bmp_gray_raster(b"PNG not a bmp") is None
+    assert bmp_gray_raster(b"") is None
+
+
+def test_ahash_bit_rule_exact():
+    # left half 0, right half 255: bits set exactly on columns 4..7
+    gray = np.zeros((16, 16), dtype=np.int64)
+    gray[:, 8:] = 255
+    w, h, hi, lo = ahash_halves(gray)
+    assert (w, h) == (16, 16)
+    bits = (hi << 32) | lo
+    for i in range(8):
+        for j in range(8):
+            assert ((bits >> (i * 8 + j)) & 1) == (1 if j >= 4 else 0)
+
+
+def test_ahash_constant_image_is_zero():
+    # no cell strictly exceeds the mean -> all bits clear
+    gray = np.full((16, 16), 77, dtype=np.int64)
+    assert ahash_halves(gray)[2:] == (0, 0)
+
+
+def test_synth_decodes_to_pattern():
+    gray = bmp_gray_raster(synth_pattern_bmp(123))
+    g = 123 % 40
+    a, b, c = 1 + g % 7, 1 + g % 5, (g * 37) % 256
+    for y in (0, 7, 15):
+        for x in (0, 3, 15):
+            assert gray[y, x] == (a * x + b * y + c) % 256
+
+
+def test_duplicate_groups_exist_and_are_consistent(spark, sf_dir):
+    from m4i_flink_tasks_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = extract_ahash(attach_pattern_payload(docs))
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # decode+hash must not shuffle
+
+    out = perceptual_dup_groups(hashed).collect()
+    assert out
+    # pattern repeats every 40 ids -> multi-member groups at any SF
+    assert any(r.group_size > 1 for r in out)
+    by_hash: dict = {}
+    for r in out:
+        by_hash.setdefault((r.ahash_hi, r.ahash_lo), []).append(r)
+    for rows in by_hash.values():
+        keep = min(r.doc_id for r in rows)
+        for r in rows:
+            assert r.keep_doc_id == keep
+            assert r.group_size == len(rows)
+            assert r.is_dup == (r.doc_id != keep)
