@@ -139,7 +139,8 @@ _MODULES = (
 # dedup_ngram_containment, stream_media_ingest,
 # dedup_impact_report, language_confusion_matrix,
 # audio_spectral_profile, approx_freq_countmin,
-# stream_countmin_freq, image_perceptual_dedup — all oracle-backed),
+# stream_countmin_freq, image_perceptual_dedup,
+# image_perceptual_neardup — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

@@ -612,3 +612,111 @@ ORDER BY doc_id
 
 QUERIES["image_perceptual_dedup"] = image_perceptual_dedup
 ORACLES["image_perceptual_dedup"] = IMAGE_AHASH_SQL
+
+
+_HAMMING_T = 12  # near-dup threshold (of 64 bits)
+
+
+def image_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup pairs via Hamming-banded LSH over aHash:
+    the 64-bit hash splits into four 16-bit bands; hash pairs sharing
+    any band become candidates (the image-domain mirror of the MinHash
+    band join) and survive if 1 <= hamming <= 12 — distance 0 is the
+    exact-dup surface `image_perceptual_dedup` already owns.
+
+    Scale shape: docs collapse to DISTINCT hashes first (one tiny
+    aggregate), so the band self-join runs on the collapsed hash
+    dimension — candidate generation never touches doc rows or pixels,
+    and the LSH recall/precision trade is honest: the oracle mirrors
+    band candidacy, so a pair the bands miss is absent on BOTH sides."""
+    from ..operators.image_hash import attach_pattern_payload, extract_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = extract_ahash(attach_pattern_payload(docs))
+    groups = hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count("*").alias("n_docs")
+    )
+    band_val = (
+        F.when(F.col("band_id") == 0, F.col("ahash_lo").bitwiseAND(65535))
+        .when(
+            F.col("band_id") == 1,
+            F.shiftright("ahash_lo", 16).bitwiseAND(65535),
+        )
+        .when(F.col("band_id") == 2, F.col("ahash_hi").bitwiseAND(65535))
+        .otherwise(F.shiftright("ahash_hi", 16).bitwiseAND(65535))
+    )
+    bands = groups.withColumn(
+        "band_id", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).withColumn("band_val", band_val)
+    a, b = bands.alias("a"), bands.alias("b")
+    lex_lt = (F.col("a.ahash_hi") < F.col("b.ahash_hi")) | (
+        (F.col("a.ahash_hi") == F.col("b.ahash_hi"))
+        & (F.col("a.ahash_lo") < F.col("b.ahash_lo"))
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(lex_lt)
+        .select(
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.n_docs").alias("n_docs_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        cand.withColumn("hamming_dist", dist.cast("int"))
+        .filter(
+            (F.col("hamming_dist") >= 1)
+            & (F.col("hamming_dist") <= _HAMMING_T)
+        )
+        .orderBy("hi_a", "lo_a", "hi_b", "lo_b")
+    )
+
+
+_AHASH_HASHES_CORE = IMAGE_AHASH_SQL.split("SELECT doc_id, ahash_hi, ahash_lo,")[0].rstrip().rstrip(")") + ")"
+
+IMAGE_NEARDUP_SQL = (
+    _AHASH_HASHES_CORE
+    + f""",
+groups AS (
+    SELECT ahash_hi, ahash_lo, count(*) AS n_docs
+    FROM hashes GROUP BY ahash_hi, ahash_lo
+),
+bands AS (
+    SELECT ahash_hi, ahash_lo, n_docs, b.band_id,
+           CASE b.band_id
+               WHEN 0 THEN ahash_lo & 65535
+               WHEN 1 THEN (ahash_lo >> 16) & 65535
+               WHEN 2 THEN ahash_hi & 65535
+               ELSE (ahash_hi >> 16) & 65535
+           END AS band_val
+    FROM groups CROSS JOIN range(4) b(band_id)
+),
+cand AS (
+    SELECT DISTINCT
+           a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
+           b.ahash_hi AS hi_b, b.ahash_lo AS lo_b,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND (a.ahash_hi < b.ahash_hi
+          OR (a.ahash_hi = b.ahash_hi AND a.ahash_lo < b.ahash_lo))
+)
+SELECT hi_a, lo_a, hi_b, lo_b, n_docs_a, n_docs_b,
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INT
+           AS hamming_dist
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      BETWEEN 1 AND {_HAMMING_T}
+ORDER BY hi_a, lo_a, hi_b, lo_b
+"""
+)
+
+QUERIES["image_perceptual_neardup"] = image_perceptual_neardup
+ORACLES["image_perceptual_neardup"] = IMAGE_NEARDUP_SQL

@@ -106,3 +106,57 @@ def test_duplicate_groups_exist_and_are_consistent(spark, sf_dir):
             assert r.keep_doc_id == keep
             assert r.group_size == len(rows)
             assert r.is_dup == (r.doc_id != keep)
+
+
+def test_neardup_pairs_band_candidacy_and_distance(spark, sf_dir):
+    """Every emitted pair shares >=1 of the four 16-bit bands AND has
+    1 <= hamming <= 12; and every band-sharing near pair is emitted
+    (parity with the brute-force recomputation)."""
+    from m4i_flink_tasks_spark.queries.llm_dedup import (
+        image_perceptual_neardup,
+    )
+
+    rows = image_perceptual_neardup(spark, sf_dir).collect()
+    assert rows  # the 40-seed pattern guarantees near pairs
+
+    def bands(hi, lo):
+        return (
+            lo & 0xFFFF, (lo >> 16) & 0xFFFF,
+            hi & 0xFFFF, (hi >> 16) & 0xFFFF,
+        )
+
+    for r in rows:
+        d = bin(r.hi_a ^ r.hi_b).count("1") + bin(r.lo_a ^ r.lo_b).count("1")
+        assert d == r.hamming_dist and 1 <= d <= 12
+        assert any(
+            x == y
+            for x, y in zip(bands(r.hi_a, r.lo_a), bands(r.hi_b, r.lo_b))
+        )
+
+    # brute-force parity over the distinct-hash dimension
+    from m4i_flink_tasks_spark.operators.image_hash import (
+        attach_pattern_payload,
+        extract_ahash,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = {
+        (r.ahash_hi, r.ahash_lo)
+        for r in extract_ahash(attach_pattern_payload(docs))
+        .select("ahash_hi", "ahash_lo")
+        .distinct()
+        .collect()
+    }
+    import itertools
+
+    expect = set()
+    for (hia, loa), (hib, lob) in itertools.combinations(sorted(hs), 2):
+        d = bin(hia ^ hib).count("1") + bin(loa ^ lob).count("1")
+        share = any(
+            x == y for x, y in zip(bands(hia, loa), bands(hib, lob))
+        )
+        if share and 1 <= d <= 12:
+            expect.add((hia, loa, hib, lob))
+    got = {(r.hi_a, r.lo_a, r.hi_b, r.lo_b) for r in rows}
+    assert got == expect
