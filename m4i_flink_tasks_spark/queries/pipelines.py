@@ -830,6 +830,24 @@ def _stream_countmin_sql() -> str:
     return SK["approx_freq_countmin"]
 
 
+def stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual image dedup (streaming/image_dedup.py):
+    per-batch aHash group facts fold into hash-keyed state (SUM counts,
+    MIN survivor — both monoids), so the streamed verdicts equal the
+    batch image_perceptual_dedup for any batch split."""
+    from ..streaming.image_dedup import run_stream_image_dedup
+
+    return run_stream_image_dedup(
+        spark, sf_dir, _workdir("image_dedup")
+    )
+
+
+def _stream_image_dedup_sql() -> str:
+    from .llm_dedup import ORACLES as DD
+
+    return DD["image_perceptual_dedup"]
+
+
 def stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming span-level exact dedup (streaming/span_state.py):
     per-(window-hash, doc) counts and per-doc totals maintained as
@@ -1186,6 +1204,7 @@ QUERIES = {
     "stream_duplicate_spans": stream_duplicate_spans,
     "stream_hll_distinct": stream_hll_distinct,
     "stream_countmin_freq": stream_countmin_freq,
+    "stream_image_dedup": stream_image_dedup,
     "stream_weighted_sample": stream_weighted_sample,
 }
 
@@ -1213,5 +1232,6 @@ ORACLES = {
     "stream_duplicate_spans": _stream_duplicate_spans_sql(),
     "stream_hll_distinct": _stream_hll_sql(),
     "stream_countmin_freq": _stream_countmin_sql(),
+    "stream_image_dedup": _stream_image_dedup_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
 }

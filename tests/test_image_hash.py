@@ -160,3 +160,62 @@ def test_neardup_pairs_band_candidacy_and_distance(spark, sf_dir):
             expect.add((hia, loa, hib, lob))
     got = {(r.hi_a, r.lo_a, r.hi_b, r.lo_b) for r in rows}
     assert got == expect
+
+
+def test_stream_image_dedup_equals_batch(spark, sf_dir):
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.llm_dedup import image_perceptual_dedup
+    from m4i_flink_tasks_spark.streaming.image_dedup import (
+        run_stream_image_dedup,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_imgdedup_")
+    got = sorted(
+        map(tuple, run_stream_image_dedup(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, image_perceptual_dedup(spark, sf_dir).collect())
+    )
+    assert got == exp and got
+
+
+def test_stream_image_dedup_mid_stream_restart(spark, sf_dir):
+    """SUM/MIN group state + the checkpoint make a restart over a
+    partially-processed stream land on the identical groups."""
+    import os
+    import shutil
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.llm_dedup import image_perceptual_dedup
+    from m4i_flink_tasks_spark.streaming.image_dedup import (
+        run_stream_image_dedup,
+        stage_images,
+    )
+
+    import glob as _glob
+
+    wd = tempfile.mkdtemp(prefix="m4i_imgdedup_restart_")
+    staging = stage_images(
+        spark, sf_dir, os.path.join(wd, "staging_images"), 4
+    )
+    parts = sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    hidden = tempfile.mkdtemp(prefix="m4i_imgdedup_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    partial = run_stream_image_dedup(spark, sf_dir, wd)
+    assert partial.count() > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    final = sorted(
+        map(tuple, run_stream_image_dedup(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, image_perceptual_dedup(spark, sf_dir).collect())
+    )
+    assert final == exp

@@ -479,3 +479,40 @@ def test_containment_shares_the_lsh_candidate_shape(plans):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan  # the MinHash signature kernel
+
+
+def test_audio_spectral_is_map_only_arrow(plans):
+    """Decode + rFFT must stay in ONE Arrow-batched map stage; the
+    only exchange allowed is the final presentation sort."""
+    plan = plans["audio_spectral_profile"]
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan  # no join anywhere — pure map + sort
+
+
+def test_countmin_probe_broadcasts_the_sketch(plans):
+    """The D*W counter matrix is dimension-sized; probing it must be
+    a broadcast join, and the sketch build must map-side combine
+    (partial aggregate before the exchange)."""
+    plan = plans["approx_freq_countmin"]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the build
+
+
+def test_image_ahash_decode_never_shuffles_pixels(plans):
+    """aHash decode+hash is Arrow-batched map-only; the dup grouping
+    shuffles 16-byte hash keys, never payloads."""
+    plan = plans["image_perceptual_dedup"]
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_image_neardup_band_join_on_collapsed_hashes(plans):
+    """The band self-join must be an equi-join (hash-partitioned or
+    broadcast — the collapsed hash dimension is tiny), never a
+    nested-loop or cartesian candidate generator."""
+    plan = plans["image_perceptual_neardup"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
