@@ -140,7 +140,8 @@ _MODULES = (
 # dedup_impact_report, language_confusion_matrix,
 # audio_spectral_profile, approx_freq_countmin,
 # stream_countmin_freq, image_perceptual_dedup,
-# image_perceptual_neardup, stream_image_dedup — all oracle-backed),
+# image_perceptual_neardup, stream_image_dedup,
+# document_chunking — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

@@ -465,3 +465,107 @@ ORDER BY c.lang, c.predicted_lang
 
 QUERIES["language_confusion_matrix"] = language_confusion_matrix
 ORACLES["language_confusion_matrix"] = LANGUAGE_CONFUSION_SQL
+
+
+_CHUNK_C = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining prep step
+    that turns documents into overlapping token windows. Chunk count
+    k = 1 if n <= C else 1 + ceil((n-C)/S); chunk i covers tokens
+    [i*S, min(i*S+C, n)), so every token is covered and consecutive
+    chunks overlap by C-S tokens.
+
+    Everything is JVM-native array arithmetic (split / sequence /
+    slice / concat_ws + the cross-engine polynomial hash as the chunk
+    fingerprint): one explode, no Python, no shuffle except the
+    presentation sort — at 100 TB this is a pure map fan-out whose
+    output-to-input row ratio is n/S."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    k = F.when(F.col("n_tokens") <= _CHUNK_C, F.lit(1)).otherwise(
+        (
+            (F.col("n_tokens") - _CHUNK_C + _CHUNK_S - 1)
+            / F.lit(_CHUNK_S)
+        ).cast("long")
+        + 1
+    )
+    chunks = (
+        base.withColumn("n_chunks", k)
+        .withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+        )
+        .withColumn("start_token", F.col("chunk_id") * _CHUNK_S)
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(
+                F.lit(_CHUNK_C), F.col("n_tokens") - F.col("start_token")
+            ),
+        )
+        .withColumn(
+            "chunk_hash",
+            T.poly_hash(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"),
+                        F.col("start_token") + 1,
+                        F.lit(_CHUNK_C),
+                    ),
+                )
+            ),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        "chunk_hash",
+    ).orderBy("doc_id", "chunk_id")
+
+
+_POLY_SQL = r"""list_reduce(list_prepend(0::BIGINT,
+    list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)),
+    (acc, ch) -> (acc * 31 + ch) % 1000000007)"""
+
+DOCUMENT_CHUNKING_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+counted AS (
+    SELECT doc_id, toks, n_tokens,
+           CASE WHEN n_tokens <= {_CHUNK_C} THEN 1
+                ELSE (n_tokens - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+           END AS n_chunks
+    FROM base
+),
+chunks AS (
+    SELECT doc_id, toks, n_tokens, n_chunks,
+           u.chunk_id,
+           u.chunk_id * {_CHUNK_S} AS start_token
+    FROM counted, LATERAL (
+        SELECT unnest(range(n_chunks)) AS chunk_id
+    ) u
+)
+SELECT doc_id,
+       chunk_id::INT AS chunk_id,
+       start_token::INT AS start_token,
+       least({_CHUNK_C}, n_tokens - start_token)::INT AS n_chunk_tokens,
+       n_chunks::INT AS n_chunks,
+       {_POLY_SQL.format(expr=f"array_to_string(list_slice(toks, start_token + 1, least(start_token + {_CHUNK_C}, n_tokens)), ' ')")} AS chunk_hash
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["document_chunking"] = document_chunking
+ORACLES["document_chunking"] = DOCUMENT_CHUNKING_SQL
