@@ -848,6 +848,25 @@ def _stream_image_dedup_sql() -> str:
     return DD["image_perceptual_dedup"]
 
 
+def stream_audio_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming audio-analysis catalog (streaming/audio_ingest.py):
+    per-batch Arrow decode + rFFT into an insert-only doc_id-keyed
+    store; feature extraction is a pure row function, so the catalog
+    is batch-split invariant and the batch audio_spectral_profile
+    oracle checks the stream."""
+    from ..streaming.audio_ingest import run_stream_audio_ingest
+
+    return run_stream_audio_ingest(
+        spark, sf_dir, _workdir("audio_ingest")
+    )
+
+
+def _stream_audio_sql() -> str:
+    from .llm_multimodal import ORACLES as MM
+
+    return MM["audio_spectral_profile"]
+
+
 def stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming span-level exact dedup (streaming/span_state.py):
     per-(window-hash, doc) counts and per-doc totals maintained as
@@ -1205,6 +1224,7 @@ QUERIES = {
     "stream_hll_distinct": stream_hll_distinct,
     "stream_countmin_freq": stream_countmin_freq,
     "stream_image_dedup": stream_image_dedup,
+    "stream_audio_ingest": stream_audio_ingest,
     "stream_weighted_sample": stream_weighted_sample,
 }
 
@@ -1233,5 +1253,6 @@ ORACLES = {
     "stream_hll_distinct": _stream_hll_sql(),
     "stream_countmin_freq": _stream_countmin_sql(),
     "stream_image_dedup": _stream_image_dedup_sql(),
+    "stream_audio_ingest": _stream_audio_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
 }

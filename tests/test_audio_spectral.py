@@ -99,3 +99,65 @@ def test_extract_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan  # decode+FFT must not shuffle
     row = df.filter("doc_id = 1").collect()[0]
     assert row.sample_rate == 9000 and row.n_samples == 80
+
+
+def test_stream_audio_ingest_equals_batch(spark, sf_dir):
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.llm_multimodal import (
+        audio_spectral_profile,
+    )
+    from m4i_flink_tasks_spark.streaming.audio_ingest import (
+        run_stream_audio_ingest,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_audio_ingest_")
+    got = sorted(
+        map(tuple, run_stream_audio_ingest(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, audio_spectral_profile(spark, sf_dir).collect())
+    )
+    assert got == exp and got
+
+
+def test_stream_audio_ingest_mid_stream_restart(spark, sf_dir):
+    """Insert-only catalog + checkpoint: a restart over a partially
+    processed stream lands on the identical catalog."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.llm_multimodal import (
+        audio_spectral_profile,
+    )
+    from m4i_flink_tasks_spark.streaming.audio_ingest import (
+        run_stream_audio_ingest,
+        stage_audio,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_audio_restart_")
+    staging = stage_audio(
+        spark, sf_dir, os.path.join(wd, "staging_audio"), 4
+    )
+    parts = sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    hidden = tempfile.mkdtemp(prefix="m4i_audio_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    partial = run_stream_audio_ingest(spark, sf_dir, wd)
+    assert partial.count() > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    final = sorted(
+        map(tuple, run_stream_audio_ingest(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, audio_spectral_profile(spark, sf_dir).collect())
+    )
+    assert final == exp
