@@ -141,7 +141,8 @@ _MODULES = (
 # audio_spectral_profile, approx_freq_countmin,
 # stream_countmin_freq, image_perceptual_dedup,
 # image_perceptual_neardup, stream_image_dedup,
-# document_chunking, stream_audio_ingest — all oracle-backed),
+# document_chunking, stream_audio_ingest,
+# length_bucketed_batching — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

@@ -1072,3 +1072,95 @@ ORDER BY split, bucket
 
 QUERIES["split_drift_psi"] = split_drift_psi
 ORACLES["split_drift_psi"] = _split_drift_sql()
+
+
+# --------------------------------------------------------------------------
+# length-bucketed batching (padding-waste report)
+# --------------------------------------------------------------------------
+
+_BATCH_B = 8  # docs per training batch
+
+
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch scheduling — the training-efficiency op
+    that groups similar-length sequences so per-batch padding (to the
+    batch max) wastes the least compute. Buckets are power-of-two
+    length bands; within a bucket docs order by (n_tokens, doc_id) and
+    chunk into batches of B=8; per batch the report states max/sum
+    tokens and the padding-waste ratio 1 - sum/(n*max).
+
+    Scale shape: one scan computes lengths; the only shuffle is the
+    per-bucket window (partitioned by the bucket key, so each band
+    sorts independently — at cluster scale each band is its own
+    parallel sort, and a production scheduler would batch per
+    partition within the band rather than globally; the semantics here
+    are the deterministic global variant the oracle can state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(T.tokens(F.col("text")))
+    base = docs.select("doc_id", n_tok.alias("n_tokens"))
+    bucket = F.when(F.col("n_tokens") < 16, F.lit(16)) \
+        .when(F.col("n_tokens") < 32, F.lit(32)) \
+        .when(F.col("n_tokens") < 64, F.lit(64)) \
+        .when(F.col("n_tokens") < 128, F.lit(128)) \
+        .when(F.col("n_tokens") < 256, F.lit(256)) \
+        .otherwise(F.lit(0))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    ranked = base.withColumn("bucket", bucket).withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / _BATCH_B).cast("long")
+    )
+    return (
+        ranked.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "waste_ratio",
+            F.round(
+                1
+                - F.col("sum_tokens")
+                / (F.col("n_docs") * F.col("max_tokens")),
+                6,
+            ),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+LENGTH_BATCHING_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 16 THEN 16
+                WHEN n_tokens < 32 THEN 32
+                WHEN n_tokens < 64 THEN 64
+                WHEN n_tokens < 128 THEN 128
+                WHEN n_tokens < 256 THEN 256
+                ELSE 0 END AS bucket
+    FROM base
+),
+ranked AS (
+    SELECT bucket, n_tokens,
+           (row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_tokens, doc_id) - 1)
+               // {_BATCH_B} AS batch_id
+    FROM bucketed
+)
+SELECT bucket, batch_id,
+       count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       round(1 - sum(n_tokens)::DOUBLE
+                 / (count(*) * max(n_tokens)), 6) AS waste_ratio
+FROM ranked
+GROUP BY bucket, batch_id
+ORDER BY bucket, batch_id
+"""
+
+QUERIES["length_bucketed_batching"] = length_bucketed_batching
+ORACLES["length_bucketed_batching"] = LENGTH_BATCHING_SQL

@@ -33,3 +33,34 @@ def test_chunking_invariants(spark, sf_dir):
                 assert b.start_token - a.start_token == _CHUNK_S
                 assert a.start_token + _CHUNK_C > b.start_token
     assert multi > 0  # corpus has docs long enough to need chunking
+
+
+def test_length_batching_invariants(spark, sf_dir):
+    """Each batch holds <= B docs, waste is in [0, 1), only the last
+    batch of a bucket may be short, and total docs reconcile."""
+    from m4i_flink_tasks_spark.queries.llm_corpus import (
+        _BATCH_B,
+        length_bucketed_batching,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    rows = length_bucketed_batching(spark, sf_dir).collect()
+    assert rows
+    total = 0
+    by_bucket: dict = {}
+    for r in rows:
+        assert 1 <= r.n_docs <= _BATCH_B
+        assert 0 <= r.waste_ratio < 1
+        assert r.sum_tokens <= r.n_docs * r.max_tokens
+        total += r.n_docs
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for batches in by_bucket.values():
+        batches.sort(key=lambda r: r.batch_id)
+        assert [r.batch_id for r in batches] == list(range(len(batches)))
+        for r in batches[:-1]:  # only the tail batch may be partial
+            assert r.n_docs == _BATCH_B
+        # batch maxima are non-decreasing (docs sorted by length)
+        maxima = [r.max_tokens for r in batches]
+        assert maxima == sorted(maxima)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert total == n_docs
