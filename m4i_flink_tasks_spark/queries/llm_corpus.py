@@ -1164,3 +1164,124 @@ ORDER BY bucket, batch_id
 
 QUERIES["length_bucketed_batching"] = length_bucketed_batching
 ORACLES["length_bucketed_batching"] = LENGTH_BATCHING_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus snapshot diff (dataset-version comparison)
+# --------------------------------------------------------------------------
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the reference's entity-diff kernel
+    (operators/diff.py; reference: m4i_flink_tasks/determine_change)
+    lifted to dataset level: given two corpus versions, classify every
+    document added / removed / changed / unchanged by content
+    fingerprint and report counts + token mass per (source, status) —
+    the report a data team reads before retraining on a new snapshot.
+
+    v2 is derived deterministically from v1 (the test-fixture stand-in
+    for a real second snapshot): doc_id % 17 == 0 removed,
+    % 17 == 5 edited (suffix), % 17 == 11 cloned to a new doc_id.
+
+    Scale shape: ONE full-outer join on doc_id (both sides key-
+    partitioned — the canonical snapshot-diff plan at 100 TB);
+    fingerprints are computed in-scan, and the report aggregate is
+    dimension-sized (sources x 4 statuses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.poly_hash(F.col("text"))
+    n_tok = F.size(T.tokens(F.col("text")))
+    v1 = docs.select(
+        "doc_id", F.col("source").alias("src1"),
+        fp.alias("fp1"), n_tok.alias("nt1"),
+    )
+    edited = F.concat(F.col("text"), F.lit(" v2"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.col("source").alias("src2"),
+            F.when(F.col("doc_id") % 17 == 5, T.poly_hash(edited))
+            .otherwise(fp)
+            .alias("fp2"),
+            F.when(
+                F.col("doc_id") % 17 == 5, F.size(T.tokens(edited))
+            )
+            .otherwise(n_tok)
+            .alias("nt2"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 11).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                F.col("source").alias("src2"),
+                fp.alias("fp2"),
+                n_tok.alias("nt2"),
+            )
+        )
+    )
+    joined = v1.join(v2, ["doc_id"], "full_outer")
+    status = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") == F.col("fp2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce("src1", "src2").alias("source"),
+            status.alias("status"),
+            F.coalesce("nt1", F.lit(0)).alias("nt1"),
+            F.coalesce("nt2", F.lit(0)).alias("nt2"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt1").alias("n_tokens_v1"),
+            F.sum("nt2").alias("n_tokens_v2"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+CORPUS_DIFF_SQL = f"""
+WITH v1 AS (
+    SELECT doc_id, source,
+           {_poly_hash_sql("text")} AS fp1,
+           len(string_split_regex(trim(text), '\\s+')) AS nt1
+    FROM documents
+),
+v2 AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 17 = 5
+                THEN {_poly_hash_sql("text || ' v2'")}
+                ELSE {_poly_hash_sql("text")} END AS fp2,
+           CASE WHEN doc_id % 17 = 5
+                THEN len(string_split_regex(trim(text || ' v2'), '\\s+'))
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt2
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000000 AS doc_id, source,
+           {_poly_hash_sql("text")} AS fp2,
+           len(string_split_regex(trim(text), '\\s+')) AS nt2
+    FROM documents WHERE doc_id % 17 = 11
+),
+joined AS (
+    SELECT coalesce(v1.source, v2.source) AS source,
+           CASE WHEN v1.fp1 IS NULL THEN 'added'
+                WHEN v2.fp2 IS NULL THEN 'removed'
+                WHEN v1.fp1 = v2.fp2 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           coalesce(v1.nt1, 0) AS nt1,
+           coalesce(v2.nt2, 0) AS nt2
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source, status,
+       count(*) AS n_docs,
+       sum(nt1)::BIGINT AS n_tokens_v1,
+       sum(nt2)::BIGINT AS n_tokens_v2
+FROM joined
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+QUERIES["corpus_version_diff"] = corpus_version_diff
+ORACLES["corpus_version_diff"] = CORPUS_DIFF_SQL

@@ -64,3 +64,34 @@ def test_length_batching_invariants(spark, sf_dir):
         assert maxima == sorted(maxima)
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert total == n_docs
+
+
+def test_corpus_diff_reconciles(spark, sf_dir):
+    """Status masses reconcile with the v2 derivation rules: removed =
+    %17==0 docs, added = %17==11 docs, changed = %17==5 docs, and
+    unchanged + changed + removed = corpus size."""
+    from m4i_flink_tasks_spark.queries.llm_corpus import corpus_version_diff
+    from m4i_flink_tasks_spark.sources import load_table
+
+    rows = corpus_version_diff(spark, sf_dir).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+        if r.status == "added":
+            assert r.n_tokens_v1 == 0
+        if r.status == "removed":
+            assert r.n_tokens_v2 == 0
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_removed = docs.filter("doc_id % 17 = 0").count()
+    n_added = docs.filter("doc_id % 17 = 11").count()
+    n_changed = docs.filter("doc_id % 17 = 5").count()
+    assert by_status.get("removed", 0) == n_removed
+    assert by_status.get("added", 0) == n_added
+    assert by_status.get("changed", 0) == n_changed
+    assert (
+        by_status.get("unchanged", 0)
+        + by_status.get("changed", 0)
+        + by_status.get("removed", 0)
+        == n
+    )
