@@ -142,7 +142,8 @@ _MODULES = (
 # stream_countmin_freq, image_perceptual_dedup,
 # image_perceptual_neardup, stream_image_dedup,
 # document_chunking, stream_audio_ingest,
-# length_bucketed_batching, corpus_version_diff — all oracle-backed),
+# length_bucketed_batching, corpus_version_diff,
+# embedding_health_report — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

@@ -1313,3 +1313,79 @@ QUERIES["ann_multiprobe_topk"] = ann_multiprobe_topk
 ORACLES["semantic_dedup"] = SEMANTIC_DEDUP_SQL
 ORACLES["ann_recall_at_k"] = ANN_RECALL_SQL
 ORACLES["ann_multiprobe_topk"] = ANN_MULTIPROBE_SQL
+
+
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline health monitor: per-label vector counts, norm
+    distribution (mean/min/max of per-vector L2 norms) and the average
+    per-dimension variance (E[|x|^2]/d - |mu|^2/d) — the collapse /
+    anisotropy signal read before trusting an embedding batch. One scan,
+    one dimension-sized aggregate (labels x 64 running sums); per-vector
+    norms use the same sequential fold the ANN oracles mirror, so both
+    engines agree bit-for-bit before rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    vnorm = F.round(S.norm(F.col("embedding")), 6)
+    base = emb.select(
+        "label",
+        vnorm.alias("vnorm"),
+        S.dot(F.col("embedding"), F.col("embedding")).alias("sq"),
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"x{i}")
+            for i in range(dim)
+        ],
+    )
+    agg = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("vnorm").alias("sum_norm"),
+        F.min("vnorm").alias("min_norm"),
+        F.max("vnorm").alias("max_norm"),
+        F.sum("sq").alias("sum_sq"),
+        *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
+    )
+    mu_sq = sum(
+        (F.col(f"s{i}") / F.col("n_vectors"))
+        * (F.col(f"s{i}") / F.col("n_vectors"))
+        for i in range(dim)
+    )
+    avg_var = (F.col("sum_sq") / F.col("n_vectors") - mu_sq) / F.lit(dim)
+    return agg.select(
+        "label",
+        "n_vectors",
+        F.round(F.col("sum_norm") / F.col("n_vectors"), 6).alias("mean_norm"),
+        "min_norm",
+        "max_norm",
+        F.round(avg_var, 6).alias("avg_dim_variance"),
+    ).orderBy("label")
+
+
+_SELF_DOT = _DOT_SQL.format(a="embedding", b="embedding")
+
+_MU_SQ_TERMS = " + ".join(
+    f"(sum(embedding[{i + 1}]::DOUBLE) / count(*))"
+    f" * (sum(embedding[{i + 1}]::DOUBLE) / count(*))"
+    for i in range(64)
+)
+
+EMBEDDING_HEALTH_SQL = f"""
+WITH v AS (
+    SELECT label,
+           round(sqrt({_SELF_DOT}), 6) AS vnorm,
+           {_SELF_DOT} AS sq,
+           embedding
+    FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(sum(vnorm) / count(*), 6) AS mean_norm,
+       min(vnorm) AS min_norm,
+       max(vnorm) AS max_norm,
+       round((sum(sq) / count(*) - ({_MU_SQ_TERMS})) / 64, 6)
+           AS avg_dim_variance
+FROM v
+GROUP BY label
+ORDER BY label
+"""
+
+QUERIES["embedding_health_report"] = embedding_health_report
+ORACLES["embedding_health_report"] = EMBEDDING_HEALTH_SQL

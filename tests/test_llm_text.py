@@ -95,3 +95,19 @@ def test_corpus_diff_reconciles(spark, sf_dir):
         + by_status.get("removed", 0)
         == n
     )
+
+
+def test_embedding_health_sanity(spark, sf_dir):
+    """Norm ordering, variance positivity, and count reconciliation."""
+    from m4i_flink_tasks_spark.queries.llm_similarity import (
+        embedding_health_report,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    rows = embedding_health_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+        assert r.avg_dim_variance > 0  # vectors are not collapsed
+    total = sum(r.n_vectors for r in rows)
+    assert total == load_table(spark, sf_dir, "embeddings").count()
