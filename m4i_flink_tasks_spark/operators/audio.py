@@ -205,3 +205,114 @@ def extract_spectral_features(with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return with_payload.mapInPandas(run, schema=SPECTRAL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# energy-based segmentation (VAD-style)
+# --------------------------------------------------------------------------
+
+FRAME_LEN = 16  # samples per analysis frame
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, energy double"
+
+
+def synth_burst_wav(doc_id: int) -> bytes:
+    """16-bit mono PCM WAV of alternating silence/tone blocks with
+    closed-form segment structure:
+
+        rate = 8000 + (doc_id % 4) * 1000
+        n_blocks = 6 + doc_id % 5          (FRAME_LEN samples each)
+        block b ACTIVE iff (doc_id * 37 + b) % 3 == 0
+        active sample value A = 50 + doc_id % 50, silence = 0
+
+    Per-frame energy (mean of x^2) is therefore EXACTLY A*A on active
+    frames and 0 on silent ones, and the segment layout (runs of
+    consecutive active blocks) is pure integer arithmetic an oracle
+    can state."""
+    rate = 8000 + (doc_id % 4) * 1000
+    n_blocks = 6 + doc_id % 5
+    amp = 50 + doc_id % 50
+    data = b"".join(
+        struct.pack("<h", amp if (doc_id * 37 + b) % 3 == 0 else 0)
+        * FRAME_LEN
+        for b in range(n_blocks)
+    )
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def attach_burst_payload(docs: DataFrame) -> DataFrame:
+    """Burst-clip ingest stand-in for the audio-modality rows."""
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_burst_wav(int(d)) for d in doc_id], dtype=object
+        )
+
+    return docs.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", _payload(F.col("doc_id")).alias("payload")
+    )
+
+
+def frame_energies(with_payload: DataFrame) -> DataFrame:
+    """Decode + frame + per-frame energy in one Arrow-batched map-only
+    stage: one output row per FRAME_LEN-sample frame (tail remainder
+    frames are dropped — fixed-length analysis frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "energy": []}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = wav_pcm_samples(bytes(payload))
+                if parsed is None:
+                    continue
+                _, x = parsed
+                n_frames = x.size // FRAME_LEN
+                if n_frames == 0:
+                    continue
+                frames = x[: n_frames * FRAME_LEN].reshape(
+                    n_frames, FRAME_LEN
+                )
+                en = (frames**2).mean(axis=1)
+                out["doc_id"].extend([int(d)] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+                out["energy"].extend(float(e) for e in en)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def energy_segments(
+    frames: DataFrame, threshold: float = 1.0
+) -> DataFrame:
+    """Gaps-and-islands over the frame-energy stream: consecutive
+    frames above the threshold collapse into segments. Pure window
+    arithmetic (island key = frame_idx - dense run index), partitioned
+    by clip — each clip's segmentation is independent, so the stage
+    parallelizes per clip at any scale."""
+    from pyspark.sql import Window
+
+    active = frames.filter(F.col("energy") > threshold)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    islands = active.withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    segs = islands.groupBy("doc_id", "island").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+        F.round(F.avg("energy"), 4).alias("mean_energy"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("start_frame")
+    return segs.withColumn(
+        "seg_id", F.row_number().over(w2).cast("int")
+    ).drop("island")

@@ -376,3 +376,80 @@ ORDER BY doc_id
 
 QUERIES["audio_spectral_profile"] = audio_spectral_profile
 ORACLES["audio_spectral_profile"] = AUDIO_SPECTRAL_SQL
+
+
+def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style audio segmentation: Arrow-batched decode + per-frame
+    energy (operators/audio.py), then gaps-and-islands window
+    arithmetic collapses consecutive above-threshold frames into
+    segments (start/end/frames/duration/mean energy). The burst synth
+    makes frame activity a closed form of doc_id — active frames carry
+    energy EXACTLY A^2 — so the oracle replays the same gaps-and-
+    islands over the stated activity sequence. Two-stage shape: Arrow
+    map for decode, per-clip window for islands (each clip independent,
+    so the stage parallelizes per clip at any scale)."""
+    from ..operators.audio import (
+        FRAME_LEN,
+        attach_burst_payload,
+        energy_segments,
+        frame_energies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_energies(attach_burst_payload(docs))
+    segs = energy_segments(frames)
+    rate = 8000 + (F.col("doc_id") % 4) * 1000
+    return segs.select(
+        "doc_id",
+        "seg_id",
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        F.round(
+            F.col("n_frames") * FRAME_LEN * 1000 / rate, 4
+        ).alias("duration_ms"),
+        "mean_energy",
+    ).orderBy("doc_id", "seg_id")
+
+
+AUDIO_SEGMENTS_SQL = """
+WITH aud AS (
+    SELECT doc_id,
+           8000 + (doc_id % 4) * 1000 AS rate,
+           6 + doc_id % 5 AS n_blocks,
+           50 + doc_id % 50 AS amp
+    FROM documents WHERE doc_id % 3 = 1
+),
+blocks AS (
+    SELECT doc_id, rate, amp, b.b AS frame_idx
+    FROM aud CROSS JOIN range(10) b(b)
+    WHERE b.b < n_blocks AND (doc_id * 37 + b.b) % 3 = 0
+),
+islands AS (
+    SELECT doc_id, rate, amp, frame_idx,
+           frame_idx - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY frame_idx) AS island
+    FROM blocks
+),
+segs AS (
+    SELECT doc_id, rate, amp, island,
+           min(frame_idx) AS start_frame,
+           max(frame_idx) AS end_frame,
+           count(*) AS n_frames
+    FROM islands
+    GROUP BY doc_id, rate, amp, island
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)::INT
+           AS seg_id,
+       start_frame::INT AS start_frame,
+       end_frame::INT AS end_frame,
+       n_frames,
+       round(n_frames * 16 * 1000 / rate::DOUBLE, 4) AS duration_ms,
+       round((amp * amp)::DOUBLE, 4) AS mean_energy
+FROM segs
+ORDER BY doc_id, seg_id
+"""
+
+QUERIES["audio_energy_segments"] = audio_energy_segments
+ORACLES["audio_energy_segments"] = AUDIO_SEGMENTS_SQL

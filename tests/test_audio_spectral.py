@@ -161,3 +161,49 @@ def test_stream_audio_ingest_mid_stream_restart(spark, sf_dir):
         map(tuple, audio_spectral_profile(spark, sf_dir).collect())
     )
     assert final == exp
+
+
+def test_burst_synth_frame_energies_exact():
+    import numpy as np
+
+    from m4i_flink_tasks_spark.operators.audio import (
+        FRAME_LEN,
+        synth_burst_wav,
+        wav_pcm_samples,
+    )
+
+    for doc_id in (1, 7, 22, 1003):
+        rate, x = wav_pcm_samples(synth_burst_wav(doc_id))
+        assert rate == 8000 + (doc_id % 4) * 1000
+        n_blocks = 6 + doc_id % 5
+        amp = 50 + doc_id % 50
+        assert x.size == n_blocks * FRAME_LEN
+        frames = x.reshape(n_blocks, FRAME_LEN)
+        for b in range(n_blocks):
+            want = amp * amp if (doc_id * 37 + b) % 3 == 0 else 0.0
+            assert (frames[b] ** 2).mean() == want
+
+
+def test_energy_segments_are_maximal_runs(spark, sf_dir):
+    """Segments must be disjoint maximal runs: within a doc, segments
+    are separated by at least one silent frame, and every segment's
+    frames are contiguous."""
+    from m4i_flink_tasks_spark.queries.llm_multimodal import (
+        audio_energy_segments,
+    )
+
+    rows = audio_energy_segments(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.seg_id)
+        assert [r.seg_id for r in doc_rows] == list(
+            range(1, len(doc_rows) + 1)
+        )
+        for r in doc_rows:
+            assert r.end_frame - r.start_frame + 1 == r.n_frames
+            assert r.mean_energy > 0
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert b.start_frame > a.end_frame + 1  # gap between runs

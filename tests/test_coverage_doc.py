@@ -82,6 +82,8 @@ def test_documented_query_names_exist():
             "demux_webm",
             "candidate_pairs_with_shingles",
             "ngram_containment_pairs",
+            "frame_energies",
+            "energy_segments",
             "mapInPandas",
             "pandas_udf",
             "percentile",
