@@ -516,3 +516,42 @@ def test_image_neardup_band_join_on_collapsed_hashes(plans):
     plan = plans["image_perceptual_neardup"]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_segments_two_stage_shape(plans):
+    """Decode+energy is Arrow-batched; islands are window arithmetic —
+    no row-at-a-time Python, no join anywhere in the plan."""
+    plan = plans["audio_energy_segments"]
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_length_batching_single_window_shuffle(plans):
+    """One scan -> per-bucket window -> aggregate; no join, no Python."""
+    plan = plans["length_bucketed_batching"]
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_corpus_diff_is_one_keyed_join(plans):
+    """The snapshot diff is ONE full-outer join on the doc key (a
+    sort-merge on co-partitioned sides — the canonical diff plan);
+    no cartesian, no Python."""
+    plan = plans["corpus_version_diff"]
+    # formatted explain names each node twice; count the unique
+    # "Join type:" line instead
+    assert plan.count("Join type: FullOuter") == 1
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_embedding_health_single_aggregate(plans):
+    """One scan, partial+final aggregate, no join, no Python — the
+    whole report rides one dimension-sized exchange."""
+    plan = plans["embedding_health_report"]
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
