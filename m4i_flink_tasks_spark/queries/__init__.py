@@ -143,7 +143,8 @@ _MODULES = (
 # image_perceptual_neardup, stream_image_dedup,
 # document_chunking, stream_audio_ingest,
 # length_bucketed_batching, corpus_version_diff,
-# embedding_health_report, audio_energy_segments — all oracle-backed),
+# embedding_health_report, audio_energy_segments,
+# event_rate_anomalies, join_skew_report — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

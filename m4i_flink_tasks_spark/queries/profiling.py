@@ -246,3 +246,101 @@ ORACLES = {
     "integrity_checks": INTEGRITY_CHECKS_SQL,
     "zorder_mapping": _zorder_sql(),
 }
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report read before choosing a
+    join strategy (broadcast / salt / AQE skew-split): per candidate
+    key, the cardinality, the heaviest key's share, the top-10 keys'
+    share, and how many keys run hotter than 2x/4x the mean. All
+    ratios are rationals of exact counts, so the report is
+    engine-exact.
+
+    Scale shape: one map-side-combinable count per key column plus
+    dimension-sized top-k extractions — the same pass a skew-aware
+    planner (AQE) makes, surfaced as data."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def stats(df: DataFrame, col: str, name: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        top10 = counts.orderBy(F.desc("c"), "k").limit(10)
+        agg = counts.agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_count"),
+        )
+        t10 = top10.agg(F.sum("c").alias("top10_count"))
+        hot = counts.join(F.broadcast(agg.select("n_rows", "n_keys")), how="cross")
+        hot_agg = hot.agg(
+            F.sum(
+                F.when(
+                    F.col("c") * F.col("n_keys") > 2 * F.col("n_rows"), 1
+                ).otherwise(0)
+            ).alias("n_keys_gt_2x"),
+            F.sum(
+                F.when(
+                    F.col("c") * F.col("n_keys") > 4 * F.col("n_rows"), 1
+                ).otherwise(0)
+            ).alias("n_keys_gt_4x"),
+        )
+        return (
+            agg.join(t10, how="cross")
+            .join(F.broadcast(hot_agg), how="cross")
+            .select(
+                F.lit(name).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "max_count",
+                F.round(F.col("max_count") / F.col("n_rows"), 6).alias(
+                    "max_share"
+                ),
+                F.round(F.col("top10_count") / F.col("n_rows"), 6).alias(
+                    "top10_share"
+                ),
+                F.col("n_keys_gt_2x").cast("long").alias("n_keys_gt_2x"),
+                F.col("n_keys_gt_4x").cast("long").alias("n_keys_gt_4x"),
+            )
+        )
+
+    return (
+        stats(lineitem, "l_suppkey", "lineitem.l_suppkey")
+        .unionByName(stats(lineitem, "l_partkey", "lineitem.l_partkey"))
+        .unionByName(stats(orders, "o_custkey", "orders.o_custkey"))
+        .orderBy("join_key")
+    )
+
+
+def _skew_stats_sql(table: str, col: str, name: str) -> str:
+    return f"""
+SELECT '{name}' AS join_key,
+       (SELECT count(*) FROM {table}) AS n_rows,
+       (SELECT count(DISTINCT {col}) FROM {table}) AS n_keys,
+       (SELECT max(c) FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})) AS max_count,
+       round((SELECT max(c) FROM (SELECT count(*) AS c FROM {table} GROUP BY {col}))::DOUBLE
+             / (SELECT count(*) FROM {table}), 6) AS max_share,
+       round((SELECT sum(c) FROM (SELECT count(*) AS c FROM {table}
+                                  GROUP BY {col} ORDER BY c DESC LIMIT 10))::DOUBLE
+             / (SELECT count(*) FROM {table}), 6) AS top10_share,
+       (SELECT count(*) FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})
+        WHERE c * (SELECT count(DISTINCT {col}) FROM {table})
+              > 2 * (SELECT count(*) FROM {table})) AS n_keys_gt_2x,
+       (SELECT count(*) FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})
+        WHERE c * (SELECT count(DISTINCT {col}) FROM {table})
+              > 4 * (SELECT count(*) FROM {table})) AS n_keys_gt_4x
+"""
+
+
+JOIN_SKEW_SQL = (
+    _skew_stats_sql("lineitem", "l_suppkey", "lineitem.l_suppkey")
+    + " UNION ALL "
+    + _skew_stats_sql("lineitem", "l_partkey", "lineitem.l_partkey")
+    + " UNION ALL "
+    + _skew_stats_sql("orders", "o_custkey", "orders.o_custkey")
+    + " ORDER BY join_key"
+)
+
+QUERIES["join_skew_report"] = join_skew_report
+ORACLES["join_skew_report"] = JOIN_SKEW_SQL

@@ -163,3 +163,84 @@ ORACLES = {
     "sliding_window_activity": SLIDING_SQL,
     "session_windows": SESSION_SQL,
 }
+
+
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event type
+    scored against a trailing 6-window baseline (avg/stddev over the
+    preceding frame, never the current window); |z| > 2 on the ROUNDED
+    score flags the window — computing the flag from the rounded value
+    keeps the boolean cliff identical across engines. Windows with
+    fewer than 3 baseline points are unscored (cold start).
+
+    Scale shape: one map-side-combinable aggregate to hourly counts
+    (the tumbling kernel), then a per-event-type window over the tiny
+    (hours x types) frame — the monitoring query a pipeline runs on
+    its own throughput metrics."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias(
+            "window_start_ms"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_ms")
+        .rowsBetween(-6, -1)
+    )
+    scored = hourly.select(
+        "window_start_ms",
+        "event_type",
+        "n_events",
+        F.count("n_events").over(w).alias("n_baseline"),
+        F.avg("n_events").over(w).alias("baseline_avg"),
+        F.stddev_samp("n_events").over(w).alias("baseline_std"),
+    ).filter(F.col("n_baseline") >= 3)
+    z = F.when(
+        F.col("baseline_std") > 0,
+        (F.col("n_events") - F.col("baseline_avg"))
+        / F.col("baseline_std"),
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "window_start_ms",
+        "event_type",
+        "n_events",
+        F.round("baseline_avg", 4).alias("baseline_avg"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(F.round(z, 4)) > 2).alias("is_anomaly"),
+    ).orderBy("window_start_ms", "event_type")
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+    SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT window_start_ms, event_type, n_events,
+           count(n_events) OVER w AS n_baseline,
+           avg(n_events) OVER w AS baseline_avg,
+           stddev_samp(n_events) OVER w AS baseline_std
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start_ms
+                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT window_start_ms, event_type, n_events,
+       round(baseline_avg, 4) AS baseline_avg,
+       round(CASE WHEN baseline_std > 0
+                  THEN (n_events - baseline_avg) / baseline_std
+                  ELSE 0.0 END, 4) AS z_score,
+       abs(round(CASE WHEN baseline_std > 0
+                      THEN (n_events - baseline_avg) / baseline_std
+                      ELSE 0.0 END, 4)) > 2 AS is_anomaly
+FROM scored
+WHERE n_baseline >= 3
+ORDER BY window_start_ms, event_type
+"""
+
+QUERIES["event_rate_anomalies"] = event_rate_anomalies
+ORACLES["event_rate_anomalies"] = ANOMALY_SQL
