@@ -555,3 +555,21 @@ def test_embedding_health_single_aggregate(plans):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_anomaly_scoring_single_aggregate_plus_window(plans):
+    """Hourly counts map-side combine, then a window over the tiny
+    (hours x types) frame — no join, no Python."""
+    plan = plans["event_rate_anomalies"]
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_skew_report_joins_only_one_row_aggregates(plans):
+    """Every join in the report glues one-row aggregates (broadcast
+    nested loop on single-row sides is the correct scalar-combine
+    plan); no sort-merge join may touch the per-key counts."""
+    plan = plans["join_skew_report"]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
