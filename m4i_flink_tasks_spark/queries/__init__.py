@@ -144,7 +144,8 @@ _MODULES = (
 # document_chunking, stream_audio_ingest,
 # length_bucketed_batching, corpus_version_diff,
 # embedding_health_report, audio_energy_segments,
-# event_rate_anomalies, join_skew_report — all oracle-backed),
+# event_rate_anomalies, join_skew_report,
+# stream_rate_anomalies — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

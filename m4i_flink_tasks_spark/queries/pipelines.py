@@ -867,6 +867,25 @@ def _stream_audio_sql() -> str:
     return MM["audio_spectral_profile"]
 
 
+def stream_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection (streaming/windowed.py): the
+    maintained watermarked hourly-count state equals the batch
+    aggregate exactly, and the readout applies the identical trailing-
+    baseline scoring — so the batch event_rate_anomalies SQL oracles
+    the stream."""
+    from ..streaming.windowed import run_stream_rate_anomalies
+
+    return run_stream_rate_anomalies(
+        spark, sf_dir, _workdir("rate_anomalies")
+    )
+
+
+def _stream_anomaly_sql() -> str:
+    from .streaming_like import ORACLES as SL
+
+    return SL["event_rate_anomalies"]
+
+
 def stream_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming span-level exact dedup (streaming/span_state.py):
     per-(window-hash, doc) counts and per-doc totals maintained as
@@ -1225,6 +1244,7 @@ QUERIES = {
     "stream_countmin_freq": stream_countmin_freq,
     "stream_image_dedup": stream_image_dedup,
     "stream_audio_ingest": stream_audio_ingest,
+    "stream_rate_anomalies": stream_rate_anomalies,
     "stream_weighted_sample": stream_weighted_sample,
 }
 
@@ -1254,5 +1274,6 @@ ORACLES = {
     "stream_countmin_freq": _stream_countmin_sql(),
     "stream_image_dedup": _stream_image_dedup_sql(),
     "stream_audio_ingest": _stream_audio_sql(),
+    "stream_rate_anomalies": _stream_anomaly_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
 }

@@ -84,6 +84,7 @@ def test_documented_query_names_exist():
             "ngram_containment_pairs",
             "frame_energies",
             "energy_segments",
+            "run_stream_rate_anomalies",
             "mapInPandas",
             "pandas_udf",
             "percentile",

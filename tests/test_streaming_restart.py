@@ -496,3 +496,23 @@ def test_media_ingest_mid_stream_restart(spark, sf_dir):
         os.utime(p, (mtimes[p], mtimes[p]))
     second = run_stream_media_ingest(spark, sf_dir, wd)
     assert sorted(map(tuple, second.collect())) == expected
+
+
+def test_rate_anomalies_stream_equals_batch(spark, sf_dir):
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.streaming_like import (
+        event_rate_anomalies,
+    )
+    from m4i_flink_tasks_spark.streaming.windowed import (
+        run_stream_rate_anomalies,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_anomaly_")
+    got = sorted(
+        map(tuple, run_stream_rate_anomalies(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, event_rate_anomalies(spark, sf_dir).collect())
+    )
+    assert got == exp and got
