@@ -569,3 +569,100 @@ ORDER BY doc_id, chunk_id
 
 QUERIES["document_chunking"] = document_chunking
 ORACLES["document_chunking"] = DOCUMENT_CHUNKING_SQL
+
+
+_BLOCK = 10  # tokens per markup block
+
+
+def markup_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style text extraction from markup — the CommonCrawl-shaped
+    step a web corpus runs before any quality gate: strip tags,
+    normalize whitespace, and measure link density (anchor chars /
+    extracted chars), the classic boilerplate signal.
+
+    Each document is wrapped in deterministic HTML (title + one anchor
+    block + <p> blocks of 10 tokens) ENTIRELY with JVM array/string
+    expressions, and the extraction side then runs REAL tag-stripping
+    regexes over that markup (strip tags -> collapse whitespace ->
+    trim; anchors re-extracted with a capture group; paragraphs
+    counted with regexp_count). The oracle never parses: it states
+    every output as closed-form string arithmetic over the token
+    array, so any extraction bug (greedy tag match, whitespace
+    handling, anchor capture) breaks the hash. Map-only at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    n_blocks = ((F.col("n_tokens") + _BLOCK - 1) / _BLOCK).cast("int")
+    block = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("toks"), i * _BLOCK + 1, _BLOCK)
+    )
+    wrapped = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.when(
+            i == 0, F.concat(F.lit('<a href="#">'), block(i), F.lit("</a>"))
+        ).otherwise(F.concat(F.lit("<p>"), block(i), F.lit("</p>"))),
+    )
+    markup = F.concat(
+        F.lit("<html><head><title>doc</title></head><body>"),
+        F.array_join(wrapped, ""),
+        F.lit("</body></html>"),
+    )
+    with_markup = base.withColumn("markup", markup)
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("markup"), "<[^>]+>", " "), "\\s+", " "
+        )
+    )
+    anchor_text = F.array_join(
+        F.regexp_extract_all(F.col("markup"), F.lit("<a[^>]*>([^<]*)</a>"), 1),
+        " ",
+    )
+    return (
+        with_markup.select(
+            "doc_id",
+            F.length("markup").alias("n_markup_chars"),
+            F.length(stripped).alias("n_extracted_chars"),
+            T.poly_hash(stripped).alias("extracted_hash"),
+            F.round(
+                F.length(anchor_text) / F.length(stripped), 6
+            ).alias("link_density"),
+            F.regexp_count(F.col("markup"), F.lit("<p>")).alias(
+                "n_paragraphs"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MARKUP_EXTRACTION_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           len(string_split_regex(trim(text), '\\s+')) AS n
+    FROM documents
+),
+m AS (
+    SELECT doc_id, toks, n,
+           (n + {_BLOCK} - 1) // {_BLOCK} AS n_blocks,
+           len(array_to_string(toks, '')) AS sum_len,
+           'doc ' || array_to_string(toks, ' ') AS extracted,
+           array_to_string(list_slice(toks, 1, least({_BLOCK}, n)), ' ')
+               AS anchor
+    FROM base
+)
+SELECT doc_id,
+       -- 43 head + 14 tail + 16 anchor-tag + 7 per <p> block + body text
+       (43 + 14 + 16 + 7 * (n_blocks - 1) + sum_len + (n - n_blocks))::INT
+           AS n_markup_chars,
+       len(extracted)::INT AS n_extracted_chars,
+       {_POLY_SQL.format(expr="extracted")} AS extracted_hash,
+       round(len(anchor)::DOUBLE / len(extracted), 6) AS link_density,
+       (n_blocks - 1)::INT AS n_paragraphs
+FROM m
+ORDER BY doc_id
+"""
+
+QUERIES["markup_text_extraction"] = markup_text_extraction
+ORACLES["markup_text_extraction"] = MARKUP_EXTRACTION_SQL

@@ -111,3 +111,22 @@ def test_embedding_health_sanity(spark, sf_dir):
         assert r.avg_dim_variance > 0  # vectors are not collapsed
     total = sum(r.n_vectors for r in rows)
     assert total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_markup_extraction_round_trip(spark, sf_dir):
+    """The real tag-strip must recover exactly the title + original
+    token stream, and link density is the anchor share."""
+    from m4i_flink_tasks_spark.queries.llm_text import (
+        markup_text_extraction,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    out = {r.doc_id: r for r in markup_text_extraction(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for row in docs.limit(20).collect():
+        toks = row.text.strip().split()
+        expected = "doc " + " ".join(toks)
+        r = out[row.doc_id]
+        assert r.n_extracted_chars == len(expected)
+        assert 0 < r.link_density < 1
+        assert r.n_paragraphs == (len(toks) + 9) // 10 - 1
