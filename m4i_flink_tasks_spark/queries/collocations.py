@@ -147,3 +147,93 @@ QUERIES = {
 ORACLES = {
     "pmi_collocations": PMI_SQL,
 }
+
+
+_MIN_CO = 3
+_TOP_RULES = 20
+
+
+def supplier_cooccurrence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets — the
+    relational sibling of the PMI collocations: supplier pairs that
+    co-occur in the same order, scored with support, directional
+    confidence, and lift, top-20 by lift. The association-mining
+    classic (Agrawal & Srikant 1994) as one Spark dataflow.
+
+    Scale shape: baskets are distinct (order, supplier) rows; the pair
+    join shuffles on the order key and each order holds a handful of
+    suppliers, so pair fan-out is bounded per order (never |items|^2
+    global); item and pair counts are map-side-combinable aggregates,
+    and the final scoring joins are dimension-sized (suppliers and
+    surviving pairs)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    n_orders = baskets.select("ok").distinct().count()
+    supp = baskets.groupBy("s").agg(F.count(F.lit(1)).alias("n_s"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(
+            F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= _MIN_CO)
+    )
+    na = supp.select(F.col("s").alias("s_a"), F.col("n_s").alias("n_a"))
+    nb = supp.select(F.col("s").alias("s_b"), F.col("n_s").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "s_a")
+        .join(F.broadcast(nb), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "co_orders",
+            F.round(F.col("co_orders") / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(F.col("co_orders") / F.col("n_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("co_orders") / F.col("n_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("co_orders")
+                * F.lit(n_orders)
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "s_a", "s_b").limit(_TOP_RULES)
+
+
+COOCCURRENCE_SQL = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+supp AS (SELECT s, count(*) AS n_s FROM baskets GROUP BY s),
+pairs AS (
+    SELECT a.s AS s_a, b.s AS s_b, count(*) AS co_orders
+    FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING count(*) >= {_MIN_CO}
+)
+SELECT s_a, s_b, co_orders,
+       round(co_orders::DOUBLE / n.n, 6) AS support,
+       round(co_orders::DOUBLE / na.n_s, 6) AS conf_a_to_b,
+       round(co_orders::DOUBLE / nb.n_s, 6) AS conf_b_to_a,
+       round(co_orders::DOUBLE * n.n / (na.n_s * nb.n_s), 6) AS lift
+FROM pairs, n_orders n
+JOIN supp na ON na.s = pairs.s_a
+JOIN supp nb ON nb.s = pairs.s_b
+ORDER BY lift DESC, s_a, s_b
+LIMIT {_TOP_RULES}
+"""
+
+QUERIES["supplier_cooccurrence_rules"] = supplier_cooccurrence_rules
+ORACLES["supplier_cooccurrence_rules"] = COOCCURRENCE_SQL
