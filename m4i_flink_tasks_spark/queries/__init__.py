@@ -146,7 +146,8 @@ _MODULES = (
 # embedding_health_report, audio_energy_segments,
 # event_rate_anomalies, join_skew_report,
 # stream_rate_anomalies, markup_text_extraction,
-# supplier_cooccurrence_rules — all oracle-backed),
+# supplier_cooccurrence_rules, user_retention_cohorts,
+# rfm_segments — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,

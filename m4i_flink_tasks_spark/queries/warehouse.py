@@ -739,3 +739,142 @@ ORACLES = {
     "event_funnel": EVENT_FUNNEL_SQL,
     "daily_activity_gap_fill": GAP_FILL_SQL,
 }
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the BI classic: users grouped by first-active
+    day (the events table spans days, so daily cohorts), then for each
+    (cohort, day-offset) the share of the cohort still active. One
+    aggregate to first-activity, one distinct-activity aggregate, one
+    broadcast-joined ratio — all map-side combinable; the matrix is
+    dimension-sized (days x offsets)."""
+    events = load_table(spark, sf_dir, "events")
+    acts = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = acts.join(first, "user_id").select(
+        "user_id",
+        F.unix_millis("cohort_day").alias("cohort_ms"),
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+    )
+    cohort_sizes = first.groupBy(
+        F.unix_millis("cohort_day").alias("cohort_ms")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = joined.groupBy("cohort_ms", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_ms")
+        .select(
+            "cohort_ms",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_ms", "day_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH acts AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first AS (
+    SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+),
+sizes AS (
+    SELECT epoch_ms(cohort_day) AS cohort_ms, count(*) AS cohort_size
+    FROM first GROUP BY 1
+),
+cells AS (
+    SELECT epoch_ms(f.cohort_day) AS cohort_ms,
+           date_diff('day', f.cohort_day, a.day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM acts a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT c.cohort_ms,
+       c.day_offset::INT AS day_offset,
+       c.n_active,
+       s.cohort_size,
+       round(c.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_ms)
+ORDER BY cohort_ms, day_offset
+"""
+
+QUERIES["user_retention_cohorts"] = user_retention_cohorts
+ORACLES["user_retention_cohorts"] = RETENTION_SQL
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles (ntile over deterministically tie-broken orderings),
+    reported as the segment-cell matrix with counts and average spend.
+    One per-customer aggregate, three windows over the customer
+    dimension, one dimension-sized (<=125 cells) report."""
+    orders = load_table(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(max_date), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        # integer cents: exact ntile ordering and exact cell averages
+        # (a rounded-dollar double can land on a half-cent boundary and
+        # flip between engines)
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias(
+            "monetary_cents"
+        ),
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary_cents") / 100, 4).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           date_diff('day', max(o_orderdate),
+                     (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+           count(*) AS frequency,
+           round(sum(o_totalprice) * 100)::BIGINT AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, monetary_cents,
+           ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+    FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       round(avg(monetary_cents) / 100, 4) AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+QUERIES["rfm_segments"] = rfm_segments
+ORACLES["rfm_segments"] = RFM_SQL
