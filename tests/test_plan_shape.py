@@ -573,3 +573,27 @@ def test_skew_report_joins_only_one_row_aggregates(plans):
     plan = plans["join_skew_report"]
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_markup_extraction_is_pure_expressions(plans):
+    """Markup build + tag-strip + anchor capture are all JVM string
+    expressions — no Python of any kind, no join, no shuffle beyond
+    the presentation sort."""
+    plan = plans["markup_text_extraction"]
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_cooccurrence_pair_join_is_keyed(plans):
+    """The basket pair join must key on the order (equi-join); the
+    supplier-count rejoins broadcast. No cartesian candidates."""
+    plan = plans["supplier_cooccurrence_rules"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retention_and_rfm_stay_jvm_side(plans):
+    for name in ("user_retention_cohorts", "rfm_segments"):
+        plan = plans[name]
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
