@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analytic_windows,
+    behavior,
     cdc,
     collocations,
     doc_lifecycle,
@@ -78,6 +79,7 @@ _MODULES = (
     sketches,
     warehouse,
     analytic_windows,
+    behavior,
     profiling,
     quality_classifier,
 )

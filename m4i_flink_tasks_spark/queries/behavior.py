@@ -1,0 +1,400 @@
+"""Behavioral / product analytics over the event stream.
+
+The reference's event surface is CDC plumbing (jobs 1-4); this module
+adds the product-analytics queries a platform team runs on the SAME
+event firehose once it lands: ordered conversion funnels, multi-touch
+marketing attribution, and a seasonal-naive forecast backtest. All
+three are pure DataFrame/SQL dataflows with DuckDB oracle twins.
+
+Scale posture (100 TB events):
+
+- ``funnel_conversion`` shuffles events ONCE on ``user_id`` and folds
+  each user's time-sorted step events with an expression-native
+  ``aggregate`` (no Python, no per-step re-join of the fact table).
+  Per-user event counts are bounded in practice (sessionized products);
+  the fold is O(events-per-user). The final report is 4 rows.
+- ``attribution_report`` is a bounded-range per-user join (touch within
+  7 days before the conversion) — both sides shuffle on ``user_id``
+  once, AQE handles user skew, and the credit arithmetic is integer
+  (cents / milli-cents) so the distributed sum is exact and
+  order-independent.
+- ``seasonal_naive_forecast`` aggregates to a dimension-sized daily
+  series first (map-side combinable), then the lag-7 comparison is a
+  calendar self-join on that tiny series — NOT a row-offset lag, so
+  missing days cannot silently shift the season.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+# Ordered funnel: a user converts step k only with an event strictly
+# AFTER their step-(k-1) time (ties broken: at equal ts the earlier
+# step wins, so a same-timestamp pair does not advance the funnel).
+_FUNNEL_STEPS = ("view", "click", "signup", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 4-step funnel (view -> click -> signup -> purchase).
+
+    Single shuffle on ``user_id``; each user's step events are
+    time-sorted and folded left-to-right with ``F.aggregate`` — the
+    fold state is the (t1..t4) step-completion timestamps, and step k
+    fires on the first event of type k strictly after t(k-1). That is
+    exactly the chained ``min(ts) WHERE ts > prev`` formulation the
+    oracle uses, because the events are scanned in ascending time
+    order.
+    """
+    events = load_table(spark, sf_dir, "events")
+    step_idx = F.when(F.col("event_type") == _FUNNEL_STEPS[0], 1)
+    for i, s in enumerate(_FUNNEL_STEPS[1:], start=2):
+        step_idx = step_idx.when(F.col("event_type") == s, i)
+    evs = events.select(
+        "user_id", "ts", step_idx.alias("step")
+    ).filter(F.col("step").isNotNull())
+    per_user = evs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "step"))).alias("seq")
+    )
+    init = F.struct(
+        *[
+            F.lit(None).cast("timestamp").alias(f"t{k}")
+            for k in range(1, 5)
+        ]
+    )
+
+    def _advance(acc, e):
+        # step 1 needs no predecessor; steps 2-4 need t(k-1) set and a
+        # strictly later timestamp.
+        upd = {
+            "t1": F.when(
+                acc.t1.isNull() & (e.step == 1), e.ts
+            ).otherwise(acc.t1)
+        }
+        prev = {2: acc.t1, 3: acc.t2, 4: acc.t3}
+        for k in (2, 3, 4):
+            upd[f"t{k}"] = F.when(
+                acc[f"t{k}"].isNull()
+                & (e.step == F.lit(k))
+                & prev[k].isNotNull()
+                & (e.ts > prev[k]),
+                e.ts,
+            ).otherwise(acc[f"t{k}"])
+        return F.struct(*[upd[f"t{k}"].alias(f"t{k}") for k in range(1, 5)])
+
+    folded = per_user.select(
+        F.aggregate(F.col("seq"), init, _advance).alias("st")
+    )
+    counts = folded.agg(
+        *[
+            F.count(F.col(f"st.t{k}")).alias(f"n{k}")
+            for k in range(1, 5)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}, '{s}', n{k}" for k, s in enumerate(_FUNNEL_STEPS, start=1)
+    )
+    rows = counts.selectExpr(
+        f"stack(4, {stack_args}) AS (step_idx, step, n_users)"
+    )
+    first = counts.select(F.col("n1").alias("n_first"))
+    return (
+        rows.crossJoin(F.broadcast(first))
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_first"), 6).alias(
+                "pct_of_first"
+            ),
+            F.round(
+                F.col("n_users")
+                / F.lag("n_users", 1, None).over(
+                    Window.orderBy("step_idx")
+                ),
+                6,
+            ).alias("pct_of_prev"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'signup' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+s4 AS (
+    SELECT e.user_id, min(e.ts) AS t4
+    FROM events e JOIN s3 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+),
+rows_ AS (
+    SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+)
+SELECT step_idx, step, n_users,
+       round(n_users::DOUBLE / (SELECT n_users FROM rows_
+                                WHERE step_idx = 1), 6) AS pct_of_first,
+       round(n_users::DOUBLE
+             / lag(n_users) OVER (ORDER BY step_idx), 6) AS pct_of_prev
+FROM rows_
+ORDER BY step_idx
+"""
+
+
+def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: last-touch / first-touch / linear.
+
+    Conversions are ``purchase`` events; touches are ``view``/``click``
+    events by the same user in the 7 days up to (and including) the
+    conversion instant. Credit arithmetic is integer — revenue in
+    cents, linear credit in milli-cents via integer DIV — so the
+    distributed sums are exact and engine-order-independent.
+    Conversions with no touch in the window are reported under the
+    ``direct`` channel.
+    """
+    events = load_table(spark, sf_dir, "events")
+    convs = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("rev_cents"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = convs.join(touches, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")
+        )
+    )
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.asc("touch_ts"), F.asc("touch_id")
+    )
+    ranked = joined.select(
+        "conv_id",
+        "channel",
+        "rev_cents",
+        F.row_number().over(w_last).alias("r_last"),
+        F.row_number().over(w_first).alias("r_first"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("conv_id"))
+        .alias("n_touches"),
+    )
+    credited = ranked.groupBy("channel").agg(
+        F.sum(F.when(F.col("r_last") == 1, 1).otherwise(0)).alias(
+            "last_touch_conversions"
+        ),
+        F.sum(
+            F.when(F.col("r_last") == 1, F.col("rev_cents")).otherwise(0)
+        ).alias("last_touch_revenue_cents"),
+        F.sum(F.when(F.col("r_first") == 1, 1).otherwise(0)).alias(
+            "first_touch_conversions"
+        ),
+        F.sum(
+            F.when(F.col("r_first") == 1, F.col("rev_cents")).otherwise(
+                0
+            )
+        ).alias("first_touch_revenue_cents"),
+        F.sum(
+            F.expr("rev_cents * 1000 DIV n_touches")
+        ).alias("linear_credit_millicents"),
+    )
+    touched_ids = joined.select("conv_id").distinct()
+    direct = (
+        convs.join(touched_ids, "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("last_touch_conversions"),
+            F.sum("rev_cents").alias("last_touch_revenue_cents"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            "last_touch_conversions",
+            F.coalesce("last_touch_revenue_cents", F.lit(0)).alias(
+                "last_touch_revenue_cents"
+            ),
+            F.col("last_touch_conversions").alias(
+                "first_touch_conversions"
+            ),
+            F.coalesce("last_touch_revenue_cents", F.lit(0)).alias(
+                "first_touch_revenue_cents"
+            ),
+            (
+                F.coalesce("last_touch_revenue_cents", F.lit(0)) * 1000
+            ).alias("linear_credit_millicents"),
+        )
+    )
+    return credited.unionByName(direct).orderBy("channel")
+
+
+ATTRIBUTION_SQL = """
+WITH convs AS (
+    SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+           round(value * 100)::BIGINT AS rev_cents
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+           event_type AS channel
+    FROM events WHERE event_type IN ('view', 'click')
+),
+joined AS (
+    SELECT c.conv_id, t.channel, c.rev_cents, t.touch_ts, t.touch_id
+    FROM convs c JOIN touches t USING (user_id)
+    WHERE t.touch_ts <= c.conv_ts
+      AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+),
+ranked AS (
+    SELECT conv_id, channel, rev_cents,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts DESC, touch_id DESC)
+               AS r_last,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts ASC, touch_id ASC)
+               AS r_first,
+           count(*) OVER (PARTITION BY conv_id) AS n_touches
+    FROM joined
+),
+credited AS (
+    SELECT channel,
+           sum(CASE WHEN r_last = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS last_touch_conversions,
+           sum(CASE WHEN r_last = 1 THEN rev_cents ELSE 0 END)::BIGINT
+               AS last_touch_revenue_cents,
+           sum(CASE WHEN r_first = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS first_touch_conversions,
+           sum(CASE WHEN r_first = 1 THEN rev_cents ELSE 0 END)::BIGINT
+               AS first_touch_revenue_cents,
+           sum((rev_cents * 1000) // n_touches)::BIGINT
+               AS linear_credit_millicents
+    FROM ranked GROUP BY channel
+),
+direct AS (
+    SELECT 'direct' AS channel,
+           count(*) AS last_touch_conversions,
+           coalesce(sum(rev_cents), 0)::BIGINT
+               AS last_touch_revenue_cents,
+           count(*) AS first_touch_conversions,
+           coalesce(sum(rev_cents), 0)::BIGINT
+               AS first_touch_revenue_cents,
+           coalesce(sum(rev_cents), 0)::BIGINT * 1000
+               AS linear_credit_millicents
+    FROM convs
+    WHERE conv_id NOT IN (SELECT conv_id FROM joined)
+)
+SELECT * FROM credited
+UNION ALL
+SELECT * FROM direct
+ORDER BY channel
+"""
+
+
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7-days) forecast backtest on daily revenue.
+
+    The event stream is aggregated to an integer-cents daily revenue
+    series (dimension-sized), the forecast for day d is the actual of
+    day d-7 via a CALENDAR self-join (robust to missing days, unlike a
+    row-offset lag), and the error profile is reported per weekday with
+    integer error sums so the averages divide exactly once.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("rev_cents")
+    )
+    fc = daily.select(
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("rev_cents").alias("forecast_cents"),
+    )
+    scored = daily.join(fc, "day").select(
+        # Spark dayofweek: 1=Sunday..7=Saturday; report 0-based Sunday=0
+        # to match DuckDB's dayofweek().
+        (F.dayofweek("day") - 1).alias("dow"),
+        (F.col("rev_cents") - F.col("forecast_cents")).alias("err"),
+    )
+    return (
+        scored.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("err"))).alias("sum_abs_err_cents"),
+            F.sum("err").alias("sum_err_cents"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "sum_abs_err_cents",
+            "sum_err_cents",
+            F.round(
+                F.col("sum_abs_err_cents") / F.col("n_days") / 100, 4
+            ).alias("mae"),
+            F.round(
+                F.col("sum_err_cents") / F.col("n_days") / 100, 4
+            ).alias("bias"),
+        )
+        .orderBy("dow")
+    )
+
+
+SEASONAL_SQL = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           round(sum(value) * 100)::BIGINT AS rev_cents
+    FROM events GROUP BY 1
+),
+scored AS (
+    SELECT dayofweek(d.day) AS dow,
+           d.rev_cents - f.rev_cents AS err
+    FROM daily d
+    JOIN daily f ON f.day = d.day - INTERVAL 7 DAY
+)
+SELECT dow, count(*) AS n_days,
+       sum(abs(err))::BIGINT AS sum_abs_err_cents,
+       sum(err)::BIGINT AS sum_err_cents,
+       round(sum(abs(err))::DOUBLE / count(*) / 100, 4) AS mae,
+       round(sum(err)::DOUBLE / count(*) / 100, 4) AS bias
+FROM scored
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "attribution_report": attribution_report,
+    "seasonal_naive_forecast": seasonal_naive_forecast,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
+    "attribution_report": ATTRIBUTION_SQL,
+    "seasonal_naive_forecast": SEASONAL_SQL,
+}
