@@ -315,3 +315,196 @@ ORACLES = {
     "triangle_count": TRIANGLE_COUNT_SQL,
     "common_neighbor_topk": COMMON_NEIGHBOR_SQL,
 }
+
+
+_LPA_ROUNDS = 4
+
+
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection via synchronous label propagation.
+
+    Deterministic variant of Raghavan et al. (2007): every node starts
+    with its own id as label; each of the ``_LPA_ROUNDS`` synchronous
+    rounds every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label. Bounded rounds (not
+    convergence-detection) keep the dataflow static — the oracle
+    unrolls the same rounds as chained CTEs, so both engines run the
+    identical synchronous schedule (classic LPA is sweep-order
+    dependent; the synchronous schedule removes that nondeterminism).
+
+    Scale posture: each round is one shuffle join (labels are
+    re-keyed by neighbor) plus one map-side-combinable count and one
+    per-node window — all on the sparsified top-k edge set whose
+    degree is bounded by construction, so a round's cost is O(edges)
+    regardless of hub skew. The report is community sizes only.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(
+        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    win = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F.col("u").alias("node_"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumnRenamed("node_", "node")
+        )
+        labels = (
+            counted.withColumn("r", F.row_number().over(win))
+            .filter(F.col("r") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+    )
+
+
+def _lpa_sql() -> str:
+    parts = [
+        _EDGES_SQL,
+        """sym AS (
+    SELECT s1 AS u, s2 AS v FROM edges
+    UNION ALL
+    SELECT s2 AS u, s1 AS v FROM edges
+)""",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{i} AS (
+    SELECT s.u AS node, l.label, count(*) AS cnt
+    FROM sym s JOIN l{i - 1} l ON s.v = l.node
+    GROUP BY s.u, l.label
+),
+l{i} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS r
+        FROM c{i})
+    WHERE r = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT label AS community, count(*) AS size
+FROM l{_LPA_ROUNDS}
+GROUP BY label
+ORDER BY size DESC, community
+"""
+    )
+
+
+LPA_SQL = _lpa_sql()
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def k_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling trace (k=2, 3 rounds).
+
+    Each round drops every edge with an endpoint of degree < k, the
+    distributed formulation of iterative k-core decomposition
+    (peeling); the output is the convergence trace — per-round
+    surviving node and edge counts — which is what a pipeline
+    monitoring graph densification actually records. Bounded rounds
+    keep the dataflow static and oracle-unrollable; on this top-k
+    graph the trace converges within the bound (asserted by parity
+    with the oracle's identical unrolling).
+
+    Scale posture: a round is one degree aggregate (map-side
+    combinable) plus two broadcast-or-shuffle joins of the edge set
+    against the node-degree table; no iteration reads the raw fact
+    tables again.
+    """
+    e = _supplier_edges(spark, sf_dir)
+    stats = []
+    for rnd in range(_KCORE_ROUNDS + 1):
+        nodes = e.select(F.col("s1").alias("node")).unionAll(
+            e.select(F.col("s2").alias("node"))
+        )
+        stats.append(
+            e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+                F.broadcast(
+                    nodes.agg(
+                        F.count_distinct("node").alias("n_nodes")
+                    )
+                )
+            ).select(
+                F.lit(rnd).alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        if rnd == _KCORE_ROUNDS:
+            break
+        deg = nodes.groupBy("node").agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "s1"), "s1")
+            .join(keep.withColumnRenamed("node", "s2"), "s2")
+            .select("s1", "s2")
+        )
+    out = stats[0]
+    for st in stats[1:]:
+        out = out.unionAll(st)
+    return out.orderBy("round")
+
+
+def _kcore_sql() -> str:
+    parts = [_EDGES_SQL, "e0 AS (SELECT s1, s2 FROM edges)"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{i - 1} AS (
+    SELECT node, count(*) AS deg
+    FROM (SELECT s1 AS node FROM e{i - 1}
+          UNION ALL
+          SELECT s2 AS node FROM e{i - 1}) ends
+    GROUP BY node
+),
+e{i} AS (
+    SELECT e.s1, e.s2
+    FROM e{i - 1} e
+    JOIN d{i - 1} da ON da.node = e.s1 AND da.deg >= {_KCORE_K}
+    JOIN d{i - 1} db ON db.node = e.s2 AND db.deg >= {_KCORE_K}
+)"""
+        )
+    stat_rows = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round,
+       (SELECT count(DISTINCT node)
+        FROM (SELECT s1 AS node FROM e{i}
+              UNION ALL SELECT s2 FROM e{i}) en) AS n_nodes,
+       (SELECT count(*) FROM e{i}) AS n_edges"""
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + stat_rows
+        + "\nORDER BY round\n"
+    )
+
+
+KCORE_SQL = _kcore_sql()
+
+
+QUERIES["label_propagation_communities"] = label_propagation_communities
+ORACLES["label_propagation_communities"] = LPA_SQL
+QUERIES["k_core_peeling"] = k_core_peeling
+ORACLES["k_core_peeling"] = KCORE_SQL

@@ -597,3 +597,22 @@ def test_retention_and_rfm_stay_jvm_side(plans):
         plan = plans[name]
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_lpa_rounds_are_keyed_joins(plans):
+    """Each label-propagation round must re-key labels with a hash join
+    (shuffle or broadcast) — never a cartesian — and the per-node argmax
+    stays a window over the keyed counts, all JVM-side."""
+    plan = plans["label_propagation_communities"]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join type: Cross") == 0
+    assert "EvalPython" not in plan
+
+
+def test_kcore_trace_combines_only_one_row_aggregates(plans):
+    """The per-round (n_edges x n_nodes) stat combine is a broadcast of
+    one-row aggregates; the edge-filter joins themselves must stay keyed
+    (hash joins on the node id), never cartesian."""
+    plan = plans["k_core_peeling"]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
