@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import text as T
 from ..sources import load_table
 
 # Ordered funnel: a user converts step k only with an event strictly
@@ -398,3 +399,154 @@ ORACLES = {
     "attribution_report": ATTRIBUTION_SQL,
     "seasonal_naive_forecast": SEASONAL_SQL,
 }
+
+
+def _scrambled_hash_sql(expr: str) -> str:
+    """DuckDB twin of operators.text.scrambled_hash (same fold, same
+    constants) — see queries/llm_corpus.py for the shared derivation."""
+    return (
+        "((list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        "(acc, ch) -> (acc * 31 + ch) % 1000000007)) "
+        f"* {T.MIX_MULT}) % {T.HASH_MOD}"
+    )
+
+
+_AB_Z_CRIT = 1.96  # two-sided 5%
+# "Conversion" = a purchase above this value — keeps the rate interior
+# (any-purchase saturates at 100% on this firehose: ~13 purchases/user).
+_AB_CONV_VALUE = 150.0
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of an A/B experiment on the event stream.
+
+    Variant assignment is the deterministic cross-engine scrambled hash
+    of the user id (``h % 2``) — exactly how a real experimentation
+    platform buckets users, and reproducible in the DuckDB oracle
+    token-for-token. A user converts if they have any ``purchase``
+    event. The report is one row per variant (exposed users, converted
+    users, conversion rate) plus the pooled two-proportion z statistic
+    and a significance verdict. The z-score is ROUNDED (4 dp) before
+    the ``|z| >= 1.96`` threshold so the cliff is engine-identical.
+
+    Scale posture: two map-side-combinable aggregates over a single
+    ``user_id``-keyed reduction of the event stream; the per-variant
+    table is 2 rows, so the z-computation joins one-row broadcasts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= _AB_CONV_VALUE)
+                ).cast("int")
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                T.scrambled_hash(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                )
+                % 2
+                == 0,
+                F.lit("control"),
+            ).otherwise(F.lit("treatment")),
+        )
+    )
+    per_variant = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = per_variant.filter(F.col("variant") == "control").select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = per_variant.filter(F.col("variant") == "treatment").select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    zrow = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("p_pool", (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")))
+        .withColumn(
+            "z",
+            # nullif guards the degenerate pools (everyone / no one
+            # converted): zero pooled variance reports z = 0.0 on both
+            # engines instead of a divide-by-zero.
+            F.coalesce(
+                F.round(
+                    (F.col("c_a") / F.col("n_a") - F.col("c_b") / F.col("n_b"))
+                    / F.nullif(
+                        F.sqrt(
+                            F.col("p_pool")
+                            * (1 - F.col("p_pool"))
+                            * (1 / F.col("n_a") + 1 / F.col("n_b"))
+                        ),
+                        F.lit(0.0),
+                    ),
+                    4,
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select("z")
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(zrow))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_users"), 6).alias(
+                "conv_rate"
+            ),
+            F.col("z").alias("z_score"),
+            (F.abs(F.col("z")) >= _AB_Z_CRIT).alias("significant"),
+        )
+        .orderBy("variant")
+    )
+
+
+def _ab_test_sql() -> str:
+    h = _scrambled_hash_sql("'ab:' || user_id::VARCHAR")
+    return f"""
+WITH users AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase'
+                     AND value >= {_AB_CONV_VALUE} THEN 1 ELSE 0 END) AS converted,
+           CASE WHEN ({h}) % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant
+    FROM events
+    GROUP BY user_id
+),
+per_variant AS (
+    SELECT variant, count(*) AS n_users,
+           sum(converted)::BIGINT AS n_converted
+    FROM users GROUP BY variant
+),
+z AS (
+    SELECT coalesce(round(
+        (a.n_converted::DOUBLE / a.n_users - b.n_converted::DOUBLE / b.n_users)
+        / nullif(sqrt(
+            ((a.n_converted + b.n_converted)::DOUBLE / (a.n_users + b.n_users))
+            * (1 - (a.n_converted + b.n_converted)::DOUBLE / (a.n_users + b.n_users))
+            * (1.0 / a.n_users + 1.0 / b.n_users)
+        ), 0.0), 4), 0.0) AS z_score
+    FROM (SELECT * FROM per_variant WHERE variant = 'control') a,
+         (SELECT * FROM per_variant WHERE variant = 'treatment') b
+)
+SELECT variant, n_users, n_converted,
+       round(n_converted::DOUBLE / n_users, 6) AS conv_rate,
+       z_score,
+       abs(z_score) >= {_AB_Z_CRIT} AS significant
+FROM per_variant CROSS JOIN z
+ORDER BY variant
+"""
+
+
+AB_TEST_SQL = _ab_test_sql()
+
+QUERIES["ab_test_report"] = ab_test_report
+ORACLES["ab_test_report"] = AB_TEST_SQL

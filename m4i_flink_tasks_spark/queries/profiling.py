@@ -344,3 +344,85 @@ JOIN_SKEW_SQL = (
 
 QUERIES["join_skew_report"] = join_skew_report
 ORACLES["join_skew_report"] = JOIN_SKEW_SQL
+
+
+_KANON_K = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over quasi-identifiers — the privacy gate a
+    dataset release runs before publication.
+
+    Quasi-identifier class = (nation, market segment, account-balance
+    thousand-bucket); the bucket is integer arithmetic on rounded cents
+    so the class boundary is engine-exact. The report aggregates class
+    SIZES into anonymity bands (unique / 2..k-1 / k..2k-1 / >=2k) with
+    the row counts at risk — bounded output at any scale, unlike a
+    violating-class listing.
+
+    Scale posture: two map-side-combinable aggregates (rows -> classes
+    -> bands); nothing joins, nothing sorts more than 4 rows. Suppress
+    / generalize decisions consume this report; the class relation
+    itself stays distributed.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    classes = (
+        customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            (
+                F.round(F.col("c_acctbal") * 100).cast("long")
+                / F.lit(100_000)
+            )
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    band = (
+        F.when(F.col("class_size") == 1, "1 unique")
+        .when(F.col("class_size") < _KANON_K, f"2 under-k (<{_KANON_K})")
+        .when(
+            F.col("class_size") < 2 * _KANON_K,
+            f"3 k-anonymous (<{2 * _KANON_K})",
+        )
+        .otherwise(f"4 comfortable (>={2 * _KANON_K})")
+    )
+    return (
+        classes.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.min("class_size").alias("min_class"),
+            F.max("class_size").alias("max_class"),
+        )
+        .orderBy("band")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           round(c_acctbal * 100)::BIGINT // 100000 AS bal_bucket,
+           count(*) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT CASE
+         WHEN class_size = 1 THEN '1 unique'
+         WHEN class_size < {_KANON_K} THEN '2 under-k (<{_KANON_K})'
+         WHEN class_size < {2 * _KANON_K} THEN '3 k-anonymous (<{2 * _KANON_K})'
+         ELSE '4 comfortable (>={2 * _KANON_K})'
+       END AS band,
+       count(*) AS n_classes,
+       sum(class_size)::BIGINT AS n_rows,
+       min(class_size) AS min_class,
+       max(class_size) AS max_class
+FROM classes
+GROUP BY band
+ORDER BY band
+"""
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLES["k_anonymity_audit"] = K_ANONYMITY_SQL

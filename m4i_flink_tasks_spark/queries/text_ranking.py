@@ -218,3 +218,71 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "bm25_search": _bm25_sql(),
 }
+
+
+_POSTINGS_CAP = 20
+_POSTINGS_TOP_TERMS = 50
+
+
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: capped posting lists for the highest-df
+    terms — the physical artifact a search / retrieval layer serves.
+
+    Per term: document frequency, corpus frequency, and the posting
+    list CAPPED to the first ``_POSTINGS_CAP`` doc_ids. The cap is
+    enforced with a per-term ``row_number`` window BEFORE the
+    ``collect_list``, so no executor ever materializes a stop-word's
+    full posting list (at 100 TB a frequent term's postings are larger
+    than any single task's memory; the window keeps per-task state at
+    one row). The window and the stats aggregate shuffle on the same
+    ``term`` key, so the exchange is reused. Output is the top
+    ``_POSTINGS_TOP_TERMS`` terms by df (integer ordering, term
+    tiebreak) — TakeOrdered, never a global sort.
+    """
+    tf = _term_frequencies(spark, sf_dir)
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    win = Window.partitionBy("term").orderBy("doc_id")
+    capped = (
+        tf.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(capped, "term")
+        .select("term", "df", "cf", "postings")
+        .orderBy(F.desc("df"), "term")
+        .limit(_POSTINGS_TOP_TERMS)
+    )
+
+
+POSTINGS_SQL = f"""
+WITH {_TF_SQL},
+stats AS (
+    SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+    FROM tf GROUP BY term
+),
+capped AS (
+    SELECT term,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM (SELECT term, doc_id,
+                 row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r
+          FROM tf)
+    WHERE r <= {_POSTINGS_CAP}
+    GROUP BY term
+)
+SELECT term, df, cf, postings
+FROM stats JOIN capped USING (term)
+ORDER BY df DESC, term
+LIMIT {_POSTINGS_TOP_TERMS}
+"""
+
+QUERIES["inverted_postings"] = inverted_postings
+ORACLES["inverted_postings"] = POSTINGS_SQL

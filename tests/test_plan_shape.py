@@ -616,3 +616,38 @@ def test_kcore_trace_combines_only_one_row_aggregates(plans):
     plan = plans["k_core_peeling"]
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_postings_cap_is_window_before_collect(plans):
+    """The posting-list cap must be a per-term row_number window BEFORE
+    the collect_list (bounded executor state) — and the whole build
+    stays JVM-side with no cartesian."""
+    plan = plans["inverted_postings"]
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # TakeOrdered for the top-terms report, not a global sort+limit.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ab_test_combines_one_row_frames(plans):
+    """The z-statistic joins one-row per-variant frames (broadcast
+    nested loop on single-row sides); the user reduction is a single
+    keyed aggregate with no sort-merge join."""
+    plan = plans["ab_test_report"]
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_trend_slopes_broadcast_dims(plans):
+    """Customer and nation dims broadcast into the single fact shuffle;
+    moment arithmetic stays in whole-stage codegen."""
+    plan = plans["revenue_trend_slopes"]
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_k_anonymity_is_two_aggregates_no_join(plans):
+    plan = plans["k_anonymity_audit"]
+    assert "EvalPython" not in plan
+    assert "Join" not in plan.replace("JoinSelection", "")
