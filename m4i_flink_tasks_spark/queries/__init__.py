@@ -30,6 +30,7 @@ from . import (
     collocations,
     doc_lifecycle,
     doc_maintenance,
+    entity_resolution,
     extended_relational,
     graph,
     graph_analytics,
@@ -65,6 +66,7 @@ _MODULES = (
     graph_analytics,
     doc_maintenance,
     doc_lifecycle,
+    entity_resolution,
     streaming_like,
     pipelines,
     llm_dedup,

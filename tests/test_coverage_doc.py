@@ -58,6 +58,8 @@ def test_documented_query_names_exist():
             "map_filter",
             "transform_keys",
             "concat_ws",
+            "connected_components",
+            "levenshtein",
             "from_json",
             "to_json",
             "map_zip_with",

@@ -651,3 +651,14 @@ def test_k_anonymity_is_two_aggregates_no_join(plans):
     plan = plans["k_anonymity_audit"]
     assert "EvalPython" not in plan
     assert "Join" not in plan.replace("JoinSelection", "")
+
+
+def test_entity_clusters_report_is_takeordered(plans):
+    """The survivorship report caps rows via TakeOrdered (never a global
+    sort) and stays JVM-side; the block/match joins live behind the
+    components fixpoint's checkpoint and are pinned by
+    tests/test_entity_resolution.py."""
+    plan = plans["entity_match_clusters"]
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
