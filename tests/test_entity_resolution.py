@@ -5,8 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from m4i_flink_tasks_spark.queries.entity_resolution import (
+    _EVEN_POS,
     _LEV_MAX,
+    _ODD_POS,
     _candidate_pairs,
+    _interleaved_key,
 )
 from m4i_flink_tasks_spark.sources import load_table
 
@@ -19,8 +22,10 @@ def test_segment_blocking_has_full_recall(spark, sf_dir):
     pigeonhole guarantee, checked against a brute-force twin."""
     customer = load_table(spark, sf_dir, "customer")
     blocked = (
-        _candidate_pairs(customer, F.substring("c_name", 10, 4))
-        .union(_candidate_pairs(customer, F.substring("c_name", 14, 5)))
+        _candidate_pairs(customer, _interleaved_key("c_name", _ODD_POS))
+        .union(
+            _candidate_pairs(customer, _interleaved_key("c_name", _EVEN_POS))
+        )
         .distinct()
     )
     a = customer.alias("a")
@@ -48,7 +53,9 @@ def test_block_join_is_hash_equality(spark, sf_dir):
     """Each blocking pass joins on pure equality keys — a hash join,
     never a cartesian with a post-filter."""
     customer = load_table(spark, sf_dir, "customer")
-    plan = plan_of(_candidate_pairs(customer, F.substring("c_name", 10, 4)))
+    plan = plan_of(
+        _candidate_pairs(customer, _interleaved_key("c_name", _ODD_POS))
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
