@@ -550,3 +550,115 @@ AB_TEST_SQL = _ab_test_sql()
 
 QUERIES["ab_test_report"] = ab_test_report
 ORACLES["ab_test_report"] = AB_TEST_SQL
+
+
+_EWMA_ALPHA = 0.3
+
+
+def exp_smoothing_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing backtest per event type.
+
+    Smooths each type's daily revenue series (level_{t} = level_{t-1}
+    + alpha * err_t, initialized at the first observation) and reports
+    the one-step-ahead mean absolute error — the standard "is a dumb
+    smoother good enough?" baseline next to the seasonal-naive
+    backtest. The recursion is inherently sequential, so it runs as an
+    expression-native ``F.aggregate`` fold over each type's time-sorted
+    (dimension-sized) daily series — identical operation order to the
+    DuckDB ``list_reduce`` twin, which makes the float recursion
+    engine-exact (rounded once, at the end).
+
+    Scale posture: the fact scan reduces to (type x day) cents with a
+    map-side-combinable aggregate; only the tiny series is collected
+    per group, and the fold is JVM codegen (no Python). Folding state
+    is one struct per group.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("rev_cents")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "rev_cents"))
+        ).alias("obs")
+    )
+    first = F.element_at(F.col("obs"), 1)
+    # Field order chosen for the ORACLE, not for Spark (whose struct
+    # construction is pure): DuckDB evaluates struct_pack fields
+    # sequentially inside list_reduce, so sae — which reads the
+    # pre-update level — must come before the level field.
+    init = F.struct(
+        F.lit(0.0).alias("sae"),
+        first["rev_cents"].cast("double").alias("level"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    folded = F.aggregate(
+        F.slice(F.col("obs"), 2, F.size(F.col("obs")) - 1),
+        init,
+        lambda acc, x: F.struct(
+            (
+                acc["sae"]
+                + F.abs(x["rev_cents"].cast("double") - acc["level"])
+            ).alias("sae"),
+            (
+                acc["level"]
+                + _EWMA_ALPHA
+                * (x["rev_cents"].cast("double") - acc["level"])
+            ).alias("level"),
+            (acc["n"] + 1).alias("n"),
+        ),
+    )
+    return (
+        series.select("event_type", folded.alias("st"))
+        .select(
+            "event_type",
+            F.col("st.n").alias("n_days"),
+            F.round(F.col("st.level") / 100.0, 4).alias("final_level"),
+            F.round(
+                F.col("st.sae") / (F.col("st.n") - 1) / 100.0, 4
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXP_SMOOTHING_SQL = f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           round(sum(value) * 100)::BIGINT AS rev_cents
+    FROM events
+    GROUP BY 1, 2
+),
+series AS (
+    SELECT event_type,
+           -- sae listed BEFORE level: DuckDB list_reduce evaluates
+           -- struct_pack fields sequentially, so sae must read
+           -- acc.level before the level field overwrites it (matches
+           -- Spark's pure struct fold; probed on duckdb 1.0).
+           list(struct_pack(
+                    sae := 0.0::DOUBLE,
+                    level := rev_cents::DOUBLE,
+                    n := 1::BIGINT)
+                ORDER BY day) AS obs
+    FROM daily GROUP BY event_type
+),
+folded AS (
+    SELECT event_type,
+           list_reduce(obs, (acc, x) -> struct_pack(
+               sae := acc.sae + abs(x.level - acc.level),
+               level := acc.level + {_EWMA_ALPHA} * (x.level - acc.level),
+               n := acc.n + 1)) AS st
+    FROM series
+)
+SELECT event_type,
+       st.n AS n_days,
+       round(st.level / 100.0, 4) AS final_level,
+       round(st.sae / (st.n - 1) / 100.0, 4) AS mae
+FROM folded
+ORDER BY event_type
+"""
+
+QUERIES["exp_smoothing_backtest"] = exp_smoothing_backtest
+ORACLES["exp_smoothing_backtest"] = EXP_SMOOTHING_SQL

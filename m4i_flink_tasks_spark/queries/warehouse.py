@@ -985,3 +985,105 @@ ORDER BY n.n_name
 
 QUERIES["revenue_trend_slopes"] = revenue_trend_slopes
 ORACLES["revenue_trend_slopes"] = TREND_SQL
+
+
+_BUCKETS = 8
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free big-big join via bucketed tables (SMB join).
+
+    The one big-big join strategy the suite had not yet demonstrated:
+    both fact tables are written ``bucketBy(N, key).sortBy(key)`` into
+    the session warehouse, after which the orderkey join needs NO
+    exchange and NO sort on either side — each task zips bucket i of
+    one table with bucket i of the other. This is how a production
+    pipeline amortizes the shuffle of its hottest join across every
+    downstream consumer: pay hash-partitioning once at write time,
+    join co-located forever after. The ``merge`` hint pins the
+    sort-merge path so the demo does not degrade to a broadcast at
+    toy scale; the no-exchange/no-sort invariant is asserted in
+    tests/test_plan_shape.py.
+
+    Revenue is per-row integer cents, so the aggregate is exact in any
+    order. The write targets the session warehouse (driver-local tmp),
+    overwritten per call — at real scale the bucketed tables ARE the
+    curated warehouse copy.
+    """
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.split("/")[-1])
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    ot, lt = f"ord_bkt_{tag}", f"li_bkt_{tag}"
+    # A fresh session's in-memory catalog does not know tables a prior
+    # session left in the warehouse directory, and saveAsTable refuses
+    # an existing orphaned location — drop both layers explicitly.
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh_dir = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh_dir, name), ignore_errors=True)
+    # repartition on the bucket key first: one file per bucket, so the
+    # scan honors the written sort order and the SMJ needs no re-sort
+    # (with multiple files per bucket Spark must re-sort each side).
+    (
+        orders.repartition(_BUCKETS, "o_orderkey")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ot)
+    )
+    (
+        lineitem.repartition(_BUCKETS, "l_orderkey")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lt)
+    )
+    # Propagate the written per-bucket sort order into the scan (off by
+    # default since Spark 3.0; safe here because the repartition above
+    # guarantees one file per bucket, the case the conf exists for).
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    return (
+        spark.table(ot)
+        .hint("merge")
+        .join(
+            spark.table(lt),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+           AS revenue_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
+ORACLES["bucketed_colocated_join"] = BUCKETED_JOIN_SQL

@@ -662,3 +662,25 @@ def test_entity_clusters_report_is_takeordered(plans):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_exchange_or_sort_below_smj(plans):
+    """The bucketed-table join must zip bucket i with bucket i: below
+    the SortMergeJoin there may be NO Exchange and NO Sort — the write
+    paid the shuffle once; every read joins co-located. Both scans must
+    report bucketed reads."""
+    plan = plans["bucketed_colocated_join"]
+    tree = plan.split("\n\n", 1)[0]
+    after_smj = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in after_smj, after_smj
+    assert "Sort" not in after_smj, after_smj
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_exp_smoothing_fold_is_jvm_native(plans):
+    """The sequential smoothing recursion must be an expression fold
+    over the dimension-sized series — no Python, no cartesian."""
+    plan = plans["exp_smoothing_backtest"]
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
