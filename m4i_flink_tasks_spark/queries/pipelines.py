@@ -1218,6 +1218,46 @@ ORDER BY guid
 """
 
 
+def stream_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental OLS (streaming/regression_state.py): the
+    (nation, month) cents cells are ADDITIVE integer state — exact for
+    any batch split — and the slope readout runs the identical integer-
+    moment arithmetic as the batch revenue_trend_slopes, so a per-row-
+    cents batch SQL oracles the stream bit-for-bit."""
+    from ..streaming.regression_state import run_stream_trend_slopes
+
+    return run_stream_trend_slopes(
+        spark, sf_dir, _workdir("trend_slopes")
+    )
+
+
+STREAM_TREND_SQL = """
+WITH monthly AS (
+    SELECT c.c_nationkey,
+           (year(o.o_orderdate) - 1970) * 12 + month(o.o_orderdate) - 1 AS x,
+           sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS y_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+moments AS (
+    SELECT c_nationkey,
+           count(*)::BIGINT AS n_months,
+           sum(x)::BIGINT AS sx,
+           sum(y_cents)::BIGINT AS sy,
+           sum(x * y_cents)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sxx
+    FROM monthly GROUP BY c_nationkey
+)
+SELECT n.n_name,
+       m.n_months,
+       round((m.n_months * m.sxy - m.sx * m.sy)::DOUBLE
+             / (m.n_months * m.sxx - m.sx * m.sx) / 100.0, 6) AS slope_per_month,
+       round(m.sy::DOUBLE / m.n_months / 100.0, 4) AS avg_monthly_revenue
+FROM moments m JOIN nation n ON m.c_nationkey = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1246,6 +1286,7 @@ QUERIES = {
     "stream_audio_ingest": stream_audio_ingest,
     "stream_rate_anomalies": stream_rate_anomalies,
     "stream_weighted_sample": stream_weighted_sample,
+    "stream_trend_slopes": stream_trend_slopes,
 }
 
 ORACLES = {
@@ -1276,4 +1317,5 @@ ORACLES = {
     "stream_audio_ingest": _stream_audio_sql(),
     "stream_rate_anomalies": _stream_anomaly_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
+    "stream_trend_slopes": STREAM_TREND_SQL,
 }

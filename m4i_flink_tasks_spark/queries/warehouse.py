@@ -1087,3 +1087,91 @@ ORDER BY o.o_orderpriority
 
 QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
 ORACLES["bucketed_colocated_join"] = BUCKETED_JOIN_SQL
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts on the (cheap, small) Pareto frontier.
+
+    A part is on the frontier iff no other part is <= on both price
+    and size with one strict. Rather than the O(n^2) dominance
+    self-join, the 2-D skyline reduces to: (1) per-price minimum size
+    — a map-side-combinable aggregate that collapses the fact table to
+    the DISTINCT-PRICE domain; (2) one window over that tiny relation
+    ordered by price, keeping prices whose best size beats the running
+    minimum of all strictly-cheaper prices; (3) a join back to emit the
+    winning parts (ties on (price, size) are mutually non-dominating
+    and all kept). Prices are integer cents so ordering and equality
+    are engine-exact.
+
+    Scale posture: one aggregate shuffle keyed by price + a window over
+    the distinct-price relation (bounded domain, broadcastable) + one
+    semi-join back — no pairwise comparison ever materializes.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    per_price = part.groupBy("price_cents").agg(
+        F.min("p_size").alias("best_size")
+    )
+    w = (
+        Window.orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = (
+        per_price.withColumn("run_min", F.min("best_size").over(w))
+        .filter(
+            F.col("run_min").isNull()
+            | (F.col("best_size") < F.col("run_min"))
+        )
+        .select("price_cents", "best_size")
+    )
+    return (
+        part.alias("p")
+        .join(
+            F.broadcast(frontier_prices.alias("f")),
+            (F.col("p.price_cents") == F.col("f.price_cents"))
+            & (F.col("p.p_size") == F.col("f.best_size")),
+        )
+        .select(
+            "p.p_partkey",
+            "p.p_brand",
+            "p.p_size",
+            F.round(F.col("p.price_cents") / 100.0, 2).alias("price"),
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+PARETO_SQL = """
+WITH p AS (
+    SELECT p_partkey, p_brand, p_size,
+           round(p_retailprice * 100)::BIGINT AS price_cents
+    FROM part
+),
+per_price AS (
+    SELECT price_cents, min(p_size) AS best_size
+    FROM p GROUP BY price_cents
+),
+frontier AS (
+    SELECT price_cents, best_size
+    FROM (SELECT price_cents, best_size,
+                 min(best_size) OVER (ORDER BY price_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS run_min
+          FROM per_price)
+    WHERE run_min IS NULL OR best_size < run_min
+)
+SELECT p.p_partkey, p.p_brand, p.p_size,
+       round(p.price_cents / 100.0, 2) AS price
+FROM p JOIN frontier f
+  ON p.price_cents = f.price_cents AND p.p_size = f.best_size
+ORDER BY price, p.p_partkey
+"""
+
+QUERIES["pareto_frontier_parts"] = pareto_frontier_parts
+ORACLES["pareto_frontier_parts"] = PARETO_SQL

@@ -684,3 +684,12 @@ def test_exp_smoothing_fold_is_jvm_native(plans):
     plan = plans["exp_smoothing_backtest"]
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_never_materializes_pairs(plans):
+    """The skyline must run as aggregate + window + broadcast join-back
+    — no dominance self-join (cartesian) and no Python."""
+    plan = plans["pareto_frontier_parts"]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
