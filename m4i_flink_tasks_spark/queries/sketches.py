@@ -631,3 +631,81 @@ ORDER BY exact_cnt DESC, o_custkey
 
 QUERIES["approx_freq_countmin"] = approx_freq_countmin
 ORACLES["approx_freq_countmin"] = COUNTMIN_SQL
+
+
+_MEDIAN_BUCKET_CENTS = 100_000  # $1000 histogram buckets
+
+
+def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median without a global sort — the companion
+    to this module's approximate sketches for when the answer must be
+    exact.
+
+    Classic two-pass k-th-element selection: pass 1 builds a coarse
+    integer-cents histogram (map-side-combinable; the driver sees only
+    the bucket counts — bounded by the price domain over the bucket
+    width, ~100 rows at any scale factor) and locates the bucket
+    holding rank k = (n+1)//2 (lower median, deterministic for even
+    n); pass 2 ranks inside that single bucket (a filter that prunes
+    everything else, then one small sort) and picks the residual rank.
+    Ties share a value, so tie order cannot change the answer. At
+    100 TB the same two passes hold: the histogram is a constant-size
+    aggregate and pass 2 touches ~1/n_buckets of the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("pc")
+    )
+    hist = (
+        li.groupBy(
+            (F.col("pc") / F.lit(_MEDIAN_BUCKET_CENTS))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+        .collect()
+    )
+    n = sum(r.cnt for r in hist)
+    k = (n + 1) // 2
+    cum = 0
+    target_bucket, offset = None, None
+    for r in hist:
+        if cum + r.cnt >= k:
+            target_bucket, offset = r.bucket, k - cum
+            break
+        cum += r.cnt
+    # offset-th smallest inside the located bucket = max of the offset
+    # smallest — a TakeOrdered (top-k per partition, k = offset, which
+    # the bucket width bounds at ~n/n_buckets), never a one-partition
+    # global window.
+    return (
+        li.filter(
+            (F.col("pc") / F.lit(_MEDIAN_BUCKET_CENTS)).cast("long")
+            == F.lit(target_bucket)
+        )
+        .orderBy("pc")
+        .limit(offset)
+        .agg(
+            F.lit(n).cast("long").alias("n_rows"),
+            F.lit(k).cast("long").alias("k_rank"),
+            F.round(F.max("pc") / 100.0, 2).alias("median_price"),
+        )
+    )
+
+
+EXACT_MEDIAN_SQL = """
+WITH pc AS (
+    SELECT round(l_extendedprice * 100)::BIGINT AS c FROM lineitem
+),
+n AS (SELECT count(*)::BIGINT AS cnt FROM pc)
+SELECT (SELECT cnt FROM n) AS n_rows,
+       ((SELECT cnt FROM n) + 1) // 2 AS k_rank,
+       round((SELECT c FROM pc ORDER BY c
+              LIMIT 1 OFFSET ((SELECT cnt FROM n) + 1) // 2 - 1) / 100.0,
+             2) AS median_price
+"""
+
+QUERIES["exact_median_twopass"] = exact_median_twopass
+ORACLES["exact_median_twopass"] = EXACT_MEDIAN_SQL

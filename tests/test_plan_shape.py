@@ -693,3 +693,24 @@ def test_pareto_frontier_never_materializes_pairs(plans):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_banded_range_join_is_hash_not_nested_loop(plans):
+    """The tier interval join must run as a broadcast HASH join on the
+    band key with a residual filter — the nested-loop plan a naive
+    BETWEEN join produces is the thing this query exists to avoid."""
+    plan = plans["price_tier_revenue"]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_median_second_pass_is_takeordered(plans):
+    """Pass 2 must select the residual rank as TakeOrdered over the
+    single located bucket (bounded by the histogram width) — never a
+    one-partition global window — and stay JVM-side (the pass-1
+    histogram collect is bounded by the price domain, documented)."""
+    plan = plans["exact_median_twopass"]
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
