@@ -1258,6 +1258,24 @@ ORDER BY n.n_name
 """
 
 
+def stream_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming skyline maintenance (streaming/pareto_state.py):
+    skyline(A ∪ B) == skyline(skyline(A) ∪ B), so the maintained
+    frontier equals the batch skyline for any batch split and the
+    batch pareto_frontier_parts SQL oracles the stream."""
+    from ..streaming.pareto_state import run_stream_pareto_frontier
+
+    return run_stream_pareto_frontier(
+        spark, sf_dir, _workdir("pareto_frontier")
+    )
+
+
+def _stream_pareto_sql() -> str:
+    from .warehouse import PARETO_SQL
+
+    return PARETO_SQL
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1287,6 +1305,7 @@ QUERIES = {
     "stream_rate_anomalies": stream_rate_anomalies,
     "stream_weighted_sample": stream_weighted_sample,
     "stream_trend_slopes": stream_trend_slopes,
+    "stream_pareto_frontier": stream_pareto_frontier,
 }
 
 ORACLES = {
@@ -1318,4 +1337,5 @@ ORACLES = {
     "stream_rate_anomalies": _stream_anomaly_sql(),
     "stream_weighted_sample": _stream_weighted_sample_sql(),
     "stream_trend_slopes": STREAM_TREND_SQL,
+    "stream_pareto_frontier": _stream_pareto_sql(),
 }
