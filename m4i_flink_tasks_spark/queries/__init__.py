@@ -151,7 +151,13 @@ _MODULES = (
 # event_rate_anomalies, join_skew_report,
 # stream_rate_anomalies, markup_text_extraction,
 # supplier_cooccurrence_rules, user_retention_cohorts,
-# rfm_segments — all oracle-backed),
+# rfm_segments, funnel_conversion, attribution_report,
+# seasonal_naive_forecast, exp_smoothing_backtest, ab_test_report,
+# label_propagation_communities, k_core_peeling,
+# entity_match_clusters, inverted_postings, revenue_trend_slopes,
+# k_anonymity_audit, pareto_frontier_parts, bucketed_colocated_join,
+# exact_median_twopass, price_tier_revenue, stream_trend_slopes,
+# stream_pareto_frontier — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,
