@@ -518,3 +518,71 @@ ORACLES = {
     "scalar_row_transforms": SCALAR_ROW_TRANSFORMS_SQL,
     "dead_letter_split": DEAD_LETTER_SQL,
 }
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one dataset written under two schema
+    versions (a column added mid-history) unified by ``mergeSchema`` —
+    the operational reality of any long-lived 100 TB table.
+
+    The query stages the SAME orders relation as two parquet
+    generations — v1 (even orderkeys) WITHOUT ``o_orderpriority``, v2
+    (odd orderkeys) with it — then reads both directories in one scan
+    with ``mergeSchema=true`` (per-file footer reconciliation; absent
+    columns surface as NULL, exactly how a schema registry evolves a
+    topic). The report groups revenue by priority with the pre-schema
+    rows bucketed under ``(pre-schema)``. The oracle reproduces the
+    semantics from the base table (even keys lose their priority), so
+    no staged path leaks into the SQL.
+
+    Scale posture: staging is one pass over orders; the merged read is
+    a plain multi-directory scan — schema merge is footer metadata
+    work, not data work — and the report is one map-side-combinable
+    aggregate.
+    """
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="m4i_schema_evo_")
+    v1, v2 = os.path.join(root, "v1"), os.path.join(root, "v2")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .drop("o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(v1)
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .write.mode("overwrite")
+        .parquet(v2)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-schema)'
+            ELSE o_orderpriority END AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY priority
+ORDER BY priority
+"""
+
+QUERIES["schema_evolution_read"] = schema_evolution_read
+ORACLES["schema_evolution_read"] = SCHEMA_EVOLUTION_SQL

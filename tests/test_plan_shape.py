@@ -714,3 +714,13 @@ def test_exact_median_second_pass_is_takeordered(plans):
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_schema_evolution_read_is_one_scan_one_aggregate(plans):
+    """The merged read must stay a plain multi-directory scan feeding
+    one aggregate — schema merge is footer metadata work, never a
+    Python or join stage."""
+    plan = plans["schema_evolution_read"]
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
