@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..operators import text as T
@@ -720,3 +721,148 @@ ORDER BY hi_a, lo_a, hi_b, lo_b
 
 QUERIES["image_perceptual_neardup"] = image_perceptual_neardup
 ORACLES["image_perceptual_neardup"] = IMAGE_NEARDUP_SQL
+
+
+# Exact-similarity threshold as a fraction (4/5 = 0.8): kept rational so
+# the verify predicate is pure integer arithmetic on both engines.
+_PPJOIN_T_NUM, _PPJOIN_T_DEN = 4, 5
+
+
+def ppjoin_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity self-join with prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. 2007) — the no-false-negative complement to
+    the MinHash-LSH path: LSH candidates are probabilistic; the prefix
+    filter is a THEOREM. Docs are 3-gram shingle sets; J(A,B) >= 4/5.
+
+    Why it works: J >= t implies the overlap c >= ceil(t*|A|), so the
+    common tokens cannot all hide in A's last ceil(t*|A|)-1 tokens of a
+    canonical order — A and B must share a token inside the first
+    |A| - ceil(t*|A|) + 1 tokens (the "prefix"). Ordering every doc's
+    tokens rarest-first (global df ascending, token tiebreak) makes
+    those prefixes maximally selective, so the candidate join is on
+    rare tokens only and never enumerates all pairs.
+
+    The verify predicate is integer cross-multiplication
+    (9c >= 4(na+nb) for t=4/5), so the threshold cliff is engine-exact;
+    the DuckDB oracle runs the brute-force DEFINITION (full token
+    co-join, no prefix) — a hash match therefore proves completeness,
+    not just precision.
+
+    Scale posture: the df relation is vocabulary-sized (Heaps-sublinear,
+    broadcast); the per-doc prefix pick is a window over the doc's own
+    tokens; the candidate join carries (doc_id, token) pairs keyed by
+    RARE tokens (bounded fan-out by construction); the overlap count
+    joins only candidate pairs. This is the standard exact-join
+    counterpart deployed when dedup decisions must be auditable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", D.shingles(F.col("text")).alias("sh")
+    )
+    toks = docs.select(
+        "doc_id", F.explode("sh").alias("tok")
+    )  # shingles() already dedups per doc
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_rel = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(F.broadcast(df_rel), "tok")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(
+                f"({_PPJOIN_T_NUM} * n + {_PPJOIN_T_NUM}) "
+                f"DIV {_PPJOIN_T_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    co = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("id_a"), F.col("tok").alias("ta")
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("id_b"), F.col("tok").alias("tb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("ta") == F.col("tb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            (_PPJOIN_T_NUM + _PPJOIN_T_DEN) * F.col("n_shared")
+            >= _PPJOIN_T_NUM * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+PPJOIN_SQL = rf"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS tok
+    FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+co AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM toks a JOIN toks b
+      ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT co.id_a, co.id_b, co.n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(co.n_shared::DOUBLE / (sa.n + sb.n - co.n_shared), 6)
+           AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = co.id_a
+JOIN sizes sb ON sb.doc_id = co.id_b
+WHERE ({_PPJOIN_T_NUM + _PPJOIN_T_DEN}) * co.n_shared
+      >= {_PPJOIN_T_NUM} * (sa.n + sb.n)
+ORDER BY co.id_a, co.id_b
+"""
+
+QUERIES["ppjoin_exact_jaccard"] = ppjoin_exact_jaccard
+ORACLES["ppjoin_exact_jaccard"] = PPJOIN_SQL

@@ -724,3 +724,13 @@ def test_schema_evolution_read_is_one_scan_one_aggregate(plans):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ppjoin_candidates_are_token_keyed(plans):
+    """The exact-similarity join must generate candidates through the
+    prefix-token equi-join (hash joins only) — the brute-force pair
+    enumeration exists solely in the oracle."""
+    plan = plans["ppjoin_exact_jaccard"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
