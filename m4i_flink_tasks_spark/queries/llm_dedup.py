@@ -762,10 +762,13 @@ def ppjoin_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("sh").alias("tok")
     )  # shingles() already dedups per doc
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # SHINGLE vocabulary is near-linear in corpus size (unlike a word
+    # vocabulary) — it must NOT broadcast. The df aggregate and the
+    # df-attach join share the tok key, so the exchange is reused.
     df_rel = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (
-        toks.join(F.broadcast(df_rel), "tok")
+        toks.join(df_rel, "tok")
         .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(
@@ -777,14 +780,26 @@ def ppjoin_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         )
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "n")
     )
+    # Candidate generation adds the AllPairs LENGTH filter as a join
+    # residual: J >= t forces t*|A| <= |B| <= |A|/t, so wildly
+    # different-sized docs sharing one rare token are pruned before
+    # the distinct — integer arithmetic, engine-exact.
     cand = (
         prefix.alias("pa")
         .join(
             prefix.alias("pb"),
             (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                _PPJOIN_T_DEN * F.col("pb.n")
+                >= _PPJOIN_T_NUM * F.col("pa.n")
+            )
+            & (
+                _PPJOIN_T_DEN * F.col("pa.n")
+                >= _PPJOIN_T_NUM * F.col("pb.n")
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("id_a"),
@@ -792,20 +807,25 @@ def ppjoin_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Overlap counts ONLY for candidate pairs, with every equality a
+    # JOIN KEY: expand each pair by side A's tokens (sum over pairs of
+    # |A| rows — bounded by the prefix filter), then hash-join on the
+    # COMPOUND (id_b, tok) key. No token-keyed all-docs join (hot
+    # shingles would fan out df_a x df_b) and no post-join filter (an
+    # |A| x |B| intermediate) can occur.
     co = (
         cand.join(
             toks.select(
-                F.col("doc_id").alias("id_a"), F.col("tok").alias("ta")
+                F.col("doc_id").alias("id_a"), F.col("tok")
             ),
             "id_a",
         )
         .join(
             toks.select(
-                F.col("doc_id").alias("id_b"), F.col("tok").alias("tb")
+                F.col("doc_id").alias("id_b"), F.col("tok")
             ),
-            "id_b",
+            ["id_b", "tok"],
         )
-        .filter(F.col("ta") == F.col("tb"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
