@@ -157,7 +157,8 @@ _MODULES = (
 # entity_match_clusters, inverted_postings, revenue_trend_slopes,
 # k_anonymity_audit, pareto_frontier_parts, bucketed_colocated_join,
 # exact_median_twopass, price_tier_revenue, stream_trend_slopes,
-# stream_pareto_frontier — all oracle-backed),
+# stream_pareto_frontier, schema_evolution_read,
+# ppjoin_exact_jaccard — all oracle-backed),
 # then approx_distinct_kmv, bloom_semijoin_reduction,
 # pagerank_power_iterations, stream_scd2_dimension, table_profile,
 # integrity_checks, jl_random_projection,
