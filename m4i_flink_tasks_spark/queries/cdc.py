@@ -586,3 +586,86 @@ ORDER BY priority
 
 QUERIES["schema_evolution_read"] = schema_evolution_read
 ORACLES["schema_evolution_read"] = SCHEMA_EVOLUTION_SQL
+
+
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resilient ingest: malformed JSON lines quarantined, not dropped
+    and not fatal — the PERMISSIVE-mode contract every production
+    pipeline runs at the edge (a poison line must neither kill the job
+    like FAILFAST nor vanish like DROPMALFORMED; it must be COUNTED).
+
+    The query stages the documents table as JSON lines, deterministically
+    corrupting every ``doc_id % 7 == 3`` row (truncating the tail makes
+    the object unparseable), then reads with an explicit schema plus
+    ``_corrupt_record``: malformed lines surface with all data fields
+    NULL and the raw line captured. The report aggregates good rows per
+    language and the quarantine bucket's row count. The oracle
+    reproduces the corruption RULE from the base table, so no staged
+    path leaks into the SQL.
+
+    Scale posture: one staging pass, one scan with per-line parse (the
+    JSON reader is JVM-native), one map-side-combinable aggregate. The
+    parsed frame is cached because Spark (correctly) refuses plans that
+    filter the internal corrupt-record column of a streaming-parsed
+    relation without materialization.
+    """
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    staged = os.path.join(
+        tempfile.mkdtemp(prefix="m4i_quarantine_"), "jsonl"
+    )
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    (
+        docs.select(
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.substring(line, 1, 10),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(staged)
+    )
+    parsed = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(staged)
+        .cache()
+    )
+    return (
+        parsed.groupBy(
+            F.when(
+                F.col("_corrupt_record").isNotNull(), "(quarantined)"
+            )
+            .otherwise(F.col("lang"))
+            .alias("lang_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("sum_chars"),
+        )
+        .orderBy("lang_bucket")
+    )
+
+
+QUARANTINE_SQL = """
+SELECT CASE WHEN doc_id % 7 = 3 THEN '(quarantined)' ELSE lang END
+           AS lang_bucket,
+       count(*) AS n_rows,
+       sum(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE n_chars END)::BIGINT
+           AS sum_chars
+FROM documents
+GROUP BY lang_bucket
+ORDER BY lang_bucket
+"""
+
+QUERIES["corrupt_record_quarantine"] = corrupt_record_quarantine
+ORACLES["corrupt_record_quarantine"] = QUARANTINE_SQL

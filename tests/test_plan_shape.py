@@ -734,3 +734,12 @@ def test_ppjoin_candidates_are_token_keyed(plans):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_quarantine_parse_is_jvm_native(plans):
+    """The PERMISSIVE JSON parse and quarantine split must stay
+    JVM-side: one scan, one aggregate, no Python, no join."""
+    plan = plans["corrupt_record_quarantine"]
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
