@@ -1276,6 +1276,25 @@ def _stream_pareto_sql() -> str:
     return PARETO_SQL
 
 
+def stream_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT median (streaming/median_state.py): an additive
+    integer value-histogram keyed by cents value — domain-bounded state
+    exact for any batch split — rank-indexed at readout with the same
+    integer (n+1)//2 lower-median rule as the batch two-pass selection,
+    whose oracle therefore oracles the stream."""
+    from ..streaming.median_state import run_stream_exact_median
+
+    return run_stream_exact_median(
+        spark, sf_dir, _workdir("exact_median")
+    )
+
+
+def _stream_exact_median_sql() -> str:
+    from .sketches import EXACT_MEDIAN_SQL
+
+    return EXACT_MEDIAN_SQL
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1306,6 +1325,7 @@ QUERIES = {
     "stream_weighted_sample": stream_weighted_sample,
     "stream_trend_slopes": stream_trend_slopes,
     "stream_pareto_frontier": stream_pareto_frontier,
+    "stream_exact_median": stream_exact_median,
 }
 
 ORACLES = {
@@ -1338,4 +1358,5 @@ ORACLES = {
     "stream_weighted_sample": _stream_weighted_sample_sql(),
     "stream_trend_slopes": STREAM_TREND_SQL,
     "stream_pareto_frontier": _stream_pareto_sql(),
+    "stream_exact_median": _stream_exact_median_sql(),
 }
