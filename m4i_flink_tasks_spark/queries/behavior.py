@@ -662,3 +662,236 @@ ORDER BY event_type
 
 QUERIES["exp_smoothing_backtest"] = exp_smoothing_backtest
 ORACLES["exp_smoothing_backtest"] = EXP_SMOOTHING_SQL
+
+
+_CUPED_CUTOFF = "2024-01-15"
+
+
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B experiment (Deng et al.,
+    WSDM 2013): adjust each user's post-period purchase revenue by
+    their PRE-period revenue — the covariate the experiment cannot have
+    affected — via y' = y - theta (x - mean(x)), theta = cov(x,y)/var(x).
+    The standard trick that lets experimentation platforms detect the
+    same effect with a fraction of the traffic.
+
+    Everything that aggregates is INTEGER (per-user cents, global and
+    per-variant moment sums in BIGINT), so the distributed sums are
+    exact in any order; theta and the adjusted means are a fixed
+    sequence of double ops mirrored token-for-token in the oracle,
+    rounded once at the end. Zero pre-period variance degenerates to
+    theta = 0 via the same nullif/coalesce guard as the z-test.
+
+    Scale posture: one user-keyed reduction of the event stream, one
+    5-integer global moment row broadcast back, per-variant aggregates
+    — no second pass over the facts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    users = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < cut,
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= cut,
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                T.scrambled_hash(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                )
+                % 2
+                == 0,
+                F.lit("control"),
+            ).otherwise(F.lit("treatment")),
+        )
+    )
+    mom = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        F.coalesce(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.nullif(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            F.lit(0.0),
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
+    )
+    per_variant = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    return (
+        per_variant.crossJoin(F.broadcast(mom))
+        .select(
+            "variant",
+            "n_users",
+            F.round(
+                F.col("syv").cast("double") / F.col("n_users") / 100.0, 4
+            ).alias("mean_post"),
+            F.round(
+                (
+                    F.col("syv").cast("double") / F.col("n_users")
+                    - F.col("theta")
+                    * (
+                        F.col("sxv").cast("double") / F.col("n_users")
+                        - F.col("mean_x")
+                    )
+                )
+                / 100.0,
+                4,
+            ).alias("mean_adjusted"),
+            F.round(F.col("theta"), 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )
+
+
+def _cuped_sql() -> str:
+    h = _scrambled_hash_sql("'ab:' || user_id::VARCHAR")
+    return f"""
+WITH users AS (
+    SELECT user_id,
+           sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN round(value * 100)::BIGINT ELSE 0 END) AS x,
+           sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN round(value * 100)::BIGINT ELSE 0 END) AS y,
+           CASE WHEN ({h}) % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+mom AS (
+    SELECT coalesce(
+               (count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE
+               / nullif((count(*) * sum(x * x) - sum(x) * sum(x))::DOUBLE,
+                        0.0),
+               0.0) AS theta,
+           sum(x)::DOUBLE / count(*) AS mean_x
+    FROM users
+),
+per_variant AS (
+    SELECT variant, count(*) AS n_users,
+           sum(x)::BIGINT AS sxv, sum(y)::BIGINT AS syv
+    FROM users GROUP BY variant
+)
+SELECT variant, n_users,
+       round(syv::DOUBLE / n_users / 100.0, 4) AS mean_post,
+       round((syv::DOUBLE / n_users
+              - theta * (sxv::DOUBLE / n_users - mean_x)) / 100.0, 4)
+           AS mean_adjusted,
+       round(theta, 6) AS theta
+FROM per_variant CROSS JOIN mom
+ORDER BY variant
+"""
+
+
+AB_CUPED_SQL = _cuped_sql()
+
+QUERIES["ab_cuped_adjustment"] = ab_cuped_adjustment
+ORACLES["ab_cuped_adjustment"] = AB_CUPED_SQL
+
+
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series per event type: the
+    deepest drop from a prior running peak — the KPI-regression
+    question ("how far below our best day did we fall, and when?")
+    asked of any business metric, computed exactly like the financial
+    statistic.
+
+    Pure integer arithmetic: daily cents, running peak via a cumulative
+    max window over each type's (dimension-sized) daily series, the
+    report picks each type's deepest (peak - value) with earliest-day
+    tiebreak via one row_number — engine-exact, no rounding needed
+    until the final dollar conversion.
+
+    Scale posture: one map-side-combinable daily aggregate, windows
+    over per-type daily series (30 rows per partition here; bounded by
+    calendar length at any data scale).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("rev_cents")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        "rev_cents",
+        (F.max("rev_cents").over(w_cum) - F.col("rev_cents")).alias(
+            "dd_cents"
+        ),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("dd_cents"), F.asc("day")
+    )
+    return (
+        dd.withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.round(F.col("dd_cents") / 100.0, 2).alias("max_drawdown"),
+            # DATE on both engines (DuckDB's date_trunc('day') already
+            # yields DATE; Spark's yields TIMESTAMP).
+            F.to_date("day").alias("drawdown_day"),
+            F.round(F.col("rev_cents") / 100.0, 2).alias("day_revenue"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DRAWDOWN_SQL = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           round(sum(value) * 100)::BIGINT AS rev_cents
+    FROM events GROUP BY 1, 2
+),
+dd AS (
+    SELECT event_type, day, rev_cents,
+           max(rev_cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - rev_cents AS dd_cents
+    FROM daily
+)
+SELECT event_type,
+       round(dd_cents / 100.0, 2) AS max_drawdown,
+       day::DATE AS drawdown_day,
+       round(rev_cents / 100.0, 2) AS day_revenue
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dd_cents DESC, day) AS r
+      FROM dd)
+WHERE r = 1
+ORDER BY event_type
+"""
+
+QUERIES["revenue_drawdown"] = revenue_drawdown
+ORACLES["revenue_drawdown"] = DRAWDOWN_SQL

@@ -743,3 +743,13 @@ def test_quarantine_parse_is_jvm_native(plans):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_cuped_and_drawdown_stay_jvm_side(plans):
+    """The CUPED moments and the drawdown windows must be pure
+    expressions over dimension-sized relations: no Python, no
+    cartesian beyond the one-row moment broadcast."""
+    for name in ("ab_cuped_adjustment", "revenue_drawdown"):
+        plan = plans[name]
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
