@@ -555,11 +555,14 @@ _REAL_DECODERS: tuple[tuple[str, object], ...] = (
 def decode_media(payload: bytes, modality: str) -> dict:
     """Magic-byte-routed media decode.
 
-    Stdlib-decodable formats (WAV/BMP/PPM/PNG) decode for real;
-    library-requiring formats (JPEG/GIF/MP3/OGG/MP4) and PNG features
-    outside the supported profile raise at the codec seam (plug PIL /
-    soundfile / av here when available); unrecognized payloads return
-    the byte-fake marker ``codec='bytes'`` with NULL media fields.
+    Six codecs decode for real in stdlib+numpy (WAV/BMP/PPM/PNG/GIF/
+    JPEG incl. progressive — see ``_REAL_DECODERS``). The remaining
+    seam is the inner sample/pixel decode of compressed audio/video
+    (MP3/OGG/MP4/WebM), which raises here (plug soundfile / av when
+    available) — their CONTAINER metadata still parses for real via
+    ``demux_mp3``/``demux_ogg``/``demux_mp4``/``demux_webm``.
+    Unrecognized payloads return the byte-fake marker ``codec='bytes'``
+    with NULL media fields.
     """
     for magic, fmt in _COMPRESSED_MAGICS:
         if payload.startswith(magic):

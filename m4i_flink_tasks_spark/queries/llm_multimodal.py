@@ -318,6 +318,57 @@ QUERIES["multimodal_container_demux"] = multimodal_container_demux
 ORACLES["multimodal_container_demux"] = CONTAINER_DEMUX_SQL
 
 
+def container_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection gate over CONTAINER facts — the filter a 100 TB media
+    pipeline runs before any sample/pixel decode: audio (mp3/ogg) must
+    be >= 150 ms at >= 22.05 kHz, video (mp4/webm) must clear a pixel
+    floor and a 200 ms duration floor. Runs on the demuxed metadata
+    only; the payload bytes are never decoded past the header/box walk,
+    which is exactly why this scales (map-only over the binary column,
+    no shuffle until the downstream aggregate)."""
+    demuxed = multimodal_container_demux(spark, sf_dir)
+    is_audio_ok = F.col("container").isin("mp3", "ogg") & (
+        (F.col("duration_ms") >= 150) & (F.col("sample_rate") >= 22050)
+    )
+    is_video_ok = F.col("container").isin("mp4", "webm") & (
+        (F.col("width") * F.col("height") >= 512) & (F.col("duration_ms") >= 200)
+    )
+    keep = is_audio_ok | is_video_ok
+    return demuxed.select(
+        "doc_id",
+        "container",
+        "codec",
+        "duration_ms",
+        keep.alias("keep"),
+        F.when(keep, None)
+        .when(F.col("container").isin("mp3", "ogg"), "audio_below_threshold")
+        .otherwise("video_below_threshold")
+        .alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+CONTAINER_QUALITY_SQL = f"""
+WITH demuxed AS ({CONTAINER_DEMUX_SQL.replace("ORDER BY doc_id", "")})
+SELECT doc_id, container, codec, duration_ms,
+       keep,
+       CASE WHEN keep THEN NULL
+            WHEN container IN ('mp3', 'ogg') THEN 'audio_below_threshold'
+            ELSE 'video_below_threshold' END AS drop_reason
+FROM (
+    SELECT *,
+           (container IN ('mp3', 'ogg')
+            AND duration_ms >= 150 AND sample_rate >= 22050)
+           OR (container IN ('mp4', 'webm')
+               AND width * height >= 512 AND duration_ms >= 200) AS keep
+    FROM demuxed
+)
+ORDER BY doc_id
+"""
+
+QUERIES["container_quality_filter"] = container_quality_filter
+ORACLES["container_quality_filter"] = CONTAINER_QUALITY_SQL
+
+
 def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip-level spectral features over binary audio payloads: WAV
     decode + full-clip rFFT in one Arrow-batched map-only stage

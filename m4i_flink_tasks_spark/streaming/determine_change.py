@@ -138,11 +138,15 @@ def determine_change_stream(stream: DataFrame) -> DataFrame:
     reasons: (1) transformWithState requires the RocksDB state-store
     provider — a deployment-level conf this library should not
     silently impose (HDFS-backed state is the Spark default and what
-    every other stateful operator here uses); (2) its Python state
-    server needs google.protobuf, absent from this container, so the
-    equality test is an environment-gated skip exactly like the Kafka
-    connector tests. Flip by passing ``use_tws=True`` to
-    ``run_determine_change`` on a cluster with RocksDB + protobuf.
+    every other stateful operator here uses). The provider itself is
+    TESTED, not assumed: test_determine_change_under_rocksdb_state_store
+    runs this very operator under RocksDBStateStoreProvider in-container
+    and pins the output identical, so RocksDB is NOT a technical
+    blocker; (2) the tws Python state server needs google.protobuf,
+    absent from this container — the one remaining hard blocker — so
+    the tws equality test is an environment-gated skip exactly like the
+    Kafka connector tests. Flip by passing ``use_tws=True`` to
+    ``run_determine_change`` on a cluster with protobuf installed.
     """
     return (
         stream.filter(F.col("props").isNotNull())
