@@ -39,6 +39,19 @@ HEADLINE = (
     "document_fingerprints",
 )
 
+# Heavy section (r4 verdict #3 of the bench items): the most expensive
+# modern operators, regression-tracked per-round alongside the frozen
+# r1 headline set. Reported under separate "heavy"/"heavy_total" keys
+# so "value" (= headline total) stays comparable across every round.
+HEAVY = (
+    "ivfpq_adc_topk",
+    "stream_duplicate_spans",
+    "ngram_lm_perplexity",
+    "dsir_importance_resampling",
+    "quality_classifier_scores",
+    "stream_near_dedup",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,7 +80,7 @@ def main() -> None:
     # steady-state execution (the power-run-after-warmup convention) —
     # on a long-lived cluster these one-time compile costs amortize to
     # zero, and they would otherwise dominate sub-second queries here.
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         queries[name](spark, sf_dir).count()
 
     # Three timed runs per query. The headline number stays the min
@@ -79,7 +92,8 @@ def main() -> None:
     # 1.4x drift across unchanged queries needed exactly this data).
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    heavy: dict[str, float] = {}
+    for name in HEADLINE + HEAVY:
         fn = queries[name]
         # Drain GC debt left by the previous query before timing this
         # one. Without this, whichever query follows a broadcast/shuffle
@@ -98,9 +112,10 @@ def main() -> None:
             n = df.count()
             per_run.append(round(time.perf_counter() - start, 4))
         runs[name] = per_run
-        timings[name] = min(per_run)
+        best = min(per_run)
+        (heavy if name in HEAVY else timings)[name] = best
         print(
-            f"# {name}: min {timings[name]:.3f}s of {per_run} ({n} rows)",
+            f"# {name}: min {best:.3f}s of {per_run} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -112,6 +127,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "heavy": heavy,
+                "heavy_total": round(sum(heavy.values()), 4),
                 "runs": runs,
                 "sf": float(sf),
             }
