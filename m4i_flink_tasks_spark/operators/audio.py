@@ -168,9 +168,11 @@ def attach_tone_payload(docs: DataFrame) -> DataFrame:
             [synth_tone_wav(int(d)) for d in doc_id], dtype=object
         )
 
-    return docs.filter(F.col("doc_id") % 3 == 1).select(
-        "doc_id", _payload(F.col("doc_id")).alias("payload")
-    )
+    from .multimodal import spread_for_python
+
+    return spread_for_python(
+        docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    ).select("doc_id", _payload(F.col("doc_id")).alias("payload"))
 
 
 def extract_spectral_features(with_payload: DataFrame) -> DataFrame:
@@ -258,9 +260,11 @@ def attach_burst_payload(docs: DataFrame) -> DataFrame:
             [synth_burst_wav(int(d)) for d in doc_id], dtype=object
         )
 
-    return docs.filter(F.col("doc_id") % 3 == 1).select(
-        "doc_id", _payload(F.col("doc_id")).alias("payload")
-    )
+    from .multimodal import spread_for_python
+
+    return spread_for_python(
+        docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    ).select("doc_id", _payload(F.col("doc_id")).alias("payload"))
 
 
 def frame_energies(with_payload: DataFrame) -> DataFrame:

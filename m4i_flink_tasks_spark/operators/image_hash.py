@@ -126,9 +126,11 @@ def attach_pattern_payload(docs: DataFrame) -> DataFrame:
             [synth_pattern_bmp(int(d)) for d in doc_id], dtype=object
         )
 
-    return docs.filter(F.col("doc_id") % 3 == 0).select(
-        "doc_id", _payload(F.col("doc_id")).alias("payload")
-    )
+    from .multimodal import spread_for_python
+
+    return spread_for_python(
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    ).select("doc_id", _payload(F.col("doc_id")).alias("payload"))
 
 
 def extract_ahash(with_payload: DataFrame) -> DataFrame:

@@ -883,6 +883,30 @@ def synth_progressive_jpeg(doc_id: int) -> bytes:
     )
 
 
+def spread_for_python(df: DataFrame) -> DataFrame:
+    """Decouple a CPU-bound Python stage's parallelism from the input's
+    file-split count.
+
+    The synth/decode attachers below do constant-per-row Python work, so
+    their wall time is bounded by how many partitions the PLANNER gave
+    the scan — and a compact parquet input (one file, a couple of row
+    groups) yields 1-2 splits no matter how many cores exist. The r5
+    sf1 rehearsal measured the hazard directly: `multimodal_container_
+    demux` ran 6.6x at 10x data because 50k rows of demux work sat on 2
+    of 32 cores. Repartitioning the NARROW pre-payload projection
+    (doc_id + small metadata — never the synthesized bytes) costs one
+    tiny shuffle and restores linear scaling; when the input already has
+    enough splits (the real-cluster case: thousands of files), this is
+    a no-op and no shuffle is added. Streaming inputs pass through
+    untouched (micro-batch sizing is the trigger's job)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "doc_id")
+    return df
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Binary column + typed metadata from the documents table.
 
@@ -930,7 +954,9 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
-    return docs.select(
+    return spread_for_python(
+        docs.select("doc_id", "text", "n_chars", "source")
+    ).select(
         "doc_id",
         _payload(F.col("doc_id"), F.col("text")).alias("payload"),
         F.struct(
@@ -1475,7 +1501,9 @@ def attach_container_payload(docs: DataFrame) -> DataFrame:
 
         return pd.Series([one(int(d)) for d in doc_id], dtype=object)
 
-    return docs.select("doc_id", _payload(F.col("doc_id")).alias("payload"))
+    return spread_for_python(docs.select("doc_id")).select(
+        "doc_id", _payload(F.col("doc_id")).alias("payload")
+    )
 
 
 def extract_container_metadata(with_payload: DataFrame) -> DataFrame:
