@@ -96,7 +96,15 @@ def test_extract_is_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     df = extract_spectral_features(attach_tone_payload(docs))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan  # decode+FFT must not shuffle
+    # decode+FFT must never shuffle PAYLOAD bytes: the only allowed
+    # Exchange is spread_for_python's narrow doc_id repartition, which
+    # sits UPSTREAM of (prints after, in top-down order) the payload
+    # synthesis UDF — so every column that moves is pre-payload.
+    synth_pos = plan.index("ArrowEvalPython")
+    for pos in range(len(plan)):
+        if plan.startswith("Exchange", pos):
+            assert pos > synth_pos, plan
+            assert plan.startswith("Exchange hashpartitioning(doc_id", pos), plan
     row = df.filter("doc_id = 1").collect()[0]
     assert row.sample_rate == 9000 and row.n_samples == 80
 

@@ -91,7 +91,14 @@ def test_duplicate_groups_exist_and_are_consistent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     hashed = extract_ahash(attach_pattern_payload(docs))
     plan = hashed._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # decode+hash must not shuffle
+    # decode+hash must never shuffle PAYLOAD bytes: the only allowed
+    # Exchange is spread_for_python's narrow doc_id repartition,
+    # upstream of the payload synthesis UDF (see test_audio_spectral).
+    synth_pos = plan.index("ArrowEvalPython")
+    for pos in range(len(plan)):
+        if plan.startswith("Exchange", pos):
+            assert pos > synth_pos, plan
+            assert plan.startswith("Exchange hashpartitioning(doc_id", pos), plan
 
     out = perceptual_dup_groups(hashed).collect()
     assert out

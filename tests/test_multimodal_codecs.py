@@ -791,6 +791,49 @@ def test_demux_mp3_closed_form_round_trip():
         assert out["duration_ms"] == nf * 1152 * 1000 // 44100
 
 
+def test_demux_mp3_full_header_table():
+    """The synth emits only the 128kbps/44.1kHz profile; this drives
+    the demuxer's MPEG-1 Layer III table walk over EVERY valid
+    (bitrate, samplerate, padding) combination — hand-built frames,
+    mixed bitrates within one stream, exactly the shape of real VBR
+    rips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+    )
+
+    def frame(bidx: int, ridx: int, pad: int) -> bytes:
+        hdr = bytes([0xFF, 0xFB, (bidx << 4) | (ridx << 2) | (pad << 1), 0])
+        length = 144 * _MP3_BITRATES[bidx] // _MP3_RATES[ridx] + pad
+        return hdr + bytes(length - 4)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ridx=st.integers(0, 2),
+        frames=st.lists(
+            st.tuples(st.integers(1, 14), st.booleans()), min_size=1, max_size=12
+        ),
+    )
+    def check(ridx, frames):
+        b = b"".join(frame(bi, ridx, int(p)) for bi, p in frames)
+        out = demux_mp3(b)
+        assert out["n_frames"] == len(frames)
+        assert out["sample_rate"] == _MP3_RATES[ridx]
+        assert out["n_samples"] == len(frames) * 1152
+        assert (
+            out["duration_ms"]
+            == len(frames) * 1152 * 1000 // _MP3_RATES[ridx]
+        )
+        # any mid-stream truncation must be rejected, never misparsed
+        with pytest.raises(ValueError):
+            demux_mp3(b[:-1])
+
+    check()
+
+
 def test_demux_mp3_without_id3_tag():
     # Bare frame stream (no ID3) is valid — common for stream rips.
     raw = synth_mp3(9)[20:]  # strip the 10-byte header + 10-byte body
