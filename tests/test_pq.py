@@ -94,3 +94,26 @@ def test_sq8_error_bounded_by_half_step(spark, sf_dir):
     assert 0 < worst <= bound
     codes = out.agg(F.min("c0"), F.max("c0")).collect()[0]
     assert 0 <= codes[0] and codes[1] <= 255
+
+
+def test_pq_sampled_training_parity(spark, monkeypatch):
+    """The sampled-training branch (corpus above _PQ_TRAIN_FLOOR) is
+    dormant at the test SFs by design — activate it by lowering the
+    floor and pin full oracle parity for all three PQ queries at
+    sf0.01 (2000 vectors > 100 -> the 1-in-4 LCG sample trains the
+    codebook, everything still encodes). The SQL builders read the
+    module constants at call time, so the oracle states the SAME
+    lowered floor."""
+    from m4i_flink_tasks_spark.queries import llm_similarity as L
+
+    from .oracle_harness import compare
+
+    monkeypatch.setattr(L, "_PQ_TRAIN_FLOOR", 100)
+    sf = "/root/testdata/sf0.01"
+    for fn, sql in (
+        (L.pq_encode, L._pq_encode_sql()),
+        (L.pq_adc_topk, L._pq_adc_sql()),
+        (L.ivfpq_adc_topk, L._ivfpq_sql()),
+    ):
+        ok, msg = compare(spark, fn, sql, sf)
+        assert ok, f"{fn.__name__} (sampled branch): {msg}"
