@@ -51,6 +51,54 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     _WORKER_IMPORT_READY.add(app_id)
 
 
+def cluster_conf(executors: int = 1000, executor_cores: int = 4) -> dict[str, str]:
+    """The spark-submit conf this engine expects on a REAL cluster at
+    the 100 TB design point — the production twin of ``get_spark``'s
+    local tuning. Returned as a plain dict so deployments can splat it
+    into spark-submit ``--conf`` flags or a session builder; every
+    entry is cluster-neutral Spark, no vendor extensions.
+
+    Sizing rationale (1000 executors x 4 cores default):
+    - shuffle.partitions = 3x total cores: headroom for AQE to coalesce
+      DOWN (cheap) instead of splitting up (impossible); with ~128 MB
+      target partitions this covers shuffles up to ~1.5 TB per stage,
+      and AQE's advisoryPartitionSizeInBytes re-sizes the rest.
+    - files.maxPartitionBytes stays at 128 MB so a 100 TB scan plans
+      ~800k splits — bounded driver memory, full parallelism.
+    - Kryo + 128 MB maxResultSize: nothing in this engine collects
+      data-sized results (enforced by tests), so a tight cap converts
+      an accidental collect into a loud error instead of a driver OOM.
+    - RocksDB state store: streaming state (dedup windows, keyed CDC
+      diff, sketch states) outgrows executor heaps at 100 TB; the
+      provider is proven output-identical to the default in
+      tests/test_streaming_pipelines.py.
+    - maxRecordsPerBatch 10k: Arrow batches for the pandas-UDF kernels
+      (MinHash, media decode) sized so a 64-dim float row batch stays
+      ~5 MB — big enough to amortize, small enough to never spike a
+      worker.
+    """
+    total_cores = executors * executor_cores
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.driver.maxResultSize": "128m",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.dynamicAllocation.enabled": "false",
+    }
+
+
 def get_spark(
     app_name: str = "m4i_flink_tasks_spark",
     cpus: int | None = None,
