@@ -1320,12 +1320,24 @@ def _walk_boxes(b: bytes, start: int, end: int, found: dict) -> None:
     pos = start
     while pos + 8 <= end:
         size, typ = struct.unpack_from(">I4s", b, pos)
-        if size < 8 or pos + size > end:
+        hdr = 8
+        if size == 1:
+            # 64-bit largesize header — how every >4 GB video ships
+            # (ISO 14496-12 §4.2); a 100 TB corpus is full of these.
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize header at {pos}")
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            hdr = 16
+        elif size == 0:
+            # "extends to end of enclosing container" — legal only for
+            # the final box (commonly a trailing mdat).
+            size = end - pos
+        if size < hdr or pos + size > end:
             raise ValueError(f"bad box size {size} at {pos}")
         if typ in _MP4_CONTAINERS:
-            _walk_boxes(b, pos + 8, pos + size, found)
+            _walk_boxes(b, pos + hdr, pos + size, found)
         else:
-            found.setdefault(typ, b[pos + 8 : pos + size])
+            found.setdefault(typ, b[pos + hdr : pos + size])
         pos += size
     if pos != end:
         raise ValueError("box walk misaligned")

@@ -903,6 +903,63 @@ def test_demux_mp4_rejects_bad_box_size():
         demux_mp4(bytes(b))
 
 
+def _mdat_offset(b: bytes) -> int:
+    """Top-level offset of the trailing mdat box in a synth_mp4."""
+    import struct as _s
+
+    pos = 0
+    while pos + 8 <= len(b):
+        size, typ = _s.unpack_from(">I4s", b, pos)
+        if typ == b"mdat":
+            return pos
+        pos += size
+    raise AssertionError("no mdat")
+
+
+def test_demux_mp4_largesize_box():
+    """ISO-BMFF 64-bit largesize header (size field == 1, how every
+    >4 GB video ships): rewriting the trailing mdat into largesize
+    form must demux to identical metadata."""
+    import struct as _s
+
+    for d in (0, 4, 8, 44):
+        orig = synth_mp4(d)
+        base = demux_mp4(orig)
+        pos = _mdat_offset(orig)
+        (size,) = _s.unpack_from(">I", orig, pos)
+        rewritten = (
+            orig[:pos]
+            + (1).to_bytes(4, "big")
+            + b"mdat"
+            + _s.pack(">Q", size + 8)
+            + orig[pos + 8 :]
+        )
+        assert demux_mp4(rewritten) == base
+
+
+def test_demux_mp4_size_zero_final_box():
+    """size == 0 means 'extends to end of file' and is legal for the
+    final box; common for a trailing mdat written by a live muxer."""
+    for d in (0, 4, 8, 44):
+        orig = synth_mp4(d)
+        base = demux_mp4(orig)
+        pos = _mdat_offset(orig)
+        rewritten = bytearray(orig)
+        rewritten[pos : pos + 4] = (0).to_bytes(4, "big")
+        assert demux_mp4(bytes(rewritten)) == base
+
+
+def test_demux_mp4_truncated_largesize_rejected():
+    import pytest
+
+    orig = synth_mp4(0)
+    pos = _mdat_offset(orig)
+    # size=1 announces an 8-byte largesize that isn't there
+    broken = orig[:pos] + (1).to_bytes(4, "big") + b"mdat"
+    with pytest.raises(ValueError):
+        demux_mp4(broken)
+
+
 def test_demux_container_routing_by_magic():
     assert demux_container(synth_mp4(0))["container"] == "mp4"
     assert demux_container(synth_mp3(1))["container"] == "mp3"
