@@ -1197,7 +1197,11 @@ def demux_ogg(b: bytes) -> dict:
             raise ValueError(f"bad Ogg capture at {pos}")
         granule = struct.unpack_from("<q", b, pos + 6)[0]
         n_segs = b[pos + 26]
+        if pos + 27 + n_segs > len(b):
+            raise ValueError(f"truncated Ogg segment table at {pos}")
         body_len = sum(b[pos + 27 : pos + 27 + n_segs])
+        if pos + 27 + n_segs + body_len > len(b):
+            raise ValueError(f"truncated Ogg page body at {pos}")
         body = b[pos + 27 + n_segs : pos + 27 + n_segs + body_len]
         if pages == 0:
             if body[:7] != b"\x01vorbis":

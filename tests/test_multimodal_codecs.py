@@ -894,6 +894,49 @@ def test_demux_mp4_stco_points_at_real_mdat_payload():
     assert b[offset : offset + first_size] == found[b"mdat"][:first_size]
 
 
+def test_demux_ogg_rejects_truncated_page():
+    """A page whose segment table announces more body bytes than the
+    file holds must be rejected, not silently under-read (a truncated
+    crawl shard would otherwise demux to wrong duration/sample facts)."""
+    import pytest
+
+    b = synth_ogg(6)
+    with pytest.raises(ValueError):
+        demux_ogg(b[:-3])
+    with pytest.raises(ValueError):
+        # cut inside the final segment table
+        demux_ogg(b[: len(synth_ogg(6)) - (len(b) - b.rindex(b"OggS")) + 27])
+
+
+def test_demux_ogg_multi_segment_lacing():
+    """Real Vorbis packets >255 bytes span multiple lacing segments;
+    the body-length sum must cover all of them."""
+    import struct as _s
+
+    ident = (
+        bytes([1])
+        + b"vorbis"
+        + _s.pack("<IBIiii", 0, 2, 44100, 0, 0, 0)
+        + bytes([0x88, 1])
+    )
+    big = bytes(300)  # 300-byte packet -> lacing [255, 45]
+    page0 = (
+        b"OggS" + bytes([0, 2]) + _s.pack("<q", 0) + _s.pack("<I", 7)
+        + _s.pack("<I", 0) + _s.pack("<I", 0)
+        + bytes([1, len(ident)]) + ident
+    )
+    page1 = (
+        b"OggS" + bytes([0, 4]) + _s.pack("<q", 5000) + _s.pack("<I", 7)
+        + _s.pack("<I", 1) + _s.pack("<I", 0)
+        + bytes([2, 255, 45]) + big
+    )
+    out = demux_ogg(page0 + page1)
+    assert out["codec"] == "vorbis-2ch"
+    assert out["sample_rate"] == 44100
+    assert out["n_samples"] == 5000
+    assert out["n_frames"] == 2
+
+
 def test_demux_mp4_rejects_bad_box_size():
     import pytest
 
