@@ -67,6 +67,7 @@ _COMPRESSED_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"OggS", "ogg"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
     (b"\x00\x00\x00\x20ftyp", "mp4"),
+    (b"fLaC", "flac"),
 )
 
 _NO_MEDIA = {
@@ -1475,11 +1476,114 @@ def demux_webm(b: bytes) -> dict:
     }
 
 
+def synth_flac(doc_id: int) -> bytes:
+    """Deterministic FLAC: "fLaC" magic + STREAMINFO + VORBIS_COMMENT +
+    PADDING metadata blocks (last-flag on PADDING), followed by fake
+    frame bytes the metadata walk must NOT read. All STREAMINFO fields
+    are closed forms of doc_id so the oracle can state them in SQL."""
+    rate = (32000, 44100, 48000)[doc_id % 3]
+    channels = 1 + (doc_id // 3) % 2
+    bps = 16 if doc_id % 2 == 0 else 24
+    total = 800 + 13 * ((doc_id // 2) % 64)
+
+    v = 0
+    for val, bits in (
+        (4096, 16),  # min blocksize
+        (4096, 16),  # max blocksize
+        (14, 24),  # min framesize
+        (6000, 24),  # max framesize
+        (rate, 20),
+        (channels - 1, 3),
+        (bps - 1, 5),
+        (total, 36),
+    ):
+        v = (v << bits) | val
+    streaminfo = v.to_bytes(18, "big") + bytes(
+        (doc_id * 7 + j) % 256 for j in range(16)
+    )
+
+    vendor = b"m4i-synth"
+    comment = f"TITLE=doc-{doc_id}".encode()
+    vorbis = (
+        struct.pack("<I", len(vendor))
+        + vendor
+        + struct.pack("<I", 1)
+        + struct.pack("<I", len(comment))
+        + comment
+    )
+    padding = bytes(doc_id % 17)
+
+    def block(btype: int, body: bytes, last: bool) -> bytes:
+        return bytes([(0x80 if last else 0) | btype]) + len(body).to_bytes(
+            3, "big"
+        ) + body
+
+    audio = b"\xff\xf8" + bytes(((doc_id + j) % 256) for j in range(30))
+    return (
+        b"fLaC"
+        + block(0, streaminfo, False)
+        + block(4, vorbis, False)
+        + block(1, padding, True)
+        + audio
+    )
+
+
+def demux_flac(b: bytes) -> dict:
+    """Walk the FLAC metadata-block chain (RFC 9639 §8): STREAMINFO
+    must come first; the walk stops at the last-flag, never at EOF, so
+    trailing audio frames are untouched. No sample decode."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, streaminfo, first = 4, None, True
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated metadata block header")
+        header = b[pos]
+        btype, last = header & 0x7F, bool(header & 0x80)
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        pos += 4
+        if pos + size > len(b):
+            raise ValueError(f"metadata block {btype} overruns stream")
+        if first and btype != 0:
+            raise ValueError("first metadata block is not STREAMINFO")
+        first = False
+        if btype == 0:
+            if size != 34:
+                raise ValueError(f"STREAMINFO must be 34 bytes, got {size}")
+            streaminfo = b[pos : pos + size]
+        pos += size
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    v = int.from_bytes(streaminfo[:18], "big")
+    total = v & ((1 << 36) - 1)
+    v >>= 36
+    bps = (v & 0x1F) + 1
+    v >>= 5
+    channels = (v & 0x7) + 1
+    v >>= 3
+    rate = v & ((1 << 20) - 1)
+    if not rate:
+        raise ValueError("zero sample rate")
+    return {
+        "container": "flac",
+        "codec": f"flac-{bps}b-{channels}ch",
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "sample_rate": rate,
+        "n_samples": total,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
 _DEMUXERS = (
     (lambda b: b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF), demux_mp3),
     (lambda b: b[:4] == b"OggS", demux_ogg),
     (lambda b: b[4:8] == b"ftyp", demux_mp4),
     (lambda b: b[:4] == b"\x1aE\xdf\xa3", demux_webm),
+    (lambda b: b[:4] == b"fLaC", demux_flac),
 )
 
 
@@ -1516,6 +1620,22 @@ def attach_container_payload(docs: DataFrame) -> DataFrame:
             return synth_webm(d)
 
         return pd.Series([one(int(d)) for d in doc_id], dtype=object)
+
+    return spread_for_python(docs.select("doc_id")).select(
+        "doc_id", _payload(F.col("doc_id")).alias("payload")
+    )
+
+
+def attach_flac_payload(docs: DataFrame) -> DataFrame:
+    """FLAC payload column (every doc) for the lossless-audio inventory
+    query — separate from the mod-4 container mix so that adding a
+    format never perturbs the existing demux oracles."""
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_flac(int(d)) for d in doc_id], dtype=object
+        )
 
     return spread_for_python(docs.select("doc_id")).select(
         "doc_id", _payload(F.col("doc_id")).alias("payload")

@@ -369,6 +369,53 @@ QUERIES["container_quality_filter"] = container_quality_filter
 ORACLES["container_quality_filter"] = CONTAINER_QUALITY_SQL
 
 
+def flac_stream_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-audio inventory: parse the FLAC STREAMINFO metadata
+    block (RFC 9639 — min/max blocksize, 20-bit sample rate, 3-bit
+    channel count, 5-bit bit depth, 36-bit total-sample count) over a
+    synthesized ``fLaC`` payload per document. The metadata-block walk
+    is real (multi-block chain, last-flag termination, trailing audio
+    frames untouched); only the inner frame decode stays behind the
+    codec seam. Scale shape: map-only over the binary column — at
+    100 TB this is the scan that builds the audio-curation inventory
+    before any sample is decoded. Reference scope: no binary surface
+    (SURVEY §2.6); north-star multimodal plumbing."""
+    from ..operators.multimodal import (
+        attach_flac_payload,
+        extract_container_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    demuxed = extract_container_metadata(attach_flac_payload(docs))
+    return demuxed.select(
+        "doc_id",
+        "container",
+        "codec",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+    ).orderBy("doc_id")
+
+
+FLAC_STREAM_INFO_SQL = """
+SELECT doc_id,
+  'flac' AS container,
+  'flac-' || CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS VARCHAR)
+    || 'b-' || CAST(1 + (doc_id // 3) % 2 AS VARCHAR) || 'ch' AS codec,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+       ELSE 48000 END AS INT) AS sample_rate,
+  CAST(800 + 13 * ((doc_id // 2) % 64) AS BIGINT) AS n_samples,
+  CAST((800 + 13 * ((doc_id // 2) % 64)) * 1000
+       // (CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+           ELSE 48000 END) AS BIGINT) AS duration_ms
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["flac_stream_info"] = flac_stream_info
+ORACLES["flac_stream_info"] = FLAC_STREAM_INFO_SQL
+
+
 def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip-level spectral features over binary audio payloads: WAV
     decode + full-clip rFFT in one Arrow-batched map-only stage

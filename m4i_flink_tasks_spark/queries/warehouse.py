@@ -1175,3 +1175,220 @@ ORDER BY price, p.p_partkey
 
 QUERIES["pareto_frontier_parts"] = pareto_frontier_parts
 ORACLES["pareto_frontier_parts"] = PARETO_SQL
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planning + zone-map pruning effectiveness —
+# the table-maintenance layer a 100 TB warehouse runs nightly. The file
+# inventory is synthesized deterministically from lineitem (month
+# partition x suppkey-hash file, bytes proportional to row count) so
+# the oracle can restate the whole plan in SQL; on a real lakehouse the
+# same two queries run over the table's file-manifest listing instead.
+# --------------------------------------------------------------------------
+
+
+_COMPACTION_TARGET_BYTES = 32 * 1024  # target output size per compacted file
+_FILE_ROW_BYTES = 96  # synthetic bytes-per-row for the inventory
+
+
+def _file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_key"),
+        (F.col("l_suppkey") % 8).alias("file_id"),
+    ).agg(
+        (F.count(F.lit(1)) * _FILE_ROW_BYTES).alias("size_bytes"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: sequential bin-packing of each
+    partition's files (largest first, file_id as the deterministic
+    tie-break) into ~target-size output groups via a running-sum window
+    — ``group = (cumulative_bytes - 1) div target``. Integer
+    arithmetic throughout so the plan is engine-exact and stable at
+    any scale; the window shuffles once on the partition key, which is
+    exactly the parallelism of the rewrite job that consumes the plan
+    (one task per date partition, no cross-partition coordination —
+    this is why compaction of a 100 TB table is embarrassingly
+    parallel)."""
+    files = _file_inventory(spark, sf_dir)
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy(F.desc("size_bytes"), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.select(
+        "part_key",
+        "file_id",
+        "size_bytes",
+        F.expr(
+            f"CAST((sum(size_bytes) OVER (PARTITION BY part_key "
+            f"ORDER BY size_bytes DESC, file_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) "
+            f"DIV {_COMPACTION_TARGET_BYTES} AS INT)"
+        ).alias("out_group"),
+    )
+    wg = Window.partitionBy("part_key", "out_group")
+    return planned.select(
+        "part_key",
+        "file_id",
+        "size_bytes",
+        "out_group",
+        F.sum("size_bytes").over(wg).alias("group_bytes"),
+        F.count(F.lit(1)).over(wg).cast("int").alias("files_in_group"),
+    ).orderBy("part_key", "file_id")
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS part_key,
+           l_suppkey % 8 AS file_id,
+           {_FILE_ROW_BYTES} * COUNT(*) AS size_bytes
+    FROM lineitem
+    GROUP BY 1, 2
+), planned AS (
+    SELECT part_key, file_id, size_bytes,
+           CAST((SUM(size_bytes) OVER (PARTITION BY part_key
+                 ORDER BY size_bytes DESC, file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                // {_COMPACTION_TARGET_BYTES} AS INT) AS out_group
+    FROM files
+)
+SELECT part_key, file_id, size_bytes, out_group,
+       CAST(SUM(size_bytes) OVER (PARTITION BY part_key, out_group) AS BIGINT)
+           AS group_bytes,
+       CAST(COUNT(*) OVER (PARTITION BY part_key, out_group) AS INT)
+           AS files_in_group
+FROM planned
+ORDER BY part_key, file_id
+"""
+
+QUERIES["compaction_plan"] = compaction_plan
+ORACLES["compaction_plan"] = COMPACTION_PLAN_SQL
+
+
+_ZONE_LO, _ZONE_HI = 30000, 35000  # ~5%-selective price band probe
+
+
+def zone_map_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) pruning effectiveness, natural vs clustered
+    layout — the measurement behind every data-skipping decision: for
+    a band predicate on l_extendedprice, how many files (and bytes)
+    does each layout let the scanner skip? 'natural' files are the
+    suppkey-hashed inventory (price ranges span the domain, so zone
+    maps are wide and nothing prunes); 'clustered' re-assigns each
+    partition's rows to the same number of files with NTILE ordered by
+    price (tight disjoint ranges — the effect a Z-order/cluster-by
+    rewrite buys). The report quantifies the gap per partition; at
+    100 TB this difference decides whether a point query reads 12 GB
+    or 12 TB. One shuffle per layout (hash aggregate / window on the
+    partition key); the verdict is pure plan-time arithmetic."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    natural = _file_inventory(spark, sf_dir).select(
+        F.lit("natural").alias("layout"),
+        "part_key",
+        "size_bytes",
+        "min_price",
+        "max_price",
+    )
+
+    wn = Window.partitionBy("pk").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    clustered = (
+        lineitem.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("pk"),
+            "l_extendedprice",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .select("pk", "l_extendedprice", F.ntile(8).over(wn).alias("file_id"))
+        .groupBy("pk", "file_id")
+        .agg(
+            (F.count(F.lit(1)) * _FILE_ROW_BYTES).alias("size_bytes"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .select(
+            F.lit("clustered").alias("layout"),
+            F.col("pk").alias("part_key"),
+            "size_bytes",
+            "min_price",
+            "max_price",
+        )
+    )
+
+    both = natural.unionByName(clustered)
+    prunable = (F.col("max_price") < _ZONE_LO) | (F.col("min_price") > _ZONE_HI)
+    return (
+        both.select(
+            "layout",
+            "part_key",
+            "size_bytes",
+            prunable.cast("int").alias("pruned"),
+        )
+        .groupBy("layout", "part_key")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("pruned").cast("int").alias("n_pruned"),
+            F.sum("size_bytes").alias("bytes_total"),
+            F.sum(F.col("pruned") * F.col("size_bytes")).alias("bytes_skipped"),
+        )
+        .withColumn(
+            "skip_ratio",
+            F.round(F.col("bytes_skipped") / F.col("bytes_total"), 6),
+        )
+        .orderBy("layout", "part_key")
+    )
+
+
+ZONE_MAP_SQL = f"""
+WITH natural_files AS (
+    SELECT 'natural' AS layout,
+           strftime(l_shipdate, '%Y-%m') AS part_key,
+           {_FILE_ROW_BYTES} * COUNT(*) AS size_bytes,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 2, l_suppkey % 8
+), clustered_rows AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS pk,
+           l_extendedprice,
+           NTILE(8) OVER (PARTITION BY strftime(l_shipdate, '%Y-%m')
+                          ORDER BY l_extendedprice, l_orderkey,
+                                   l_linenumber) AS file_id
+    FROM lineitem
+), clustered_files AS (
+    SELECT 'clustered' AS layout,
+           pk AS part_key,
+           {_FILE_ROW_BYTES} * COUNT(*) AS size_bytes,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM clustered_rows
+    GROUP BY pk, file_id
+), both_layouts AS (
+    SELECT * FROM natural_files UNION ALL SELECT * FROM clustered_files
+), flagged AS (
+    SELECT layout, part_key, size_bytes,
+           CASE WHEN max_price < {_ZONE_LO} OR min_price > {_ZONE_HI}
+                THEN 1 ELSE 0 END AS pruned
+    FROM both_layouts
+)
+SELECT layout, part_key,
+       CAST(COUNT(*) AS INT) AS n_files,
+       CAST(SUM(pruned) AS INT) AS n_pruned,
+       CAST(SUM(size_bytes) AS BIGINT) AS bytes_total,
+       CAST(SUM(pruned * size_bytes) AS BIGINT) AS bytes_skipped,
+       ROUND(CAST(SUM(pruned * size_bytes) AS DOUBLE)
+             / SUM(size_bytes), 6) AS skip_ratio
+FROM flagged
+GROUP BY layout, part_key
+ORDER BY layout, part_key
+"""
+
+QUERIES["zone_map_pruning_report"] = zone_map_pruning_report
+ORACLES["zone_map_pruning_report"] = ZONE_MAP_SQL

@@ -1031,7 +1031,7 @@ def test_demux_never_crashes_on_arbitrary_bytes():
     def run(payload):
         for prefix in (
             b"", b"ID3", b"OggS", b"\x00\x00\x00\x18ftyp",
-            b"\xff\xfb", b"\x1aE\xdf\xa3",
+            b"\xff\xfb", b"\x1aE\xdf\xa3", b"fLaC",
         ):
             try:
                 out = demux_container(prefix + payload)
@@ -1092,3 +1092,66 @@ def test_progressive_jpeg_rides_the_driver_checked_path():
         )
         n = (1 + d % 3) * (1 + d % 2)
         assert len(prog) == 171 + (7 + 4 * (n - 1) + 7) // 8 + 2 * ((n + 7) // 8)
+
+
+# --------------------------------------------------------------------------
+# FLAC STREAMINFO metadata walk (RFC 9639)
+# --------------------------------------------------------------------------
+
+
+def test_demux_flac_round_trip():
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        demux_container,
+        synth_flac,
+    )
+
+    for d in (0, 1, 2, 3, 7, 64, 127, 1001):
+        m = demux_container(synth_flac(d))
+        rate = (32000, 44100, 48000)[d % 3]
+        total = 800 + 13 * ((d // 2) % 64)
+        bps = 16 if d % 2 == 0 else 24
+        ch = 1 + (d // 3) % 2
+        assert m["container"] == "flac"
+        assert m["codec"] == f"flac-{bps}b-{ch}ch"
+        assert m["sample_rate"] == rate
+        assert m["n_samples"] == total
+        assert m["duration_ms"] == total * 1000 // rate
+        assert m["width"] is None and m["n_frames"] is None
+
+
+def test_demux_flac_stops_at_last_flag_not_eof():
+    """The metadata walk must terminate on the last-flag block and
+    leave trailing audio frames unread — appending garbage after the
+    metadata chain must not change the result or raise."""
+    from m4i_flink_tasks_spark.operators.multimodal import (
+        demux_flac,
+        synth_flac,
+    )
+
+    base = synth_flac(9)
+    assert demux_flac(base) == demux_flac(base + b"\x00garbage\xff\xff")
+
+
+def test_demux_flac_rejects_malformed():
+    from m4i_flink_tasks_spark.operators.multimodal import demux_flac
+
+    with pytest.raises(ValueError):
+        demux_flac(b"OggS not flac")
+    with pytest.raises(ValueError):  # truncated block header
+        demux_flac(b"fLaC\x00\x00\x00")
+    with pytest.raises(ValueError):  # first block not STREAMINFO
+        demux_flac(b"fLaC" + bytes([0x84, 0, 0, 1, 0]))
+    with pytest.raises(ValueError):  # STREAMINFO wrong size
+        demux_flac(b"fLaC" + bytes([0x80, 0, 0, 2]) + bytes(2))
+    with pytest.raises(ValueError):  # body overruns stream
+        demux_flac(b"fLaC" + bytes([0x80, 0, 0, 40]) + bytes(10))
+
+
+def test_flac_behind_decode_seam():
+    """decode_media must route fLaC to the compressed seam, not the
+    byte-fake fallback: the sample decode genuinely needs a codec lib,
+    while the STREAMINFO facts come from demux_flac."""
+    from m4i_flink_tasks_spark.operators.multimodal import synth_flac
+
+    with pytest.raises(NotImplementedError):
+        decode_media(synth_flac(3), "audio")
