@@ -149,8 +149,11 @@ _MODULES = (
 # (tests/test_oracle_parity.py — same SF, same rows/schema/hash check
 # as the driver gate); see COVERAGE.md rotation log.
 #
-# ROTATION PLAN (round 6+): 79 registered queries then remain
-# never-attested; next tranches, strongest first —
+# ROTATION PLAN (round 6+): the registered queries below remain
+# never-attested (79 at the r5 rotation, plus the later-r5 additions
+# flac_stream_info, compaction_plan, zone_map_pruning_report — all
+# three sf1-measured and oracle-backed on arrival); next tranches,
+# strongest first —
 # user_retention_cohorts, rfm_segments, attribution_report,
 # ab_test_report, event_funnel, seasonal_naive_forecast,
 # exp_smoothing_backtest, label_propagation_communities,
