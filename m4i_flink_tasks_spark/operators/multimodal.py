@@ -899,13 +899,12 @@ def spread_for_python(df: DataFrame) -> DataFrame:
     tiny shuffle and restores linear scaling; when the input already has
     enough splits (the real-cluster case: thousands of files), this is
     a no-op and no shuffle is added. Streaming inputs pass through
-    untouched (micro-batch sizing is the trigger's job)."""
-    if df.isStreaming:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, "doc_id")
-    return df
+    untouched (micro-batch sizing is the trigger's job). The general
+    (JVM-stage) form lives in ``operators/spread.py``; this wrapper
+    pins the doc_id hash key the payload attachers rely on."""
+    from .spread import spread_for_compute
+
+    return spread_for_compute(df, "doc_id")
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:

@@ -192,7 +192,14 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab sizes broadcast back; |union| is computed as |a|+|b|−|∩|
     rather than a second join. Output is |sources|²/2 rows — a report,
     not a corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.spread import spread_for_compute
+
+    # Bigram explode is CPU-dense per row BEFORE its first shuffle;
+    # guard against a compact scan's split count (r5 sf1 rehearsal:
+    # 4.1x at 10x data on a 2-split documents file).
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     # BIGRAM vocabularies: the unigram vocabulary of this synthetic
     # corpus is one shared pool (all Jaccards ~1.0 — a degenerate
     # demo), while bigram sets are combinatorial and source-specific,

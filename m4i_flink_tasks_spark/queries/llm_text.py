@@ -427,7 +427,14 @@ def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     row fraction within each true label). One scan + one
     labels²-bounded aggregate; the fraction is an exact integer ratio
     rounded at the boundary."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.spread import spread_for_compute
+
+    # The stopword-argmax is CPU-dense per row; guard the JVM stage
+    # against a compact scan's split count (r5 sf1 rehearsal: 5.2x at
+    # 10x data on a 2-split documents file, 5.5x back from the spread).
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("lang", "text")
+    )
     cells = (
         docs.select("lang", T.lang_id(F.col("text")).alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")

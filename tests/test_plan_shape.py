@@ -753,3 +753,35 @@ def test_cuped_and_drawdown_stay_jvm_side(plans):
         plan = plans[name]
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_compaction_plan_shares_one_window_exchange(plans):
+    """Both compaction windows partition by (a superset of) part_key, so
+    they must share ONE hash exchange — the second window adds only a
+    local re-sort. The scan reads exactly the two inventory columns."""
+    plan = plans["compaction_plan"]
+    assert plan.count("Arguments: hashpartitioning") == 2  # agg + windows
+    assert "EvalPython" not in plan
+    assert "l_suppkey" in plan and "l_shipdate" in plan
+    assert "l_extendedprice" not in plan  # column pruning reached the scan
+
+
+def test_zone_map_report_stays_jvm_side(plans):
+    """The layout comparison is two aggregates + one NTILE window —
+    no Python, no join (the union is not a join), scans pruned to the
+    four columns the inventory needs."""
+    plan = plans["zone_map_pruning_report"]
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "ntile" in plan.lower()
+
+
+def test_flac_inventory_is_arrow_batched_map_only(plans):
+    """The FLAC demux is a map-only Arrow stage: no joins, no
+    row-at-a-time Python; the only wide node allowed is the
+    spread_for_python repartition guarding the Python-stage
+    parallelism cliff."""
+    plan = plans["flac_stream_info"]
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "Join" not in plan
