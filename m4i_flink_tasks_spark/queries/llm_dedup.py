@@ -280,7 +280,12 @@ def _span_windows(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     (~6x less interpreted work, same dedup semantics — the hash is an
     opaque key mirrored exactly by the DuckDB twin). Swap xxhash64 for
     the whole thing when cross-engine determinism is not required."""
-    toks = docs.select(
+    from ..operators.spread import spread_for_compute
+
+    # The per-token hash fold is CPU-dense pre-shuffle; guard the JVM
+    # stage against a compact scan's split count (r5 thirteenth-wave
+    # cliff: 6.15 s -> 1.53 s at sf1 from this one line).
+    toks = spread_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= k)
     th = F.transform(F.col("t"), lambda w: T.poly_hash(w))

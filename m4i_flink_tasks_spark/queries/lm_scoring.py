@@ -46,7 +46,14 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)   (add-one smoothing)
     ppl(doc) = exp(-mean over the doc's bigram occurrences of log p)
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.spread import spread_for_compute
+
+    # Tokenize + bigram transform is CPU-dense pre-shuffle; spread-
+    # guard the compact scan (r5 thirteenth-wave cliff: 6.18 s ->
+    # 2.75 s at sf1).
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 2)

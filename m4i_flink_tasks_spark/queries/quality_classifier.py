@@ -68,8 +68,13 @@ def _features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     PER-TOKEN polynomial hashes — each character is hashed once and
     bigram features are two integer ops, not a re-hash of the joined
     text (the interpreted-HOF lesson from the span-dedup sf1 rehearsal:
-    character folds dominate; intermediate products stay < 2^63)."""
-    toks = docs.select(
+    character folds dominate; intermediate products stay < 2^63).
+    The scan is spread-guarded — the per-token hash fold is CPU-dense
+    pre-shuffle (r5 thirteenth-wave cliff: classifier 4.34 s -> 1.33 s
+    at sf1)."""
+    from ..operators.spread import spread_for_compute
+
+    toks = spread_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 1)
     hashed = toks.select(

@@ -40,8 +40,15 @@ _BM25_TOP_DOCS = 10
 
 
 def _term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf) with whitespace tokenization — one shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """(doc_id, term, tf) with whitespace tokenization — one shuffle.
+    The tokenize+explode is CPU-dense pre-shuffle, so the scan is
+    spread-guarded (r5 thirteenth-wave cliff: tfidf 2.98 s -> 0.96 s
+    at sf1)."""
+    from ..operators.spread import spread_for_compute
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tokens = docs.select(
         "doc_id",
         F.explode(
