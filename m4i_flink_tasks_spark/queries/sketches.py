@@ -709,3 +709,301 @@ SELECT (SELECT cnt FROM n) AS n_rows,
 
 QUERIES["exact_median_twopass"] = exact_median_twopass
 ORACLES["exact_median_twopass"] = EXACT_MEDIAN_SQL
+
+
+# --------------------------------------------------------------------------
+# Sketch-based join-size estimation — the planner-grade reads a 100 TB
+# engine makes BEFORE committing to a join strategy. Both queries keep
+# the exact answer alongside the estimate to exhibit the error; a
+# production run drops the exact columns (they are the scans the
+# sketches avoid).
+# --------------------------------------------------------------------------
+
+
+_F2_K = 64  # distinct-sample size per group
+
+
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join size (second frequency moment, F2 = sum of c_u^2) per
+    event type, estimated by KMV distinct-sampling of the join key —
+    the AMS question answered with the engine's existing k-min-hash
+    machinery: the k users with the smallest key hashes form an
+    unbiased sample of the DISTINCT key domain, their exact c^2 mass
+    is scaled by D_est/k (D_est from the same sketch's k-th hash).
+    This is the number a planner reads to predict skew-join cost
+    (`join_skew_report` tells you WHICH keys are hot; this predicts
+    the total blow-up) without running the quadratic join.
+
+    Scale shape: one keyed count aggregate (map-side combinable), then
+    a k-row-per-group window — the sample never exceeds k rows per
+    group no matter the corpus. Integer arithmetic throughout
+    (estimate exact under the documented bound
+    sample_mass * D_est < 2^63, i.e. hot-key c up to ~1e4 at k=64 and
+    D up to 1e9 — beyond that, pre-divide by k). When a group has
+    fewer than k distinct keys the sample IS the domain and the
+    estimate collapses to the exact value (scale 1)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.col("event_type").alias("etype"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    hashed = counts.select(
+        "etype",
+        "c",
+        T.scrambled_hash(F.concat(F.lit("f2:"), F.col("user_id"))).alias("h"),
+    )
+    w = Window.partitionBy("etype").orderBy("h")
+    sampled = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _F2_K
+    )
+    sketch = sampled.groupBy("etype").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sample_f2"),
+        F.max(F.when(F.col("rn") == _F2_K, F.col("h"))).alias("kth_hash"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+    exact = counts.groupBy("etype").agg(
+        F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    d_est = F.expr(f"({_F2_K - 1} * {_MOD}L) div kth_hash")
+    est = F.when(
+        F.col("kth_hash").isNull(), F.col("sample_f2")  # domain <= k
+    ).otherwise(F.expr(f"(sample_f2 * (({_F2_K - 1} * {_MOD}L) div kth_hash)) div {_F2_K}"))
+    return (
+        sketch.join(F.broadcast(exact), "etype")
+        .select(
+            "etype",
+            F.lit(_F2_K).alias("k"),
+            "n_users",
+            F.when(F.col("kth_hash").isNull(), F.col("n_users"))
+            .otherwise(d_est)
+            .alias("est_distinct"),
+            est.alias("est_f2"),
+            "exact_f2",
+            F.round(
+                (est - F.col("exact_f2")) * 100.0 / F.col("exact_f2"), 6
+            ).alias("rel_error_pct"),
+        )
+        .orderBy("etype")
+    )
+
+
+SELFJOIN_SIZE_SQL = f"""
+WITH counts AS (
+    SELECT event_type AS etype, user_id, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+), hashed AS (
+    SELECT etype, c,
+           {_scrambled_hash_sql("'f2:' || user_id::VARCHAR")} AS h
+    FROM counts
+), ranked AS (
+    SELECT etype, c, h,
+           row_number() OVER (PARTITION BY etype ORDER BY h) AS rn
+    FROM hashed
+), sketch AS (
+    SELECT etype,
+           SUM(c * c) FILTER (WHERE rn <= {_F2_K}) AS sample_f2,
+           MAX(CASE WHEN rn = {_F2_K} THEN h END) AS kth_hash
+    FROM ranked GROUP BY etype
+), exact AS (
+    SELECT etype, SUM(c * c) AS exact_f2, COUNT(*) AS n_users
+    FROM counts GROUP BY etype
+)
+SELECT s.etype, {_F2_K} AS k, e.n_users,
+       CAST(CASE WHEN s.kth_hash IS NULL THEN e.n_users
+            ELSE ({_F2_K - 1}::BIGINT * {_MOD}) // s.kth_hash END AS BIGINT)
+           AS est_distinct,
+       CAST(CASE WHEN s.kth_hash IS NULL THEN s.sample_f2
+            ELSE (s.sample_f2 * (({_F2_K - 1}::BIGINT * {_MOD}) // s.kth_hash))
+                 // {_F2_K} END AS BIGINT) AS est_f2,
+       CAST(e.exact_f2 AS BIGINT) AS exact_f2,
+       ROUND((CASE WHEN s.kth_hash IS NULL THEN s.sample_f2
+              ELSE (s.sample_f2 * (({_F2_K - 1}::BIGINT * {_MOD}) // s.kth_hash))
+                   // {_F2_K} END - e.exact_f2) * 100.0 / e.exact_f2, 6)
+           AS rel_error_pct
+FROM sketch s JOIN exact e USING (etype)
+ORDER BY s.etype
+"""
+
+QUERIES["selfjoin_size_estimate"] = selfjoin_size_estimate
+ORACLES["selfjoin_size_estimate"] = SELFJOIN_SIZE_SQL
+
+
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON THE SKETCHES: union size, intersection size and
+    Jaccard of the customer sets of every order-priority pair,
+    estimated from the classes' KMV sketches alone — the mergeability
+    property that makes k-min-hash the right distinct structure for a
+    partitioned warehouse: yesterday's per-partition sketches combine
+    into any union/overlap question without rescanning the data.
+    K(A∪B) = k smallest of K(A) ∪ K(B); Jaccard_est = |K(A∪B) ∩ K(A)
+    ∩ K(B)| / k (Beyer et al. 2007); intersection = J_est * D_union.
+    Exact values joined in only to exhibit the error."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = orders.select(
+        F.col("o_orderpriority").alias("cls"),
+        F.col("o_custkey").alias("ck"),
+        T.scrambled_hash(F.concat(F.lit("kmv:"), F.col("o_custkey"))).alias(
+            "h"
+        ),
+    ).distinct()
+    w = Window.partitionBy("cls").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    # Pairwise without a hash self-join fan-out trap: the sketches are
+    # k-row relations, so enumerate class pairs (|classes|^2 — a
+    # dimension) and for each pair take the k smallest of the union.
+    pairs = (
+        sk.select(F.col("cls").alias("cls_a"))
+        .distinct()
+        .crossJoin(sk.select(F.col("cls").alias("cls_b")).distinct())
+        .filter(F.col("cls_a") < F.col("cls_b"))
+    )
+    u = (
+        pairs.join(
+            sk.select("cls", "h"),
+            (F.col("cls") == F.col("cls_a")) | (F.col("cls") == F.col("cls_b")),
+        )
+        .select("cls_a", "cls_b", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("cls_a", "cls_b").orderBy("h")
+    union_sk = u.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    in_a = sk.select(F.col("cls").alias("cls_a"), "h").withColumn(
+        "ina", F.lit(1)
+    )
+    in_b = sk.select(F.col("cls").alias("cls_b"), "h").withColumn(
+        "inb", F.lit(1)
+    )
+    marked = (
+        union_sk.join(in_a, ["cls_a", "h"], "left")
+        .join(in_b, ["cls_b", "h"], "left")
+        .groupBy("cls_a", "cls_b")
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+            F.count(F.lit(1)).alias("n_union_sample"),
+            F.sum(
+                F.when(
+                    F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_common"),
+        )
+    )
+    exact = (
+        hashed.select(F.col("cls").alias("cls_a"), "ck")
+        .join(hashed.select(F.col("cls").alias("cls_b"), "ck"), "ck", "full")
+        .groupBy("cls_a", "cls_b")
+        .agg(F.count(F.lit(1)).alias("nn"))
+    )
+    ex_a = hashed.groupBy(F.col("cls").alias("cls_a")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    ex_b = hashed.groupBy(F.col("cls").alias("cls_b")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    exact_pair = (
+        exact.filter(F.col("cls_a") < F.col("cls_b"))
+        .join(F.broadcast(ex_a), "cls_a")
+        .join(F.broadcast(ex_b), "cls_b")
+        .select(
+            "cls_a",
+            "cls_b",
+            F.col("nn").alias("exact_intersect"),
+            (F.col("na") + F.col("nb") - F.col("nn")).alias("exact_union"),
+        )
+    )
+    d_union = F.when(
+        F.col("n_union_sample") < _KMV_K, F.col("n_union_sample")
+    ).otherwise(F.expr(f"({_KMV_K - 1} * {_MOD}L) div kth_hash"))
+    est_int = F.expr("(n_common * est_union) div n_union_sample")
+    return (
+        marked.join(F.broadcast(exact_pair), ["cls_a", "cls_b"])
+        .withColumn("est_union", d_union)
+        .select(
+            "cls_a",
+            "cls_b",
+            F.least(F.lit(_KMV_K), F.col("n_union_sample")).alias("k_eff"),
+            "est_union",
+            "exact_union",
+            est_int.alias("est_intersect"),
+            "exact_intersect",
+            F.round(F.col("n_common") / F.col("n_union_sample"), 6).alias(
+                "est_jaccard"
+            ),
+            F.round(
+                F.col("exact_intersect") / F.col("exact_union"), 6
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("cls_a", "cls_b")
+    )
+
+
+KMV_SET_OPS_SQL = f"""
+WITH hashed AS (
+    SELECT DISTINCT o_orderpriority AS cls, o_custkey AS ck,
+           {_scrambled_hash_sql("'kmv:' || o_custkey::VARCHAR")} AS h
+    FROM orders
+), sk AS (
+    SELECT cls, h FROM (
+        SELECT cls, h,
+               row_number() OVER (PARTITION BY cls ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {_KMV_K}
+), pairs AS (
+    SELECT a.cls AS cls_a, b.cls AS cls_b
+    FROM (SELECT DISTINCT cls FROM sk) a, (SELECT DISTINCT cls FROM sk) b
+    WHERE a.cls < b.cls
+), u AS (
+    SELECT DISTINCT p.cls_a, p.cls_b, s.h
+    FROM pairs p JOIN sk s ON s.cls = p.cls_a OR s.cls = p.cls_b
+), union_sk AS (
+    SELECT cls_a, cls_b, h, rn FROM (
+        SELECT cls_a, cls_b, h,
+               row_number() OVER (PARTITION BY cls_a, cls_b ORDER BY h) AS rn
+        FROM u
+    ) WHERE rn <= {_KMV_K}
+), marked AS (
+    SELECT us.cls_a, us.cls_b,
+           MAX(CASE WHEN us.rn = {_KMV_K} THEN us.h END) AS kth_hash,
+           COUNT(*) AS n_union_sample,
+           SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS n_common
+    FROM union_sk us
+    LEFT JOIN sk sa ON sa.cls = us.cls_a AND sa.h = us.h
+    LEFT JOIN sk sb ON sb.cls = us.cls_b AND sb.h = us.h
+    GROUP BY us.cls_a, us.cls_b
+), exact_int AS (
+    SELECT a.cls AS cls_a, b.cls AS cls_b, COUNT(*) AS exact_intersect
+    FROM hashed a JOIN hashed b ON a.ck = b.ck AND a.cls < b.cls
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT cls, COUNT(*) AS n FROM hashed GROUP BY cls
+), est AS (
+    SELECT m.cls_a, m.cls_b,
+           LEAST({_KMV_K}, m.n_union_sample) AS k_eff,
+           CAST(CASE WHEN m.n_union_sample < {_KMV_K} THEN m.n_union_sample
+                ELSE ({_KMV_K - 1}::BIGINT * {_MOD}) // m.kth_hash END AS BIGINT)
+               AS est_union,
+           m.n_common, m.n_union_sample
+    FROM marked m
+)
+SELECT e.cls_a, e.cls_b, e.k_eff, e.est_union,
+       CAST(sa.n + sb.n - i.exact_intersect AS BIGINT) AS exact_union,
+       CAST((e.n_common * e.est_union) // e.n_union_sample AS BIGINT)
+           AS est_intersect,
+       CAST(i.exact_intersect AS BIGINT) AS exact_intersect,
+       ROUND(CAST(e.n_common AS DOUBLE) / e.n_union_sample, 6)
+           AS est_jaccard,
+       ROUND(CAST(i.exact_intersect AS DOUBLE)
+             / (sa.n + sb.n - i.exact_intersect), 6) AS exact_jaccard
+FROM est e
+JOIN exact_int i ON i.cls_a = e.cls_a AND i.cls_b = e.cls_b
+JOIN sizes sa ON sa.cls = e.cls_a
+JOIN sizes sb ON sb.cls = e.cls_b
+ORDER BY e.cls_a, e.cls_b
+"""
+
+QUERIES["kmv_set_operations"] = kmv_set_operations
+ORACLES["kmv_set_operations"] = KMV_SET_OPS_SQL

@@ -367,3 +367,64 @@ def test_percentile_approx_swap_stays_within_gk_bound(spark, sf_dir):
             assert dist <= max_rank_err, (
                 r.l_returnflag, q, e, a, lo, hi, target_rank
             )
+
+
+def test_selfjoin_estimate_collapses_to_exact_under_k(spark):
+    """When a group's distinct-key domain fits inside the sample
+    (n_users <= k), the estimator must return the EXACT F2 — the
+    sample is the domain and the KMV scale factor must not kick in."""
+    from m4i_flink_tasks_spark.queries.sketches import (
+        _F2_K,
+        selfjoin_size_estimate,
+    )
+
+    rows = selfjoin_size_estimate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.k == _F2_K
+        if r.n_users <= _F2_K:
+            assert r.est_f2 == r.exact_f2 and r.rel_error_pct == 0.0
+            assert r.est_distinct == r.n_users
+
+
+def test_selfjoin_estimate_reasonable_when_sampling(spark):
+    """With a real sample (n_users > k) the F2 estimate must land
+    within the coarse envelope distinct-sampling guarantees at k=64
+    (the c^2 mass of a uniform-ish domain): within 3x either way, and
+    the distinct estimate within the standard KMV 3/sqrt(k) band."""
+    from m4i_flink_tasks_spark.queries.sketches import (
+        _F2_K,
+        selfjoin_size_estimate,
+    )
+
+    rows = selfjoin_size_estimate(spark, "/root/testdata/sf0.01").collect()
+    sampled = [r for r in rows if r.n_users > _F2_K]
+    assert sampled, "sf0.01 should exercise the sampling path"
+    for r in sampled:
+        assert r.exact_f2 / 3 <= r.est_f2 <= r.exact_f2 * 3, r
+        assert abs(r.est_distinct - r.n_users) / r.n_users <= 3 / (_F2_K**0.5)
+
+
+def test_kmv_set_operations_invariants(spark, sf_dir):
+    """Sketch set-algebra sanity: Jaccard in [0,1], intersection never
+    exceeds union, exact columns self-consistent, and the estimated
+    union within the KMV band of the exact union when sampling."""
+    from m4i_flink_tasks_spark.queries.sketches import (
+        _KMV_K,
+        kmv_set_operations,
+    )
+
+    rows = kmv_set_operations(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.est_intersect <= r.est_union
+        assert r.exact_intersect <= r.exact_union
+        if r.k_eff == _KMV_K:  # genuine sampling
+            assert (
+                abs(r.est_union - r.exact_union) / r.exact_union
+                <= 3 / (_KMV_K**0.5)
+            )
+        else:  # sketch holds the whole union: estimates are exact
+            assert r.est_union == r.exact_union
+            assert r.est_intersect == r.exact_intersect
