@@ -1295,6 +1295,40 @@ def _stream_exact_median_sql() -> str:
     return EXACT_MEDIAN_SQL
 
 
+def stream_zone_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zone-map / file-inventory maintenance
+    (streaming/zone_state.py): sum/min/max are associative folds, so
+    the keyed (part_key, file_id) state equals the batch inventory for
+    any batch split; the readout attaches the batch report's
+    band-predicate pruning verdict, so the batch derivation oracles
+    the stream."""
+    from ..streaming.zone_state import run_stream_zone_map_state
+
+    return run_stream_zone_map_state(
+        spark, sf_dir, _workdir("zone_map_state")
+    )
+
+
+def _stream_zone_map_sql() -> str:
+    from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
+
+    return f"""
+WITH files AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS part_key,
+           l_suppkey % 8 AS file_id,
+           CAST({_FILE_ROW_BYTES} * COUNT(*) AS BIGINT) AS size_bytes,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+)
+SELECT part_key, file_id, size_bytes, min_price, max_price,
+       (max_price < {_ZONE_LO} OR min_price > {_ZONE_HI}) AS prunable
+FROM files
+ORDER BY part_key, file_id
+"""
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1326,6 +1360,7 @@ QUERIES = {
     "stream_trend_slopes": stream_trend_slopes,
     "stream_pareto_frontier": stream_pareto_frontier,
     "stream_exact_median": stream_exact_median,
+    "stream_zone_map_state": stream_zone_map_state,
 }
 
 ORACLES = {
@@ -1359,4 +1394,5 @@ ORACLES = {
     "stream_trend_slopes": STREAM_TREND_SQL,
     "stream_pareto_frontier": _stream_pareto_sql(),
     "stream_exact_median": _stream_exact_median_sql(),
+    "stream_zone_map_state": _stream_zone_map_sql(),
 }
