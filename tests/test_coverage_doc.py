@@ -82,6 +82,8 @@ def test_documented_query_names_exist():
             "demux_ogg",
             "demux_mp4",
             "demux_webm",
+            "synth_flac",
+            "demux_flac",
             "candidate_pairs_with_shingles",
             "ngram_containment_pairs",
             "frame_energies",
