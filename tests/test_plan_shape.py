@@ -785,3 +785,24 @@ def test_flac_inventory_is_arrow_batched_map_only(plans):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "Join" not in plan
+
+
+def test_selfjoin_estimate_is_broadcast_only(plans):
+    """The F2 estimator's only join is the k-row sketch vs the exact
+    aggregate (broadcast); the corpus side is one keyed count."""
+    plan = plans["selfjoin_size_estimate"]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kmv_set_ops_joins_stay_sketch_bounded(plans):
+    """Sketch set algebra joins only k-row-bounded relations: the class
+    pair enumeration and the OR-condition band membership may plan as
+    broadcast nested loops (both inputs bounded by k * |classes|,
+    a dimension), but never a CartesianProduct over data-sized input
+    and never sort-merge on the sketch side."""
+    plan = plans["kmv_set_operations"]
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
