@@ -1392,3 +1392,94 @@ ORDER BY layout, part_key
 
 QUERIES["zone_map_pruning_report"] = zone_map_pruning_report
 ORACLES["zone_map_pruning_report"] = ZONE_MAP_SQL
+
+
+# --------------------------------------------------------------------------
+# Manifest-level partition pruning — the lakehouse trick that replaces
+# directory-name pruning: a table manifest maps files to partition
+# values, the PLANNER filters the manifest (a dimension-sized
+# relation), and only the matching files are ever opened. This is how
+# Iceberg/Delta prune a 100 TB table to the handful of files a
+# date-band query needs, independent of physical directory layout.
+# --------------------------------------------------------------------------
+
+_MANIFEST_LO, _MANIFEST_HI = "1997-01", "1997-12"
+
+
+def _manifest_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent month-partitioned copy of lineitem + its manifest:
+    one write per sf_dir, re-used across calls (the staged table IS
+    the warehouse copy; the manifest is derived by listing it)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"m4i_manifest_{tag}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.select(
+                F.date_format("l_shipdate", "yyyy-MM").alias("part_key"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .repartition("part_key")
+            .write.mode("overwrite")
+            .partitionBy("part_key")
+            .parquet(root)
+        )
+    return root
+
+
+def manifest_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue for a one-year band, reading ONLY the files the
+    manifest maps to that band: the manifest (file path -> partition
+    value, a dimension-sized relation) is filtered plan-side and the
+    scan is constructed from the surviving paths — so the pruning
+    happens before any data file is opened, exactly the
+    manifest-pruning contract of an Iceberg/Delta planner. The
+    file-count proof (selected files only; see
+    tests/test_warehouse_maintenance.py) is asserted via inputFiles.
+    Integer cents keep the aggregate engine-exact."""
+    import os
+
+    root = _manifest_staging(spark, sf_dir)
+    # the manifest: partition value -> directory (derived by listing;
+    # a lakehouse reads this from its metadata layer)
+    manifest = [
+        (d.split("=", 1)[1], os.path.join(root, d))
+        for d in sorted(os.listdir(root))
+        if d.startswith("part_key=")
+    ]
+    selected = [
+        path
+        for part_key, path in manifest
+        if _MANIFEST_LO <= part_key <= _MANIFEST_HI
+    ]
+    pruned = spark.read.option("basePath", root).parquet(*selected)
+    return (
+        pruned.groupBy("part_key")
+        .agg(
+            F.sum("price_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(F.col("part_key").cast("string"), "revenue_cents", "n_rows")
+        .orderBy("part_key")
+    )
+
+
+MANIFEST_PRUNING_SQL = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS part_key,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') BETWEEN '{_MANIFEST_LO}' AND '{_MANIFEST_HI}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["manifest_partition_pruning"] = manifest_partition_pruning
+ORACLES["manifest_partition_pruning"] = MANIFEST_PRUNING_SQL

@@ -75,3 +75,33 @@ def test_clustered_layout_skips_at_least_natural(spark, sf_dir):
         r.bytes_skipped for (l, _), r in rep.items() if l == "clustered"
     )
     assert clu_total > nat_total
+
+
+def test_manifest_pruning_opens_only_selected_files(spark, sf_dir):
+    """The proof of manifest-level pruning: the scan's inputFiles must
+    be exactly the band's partitions — fewer files than the full table
+    — and every returned month must lie inside the band."""
+    import os
+
+    from m4i_flink_tasks_spark.queries.warehouse import (
+        _MANIFEST_HI,
+        _MANIFEST_LO,
+        _manifest_staging,
+        manifest_partition_pruning,
+    )
+
+    df = manifest_partition_pruning(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(_MANIFEST_LO <= r.part_key <= _MANIFEST_HI for r in rows)
+
+    root = _manifest_staging(spark, sf_dir)
+    all_parts = [d for d in os.listdir(root) if d.startswith("part_key=")]
+    band_parts = {
+        d
+        for d in all_parts
+        if _MANIFEST_LO <= d.split("=", 1)[1] <= _MANIFEST_HI
+    }
+    assert len(band_parts) < len(all_parts), "band must be a strict subset"
+    opened = {f.split("/part_key=")[1].split("/")[0] for f in df.inputFiles()}
+    assert opened == {d.split("=", 1)[1] for d in band_parts}
