@@ -1408,15 +1408,27 @@ _MANIFEST_LO, _MANIFEST_HI = "1997-01", "1997-12"
 
 def _manifest_staging(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent month-partitioned copy of lineitem + its manifest:
-    one write per sf_dir, re-used across calls (the staged table IS
-    the warehouse copy; the manifest is derived by listing it)."""
+    one write per source-table CONTENT, re-used across calls (the
+    staged table IS the warehouse copy; the manifest is derived by
+    listing it). The cache tag fingerprints the source parquet
+    (path + size + mtime), so regenerating a dataset in place gets a
+    fresh staging instead of silently serving stale rows; the write
+    lands in a per-process temp dir and is atomically renamed into
+    place, so concurrent callers cannot corrupt each other (the race
+    loser discards its copy)."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"m4i_manifest_{tag}")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        tmp = f"{root}.tmp.{os.getpid()}"
         li = load_table(spark, sf_dir, "lineitem")
         (
             li.select(
@@ -1428,8 +1440,13 @@ def _manifest_staging(spark: SparkSession, sf_dir: str) -> str:
             .repartition("part_key")
             .write.mode("overwrite")
             .partitionBy("part_key")
-            .parquet(root)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            # a concurrent caller committed first; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     return root
 
 
@@ -1458,6 +1475,12 @@ def manifest_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         for part_key, path in manifest
         if _MANIFEST_LO <= part_key <= _MANIFEST_HI
     ]
+    if not selected:
+        raise ValueError(
+            f"manifest band [{_MANIFEST_LO}, {_MANIFEST_HI}] matched no "
+            f"partitions of {root} ({len(manifest)} listed) — the source "
+            "lineitem has no shipdates in the band"
+        )
     pruned = spark.read.option("basePath", root).parquet(*selected)
     return (
         pruned.groupBy("part_key")
