@@ -758,7 +758,6 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = sampled.groupBy("etype").agg(
         F.sum(F.col("c") * F.col("c")).alias("sample_f2"),
         F.max(F.when(F.col("rn") == _F2_K, F.col("h"))).alias("kth_hash"),
-        F.count(F.lit(1)).alias("n_sampled"),
     )
     exact = counts.groupBy("etype").agg(
         F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
@@ -891,9 +890,15 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_common"),
         )
     )
+    # Intersection counts come from an INNER equi-join on the customer
+    # key; disjoint pairs therefore have no row here, so the report is
+    # assembled by LEFT-joining from the full pair enumeration with a
+    # zero fill — a disjoint pair must APPEAR (est/exact intersect 0),
+    # not vanish.
     exact = (
         hashed.select(F.col("cls").alias("cls_a"), "ck")
-        .join(hashed.select(F.col("cls").alias("cls_b"), "ck"), "ck", "full")
+        .join(hashed.select(F.col("cls").alias("cls_b"), "ck"), "ck")
+        .filter(F.col("cls_a") < F.col("cls_b"))
         .groupBy("cls_a", "cls_b")
         .agg(F.count(F.lit(1)).alias("nn"))
     )
@@ -904,14 +909,16 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nb")
     )
     exact_pair = (
-        exact.filter(F.col("cls_a") < F.col("cls_b"))
+        pairs.join(F.broadcast(exact), ["cls_a", "cls_b"], "left")
         .join(F.broadcast(ex_a), "cls_a")
         .join(F.broadcast(ex_b), "cls_b")
         .select(
             "cls_a",
             "cls_b",
-            F.col("nn").alias("exact_intersect"),
-            (F.col("na") + F.col("nb") - F.col("nn")).alias("exact_union"),
+            F.coalesce("nn", F.lit(0)).cast("long").alias("exact_intersect"),
+            (
+                F.col("na") + F.col("nb") - F.coalesce("nn", F.lit(0))
+            ).alias("exact_union"),
         )
     )
     d_union = F.when(
@@ -990,16 +997,18 @@ WITH hashed AS (
     FROM marked m
 )
 SELECT e.cls_a, e.cls_b, e.k_eff, e.est_union,
-       CAST(sa.n + sb.n - i.exact_intersect AS BIGINT) AS exact_union,
+       CAST(sa.n + sb.n - COALESCE(i.exact_intersect, 0) AS BIGINT)
+           AS exact_union,
        CAST((e.n_common * e.est_union) // e.n_union_sample AS BIGINT)
            AS est_intersect,
-       CAST(i.exact_intersect AS BIGINT) AS exact_intersect,
+       CAST(COALESCE(i.exact_intersect, 0) AS BIGINT) AS exact_intersect,
        ROUND(CAST(e.n_common AS DOUBLE) / e.n_union_sample, 6)
            AS est_jaccard,
-       ROUND(CAST(i.exact_intersect AS DOUBLE)
-             / (sa.n + sb.n - i.exact_intersect), 6) AS exact_jaccard
+       ROUND(CAST(COALESCE(i.exact_intersect, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.exact_intersect, 0)), 6)
+           AS exact_jaccard
 FROM est e
-JOIN exact_int i ON i.cls_a = e.cls_a AND i.cls_b = e.cls_b
+LEFT JOIN exact_int i ON i.cls_a = e.cls_a AND i.cls_b = e.cls_b
 JOIN sizes sa ON sa.cls = e.cls_a
 JOIN sizes sb ON sb.cls = e.cls_b
 ORDER BY e.cls_a, e.cls_b

@@ -96,9 +96,7 @@ def _merge_inventory(cur: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
-def inventory_readout(
-    state: DataFrame, lo: int, hi: int, row_bytes: int
-) -> DataFrame:
+def inventory_readout(state: DataFrame, lo: int, hi: int) -> DataFrame:
     """The maintained inventory with the batch report's band-predicate
     pruning verdict attached — pure plan-time arithmetic over the
     dimension-sized state."""
@@ -158,4 +156,4 @@ def run_stream_zone_map_state(
 
     state = store.current()
     assert state is not None
-    return inventory_readout(state, _ZONE_LO, _ZONE_HI, _FILE_ROW_BYTES)
+    return inventory_readout(state, _ZONE_LO, _ZONE_HI)

@@ -382,7 +382,7 @@ def test_selfjoin_estimate_collapses_to_exact_under_k(spark):
     assert rows
     for r in rows:
         assert r.k == _F2_K
-        if r.n_users <= _F2_K:
+        if r.n_users < _F2_K:
             assert r.est_f2 == r.exact_f2 and r.rel_error_pct == 0.0
             assert r.est_distinct == r.n_users
 
