@@ -1309,6 +1309,25 @@ def stream_zone_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming F2 join-size estimation (streaming/f2_state.py): the
+    per-(event_type, user) counts the estimator reads are an addition
+    monoid maintained as keyed state, so the shared sketch readout
+    equals the batch selfjoin_size_estimate for any batch split —
+    whose oracle therefore oracles the stream."""
+    from ..streaming.f2_state import run_stream_selfjoin_size
+
+    return run_stream_selfjoin_size(
+        spark, sf_dir, _workdir("selfjoin_size")
+    )
+
+
+def _stream_selfjoin_sql() -> str:
+    from .sketches import SELFJOIN_SIZE_SQL
+
+    return SELFJOIN_SIZE_SQL
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1361,6 +1380,7 @@ QUERIES = {
     "stream_pareto_frontier": stream_pareto_frontier,
     "stream_exact_median": stream_exact_median,
     "stream_zone_map_state": stream_zone_map_state,
+    "stream_selfjoin_size": stream_selfjoin_size,
 }
 
 ORACLES = {
@@ -1395,4 +1415,5 @@ ORACLES = {
     "stream_pareto_frontier": _stream_pareto_sql(),
     "stream_exact_median": _stream_exact_median_sql(),
     "stream_zone_map_state": _stream_zone_map_sql(),
+    "stream_selfjoin_size": _stream_selfjoin_sql(),
 }

@@ -746,6 +746,14 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = events.groupBy(
         F.col("event_type").alias("etype"), "user_id"
     ).agg(F.count(F.lit(1)).alias("c"))
+    return f2_report_from_counts(counts)
+
+
+def f2_report_from_counts(counts: DataFrame) -> DataFrame:
+    """The estimator's readout over a (etype, user_id, c) count
+    relation — shared by the batch query above and the streaming
+    keyed-count state twin (streaming/f2_state.py), whose maintained
+    counts are batch-equal by the addition monoid."""
     hashed = counts.select(
         "etype",
         "c",

@@ -84,6 +84,7 @@ def test_documented_query_names_exist():
             "demux_webm",
             "synth_flac",
             "demux_flac",
+            "f2_report_from_counts",
             "candidate_pairs_with_shingles",
             "ngram_containment_pairs",
             "frame_energies",
