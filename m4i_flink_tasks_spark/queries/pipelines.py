@@ -1328,6 +1328,29 @@ def _stream_selfjoin_sql() -> str:
     return SELFJOIN_SIZE_SQL
 
 
+def stream_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop closed end to end: the compaction plan is
+    computed from the STREAM-MAINTAINED file inventory (zone-map keyed
+    state), never from a rescan of the data — the nightly-compaction
+    read a lakehouse actually performs. The inventory state equals the
+    batch inventory by the fold monoids (pinned in
+    tests/test_zone_state.py), so the batch compaction SQL oracles the
+    whole loop."""
+    from ..queries.warehouse import compaction_plan_from_inventory
+    from ..streaming.zone_state import run_stream_zone_map_state
+
+    inventory = run_stream_zone_map_state(
+        spark, sf_dir, _workdir("compaction_inventory")
+    ).select("part_key", "file_id", "size_bytes")
+    return compaction_plan_from_inventory(inventory)
+
+
+def _stream_compaction_sql() -> str:
+    from .warehouse import COMPACTION_PLAN_SQL
+
+    return COMPACTION_PLAN_SQL
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1381,6 +1404,7 @@ QUERIES = {
     "stream_exact_median": stream_exact_median,
     "stream_zone_map_state": stream_zone_map_state,
     "stream_selfjoin_size": stream_selfjoin_size,
+    "stream_compaction_plan": stream_compaction_plan,
 }
 
 ORACLES = {
@@ -1416,4 +1440,5 @@ ORACLES = {
     "stream_exact_median": _stream_exact_median_sql(),
     "stream_zone_map_state": _stream_zone_map_sql(),
     "stream_selfjoin_size": _stream_selfjoin_sql(),
+    "stream_compaction_plan": _stream_compaction_sql(),
 }

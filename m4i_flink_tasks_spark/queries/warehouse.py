@@ -1214,7 +1214,14 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one task per date partition, no cross-partition coordination —
     this is why compaction of a 100 TB table is embarrassingly
     parallel)."""
-    files = _file_inventory(spark, sf_dir)
+    return compaction_plan_from_inventory(_file_inventory(spark, sf_dir))
+
+
+def compaction_plan_from_inventory(files: DataFrame) -> DataFrame:
+    """The bin-packing windows over any (part_key, file_id, size_bytes)
+    inventory — shared by the batch query above and the streaming
+    maintained-inventory twin (``stream_compaction_plan``), whose state
+    equals the batch inventory by the fold monoids."""
     w = (
         Window.partitionBy("part_key")
         .orderBy(F.desc("size_bytes"), "file_id")

@@ -85,6 +85,7 @@ def test_documented_query_names_exist():
             "synth_flac",
             "demux_flac",
             "f2_report_from_counts",
+            "compaction_plan_from_inventory",
             "candidate_pairs_with_shingles",
             "ngram_containment_pairs",
             "frame_energies",
