@@ -426,3 +426,105 @@ ORDER BY band
 
 QUERIES["k_anonymity_audit"] = k_anonymity_audit
 ORACLES["k_anonymity_audit"] = K_ANONYMITY_SQL
+
+
+def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across lineitem's numeric columns —
+    the feature-selection read a modeling pipeline takes before
+    training on warehouse columns. ONE pass computes every moment
+    (sums, squares, cross-products) as EXACT decimal arithmetic over
+    integer-scaled values (quantity units, price cents, discount/tax
+    basis points), so the only float math is the final six-decimal
+    ratio on exact inputs — engine-exact by construction and immune to
+    summation-order noise. Scale shape: a single map-side-combinable
+    aggregate (no shuffle beyond the 1-row combine), then a constant
+    6-row explode; the same plan at 100 TB reads each column once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity").cast("long"),
+        "price_cents": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "discount_bp": F.round(F.col("l_discount") * 10000).cast("long"),
+        "tax_bp": F.round(F.col("l_tax") * 10000).cast("long"),
+    }
+    dec = "decimal(38,0)"
+    proj = li.select(
+        *[v.cast(dec).alias(k) for k, v in cols.items()]
+    )
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for a in names:
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    moments = proj.agg(*aggs)
+
+    pair_structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(
+                f"s_{b}"
+            )
+            var_a = F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(
+                f"s_{a}"
+            )
+            var_b = F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(
+                f"s_{b}"
+            )
+            corr = F.round(
+                num.cast("double")
+                / F.sqrt(var_a.cast("double") * var_b.cast("double")),
+                6,
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    corr.alias("pearson_r"),
+                )
+            )
+    return (
+        moments.select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.explode(F.array(*pair_structs)).alias("p"),
+        )
+        .select("p.col_x", "p.col_y", "p.pearson_r", "n_rows")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_sql() -> str:
+    names = ["quantity", "price_cents", "discount_bp", "tax_bp"]
+    exprs = {
+        "quantity": "CAST(l_quantity AS HUGEINT)",
+        "price_cents": "CAST(round(l_extendedprice * 100) AS HUGEINT)",
+        "discount_bp": "CAST(round(l_discount * 10000) AS HUGEINT)",
+        "tax_bp": "CAST(round(l_tax * 10000) AS HUGEINT)",
+    }
+    moment_cols = ["COUNT(*)::HUGEINT AS n"]
+    for a in names:
+        moment_cols.append(f"SUM({exprs[a]}) AS s_{a}")
+        moment_cols.append(f"SUM({exprs[a]} * {exprs[a]}) AS ss_{a}")
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            moment_cols.append(f"SUM({exprs[a]} * {exprs[b]}) AS sp_{a}_{b}")
+            pairs.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"ROUND(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE) / "
+                f"SQRT(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE) * "
+                f"CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)), 6) "
+                f"AS pearson_r, CAST(n AS BIGINT) AS n_rows FROM moments"
+            )
+    return (
+        "WITH moments AS (SELECT "
+        + ", ".join(moment_cols)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(pairs)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+QUERIES["numeric_correlation_matrix"] = numeric_correlation_matrix
+ORACLES["numeric_correlation_matrix"] = _corr_sql()
