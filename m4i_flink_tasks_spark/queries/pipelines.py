@@ -1351,6 +1351,26 @@ def _stream_compaction_sql() -> str:
     return COMPACTION_PLAN_SQL
 
 
+def stream_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming correlation-matrix maintenance
+    (streaming/moments_state.py): the exact moment vector is one
+    addition-monoid row of state, so the shared Pearson readout equals
+    the batch numeric_correlation_matrix for any batch split — whose
+    oracle therefore oracles the stream. The online-feature-statistics
+    state shape: O(1) rows regardless of stream length."""
+    from ..streaming.moments_state import run_stream_numeric_profile
+
+    return run_stream_numeric_profile(
+        spark, sf_dir, _workdir("numeric_profile")
+    )
+
+
+def _stream_numeric_profile_sql() -> str:
+    from .profiling import ORACLES as PROFILING_ORACLES
+
+    return PROFILING_ORACLES["numeric_correlation_matrix"]
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1405,6 +1425,7 @@ QUERIES = {
     "stream_zone_map_state": stream_zone_map_state,
     "stream_selfjoin_size": stream_selfjoin_size,
     "stream_compaction_plan": stream_compaction_plan,
+    "stream_numeric_profile": stream_numeric_profile,
 }
 
 ORACLES = {
@@ -1441,4 +1462,5 @@ ORACLES = {
     "stream_zone_map_state": _stream_zone_map_sql(),
     "stream_selfjoin_size": _stream_selfjoin_sql(),
     "stream_compaction_plan": _stream_compaction_sql(),
+    "stream_numeric_profile": _stream_numeric_profile_sql(),
 }

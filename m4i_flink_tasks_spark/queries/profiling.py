@@ -458,8 +458,18 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
-    moments = proj.agg(*aggs)
+    return corr_from_moments(proj.agg(*aggs))
 
+
+_CORR_NAMES = ("quantity", "price_cents", "discount_bp", "tax_bp")
+
+
+def corr_from_moments(moments: DataFrame) -> DataFrame:
+    """The Pearson readout over the exact moment vector — shared by
+    the batch query above and the streaming additive-moment state twin
+    (streaming/moments_state.py), whose maintained vector is
+    batch-equal by the addition monoid."""
+    names = list(_CORR_NAMES)
     pair_structs = []
     for i, a in enumerate(names):
         for b in names[i + 1 :]:

@@ -86,6 +86,7 @@ def test_documented_query_names_exist():
             "demux_flac",
             "f2_report_from_counts",
             "compaction_plan_from_inventory",
+            "corr_from_moments",
             "candidate_pairs_with_shingles",
             "ngram_containment_pairs",
             "frame_energies",
