@@ -154,8 +154,9 @@ _MODULES = (
 # flac_stream_info, compaction_plan, zone_map_pruning_report,
 # selfjoin_size_estimate, kmv_set_operations, stream_zone_map_state,
 # manifest_partition_pruning, stream_selfjoin_size,
-# stream_compaction_plan — all nine sf1-measured and oracle-backed on
-# arrival); next tranches, strongest first —
+# stream_compaction_plan, numeric_correlation_matrix,
+# stream_numeric_profile — all eleven sf1-measured and oracle-backed
+# on arrival); next tranches, strongest first —
 # user_retention_cohorts, rfm_segments, attribution_report,
 # ab_test_report, event_funnel, seasonal_naive_forecast,
 # exp_smoothing_backtest, label_propagation_communities,
