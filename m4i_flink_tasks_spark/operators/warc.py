@@ -1,0 +1,167 @@
+"""WARC (Web ARChive, ISO 28500) record extraction — the ingest format
+of CommonCrawl-scale web corpora.
+
+A ``.warc.gz`` file is a CONCATENATION of independent gzip members, one
+per WARC record — that layout is what lets a 100 TB crawl shard split
+by member boundaries. This module implements the real mechanics in
+stdlib only:
+
+- ``synth_warc`` builds a deterministic multi-record archive per
+  doc_id: a ``warcinfo`` record plus 1-3 ``response`` records (each an
+  HTTP/1.1 envelope around closed-form body text), each record its own
+  gzip member, concatenated.
+- ``parse_warc`` splits members with ``zlib.decompressobj`` (the
+  ``unused_data`` loop), parses each record's WARC named fields,
+  honors ``Content-Length`` exactly, strips the HTTP envelope of
+  response records, and emits per-record facts. Non-response records
+  are counted but emit no row (the selection a text pipeline makes).
+
+Reference scope: the reference has no binary/web-archive surface
+(SURVEY §2.6); this is north-star plumbing for crawl-corpus curation,
+where text extraction begins at exactly this record walk.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gzip_member(data: bytes) -> bytes:
+    # mtime pinned so synthesis is byte-deterministic
+    return gzip.compress(data, compresslevel=6, mtime=0)
+
+
+def _warc_record(rtype: str, uri: str | None, payload: bytes) -> bytes:
+    headers = [f"WARC/1.0", f"WARC-Type: {rtype}"]
+    if uri is not None:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"Content-Length: {len(payload)}")
+    head = ("\r\n".join(headers) + "\r\n\r\n").encode("ascii")
+    return head + payload + b"\r\n\r\n"
+
+
+def synth_warc(doc_id: int) -> bytes:
+    """Deterministic .warc.gz: a warcinfo member + ``1 + doc_id % 3``
+    response members whose body word counts are closed forms of
+    (doc_id, rec_index) so the oracle can state every fact in SQL."""
+    members = [
+        _gzip_member(
+            _warc_record("warcinfo", None, b"software: m4i-synth-crawler")
+        )
+    ]
+    n_responses = 1 + doc_id % 3
+    for i in range(n_responses):
+        n_words = 5 + (doc_id + 3 * i) % 20
+        body = " ".join(f"w{doc_id}x{i}n{j}" for j in range(n_words))
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + body.encode("ascii")
+        )
+        uri = f"http://synth.example/{doc_id}/{i}"
+        members.append(_gzip_member(_warc_record("response", uri, http)))
+    return b"".join(members)
+
+
+def _split_members(b: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members, yielding each
+    member's payload — the split a crawl shard reader performs."""
+    pos = 0
+    while pos < len(b):
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out = d.decompress(b[pos:])
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        yield out
+        consumed = len(b) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no bytes")
+        pos += consumed
+
+
+def parse_warc(b: bytes) -> list[dict]:
+    """Per-response-record facts from a .warc.gz payload. Raises
+    ValueError on malformed members/records so a crawl shard full of
+    garbage dead-letters instead of killing the task."""
+    rows: list[dict] = []
+    rec_index = 0
+    for member in _split_members(b):
+        sep = member.find(b"\r\n\r\n")
+        if sep < 0 or not member.startswith(b"WARC/"):
+            raise ValueError("missing WARC header block")
+        fields: dict[str, str] = {}
+        for line in member[:sep].decode("ascii").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("bad/missing Content-Length") from e
+        payload = member[sep + 4 : sep + 4 + length]
+        if len(payload) != length:
+            raise ValueError("payload shorter than Content-Length")
+        if fields.get("warc-type") != "response":
+            continue
+        hsep = payload.find(b"\r\n\r\n")
+        if hsep < 0 or not payload.startswith(b"HTTP/"):
+            raise ValueError("response record without HTTP envelope")
+        body = payload[hsep + 4 :]
+        rows.append(
+            {
+                "rec_index": rec_index,
+                "url": fields.get("warc-target-uri"),
+                "content_length": length,
+                "n_body_tokens": len(body.split()),
+            }
+        )
+        rec_index += 1
+    return rows
+
+
+WARC_SCHEMA = (
+    "doc_id bigint, rec_index int, url string, content_length bigint, "
+    "n_body_tokens int"
+)
+
+
+def attach_warc_payload(docs: DataFrame) -> DataFrame:
+    """.warc.gz payload column (one archive per doc) for the crawl
+    extraction query."""
+    from .multimodal import spread_for_python
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([synth_warc(int(d)) for d in doc_id], dtype=object)
+
+    return spread_for_python(docs.select("doc_id")).select(
+        "doc_id", _payload(F.col("doc_id")).alias("payload")
+    )
+
+
+def extract_warc_records(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched WARC record walk over the binary column — one row
+    per response record."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for row in parse_warc(payload):
+                    out.append({"doc_id": int(doc_id), **row})
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "rec_index",
+                    "url",
+                    "content_length",
+                    "n_body_tokens",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, schema=WARC_SCHEMA)

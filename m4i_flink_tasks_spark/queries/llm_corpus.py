@@ -1294,3 +1294,44 @@ ORDER BY source, status
 
 QUERIES["corpus_version_diff"] = corpus_version_diff
 ORACLES["corpus_version_diff"] = CORPUS_DIFF_SQL
+
+
+def warc_response_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingest: extract per-response facts from .warc.gz
+    payloads (one synthesized CommonCrawl-style archive per document) —
+    the record walk every crawl-corpus pipeline starts from. The
+    mechanics are real (operators/warc.py): concatenated gzip members
+    split with the decompressobj unused_data loop, WARC named-field
+    parse, Content-Length-exact payload slicing, HTTP envelope strip;
+    non-response records are filtered exactly as a text pipeline does.
+    Map-only over the binary column (Arrow-batched), no shuffle until
+    the downstream consumer — the shape that lets a 100 TB crawl shard
+    split by gzip-member boundaries. The oracle states every fact as a
+    closed form of (doc_id, rec_index)."""
+    from ..operators.warc import attach_warc_payload, extract_warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_warc_records(attach_warc_payload(docs)).orderBy(
+        "doc_id", "rec_index"
+    )
+
+
+WARC_EXTRACTION_SQL = """
+WITH recs AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS i FROM documents
+), facts AS (
+    SELECT doc_id, i, 5 + (doc_id + 3 * i) % 20 AS n FROM recs
+)
+SELECT doc_id,
+       CAST(i AS INT) AS rec_index,
+       'http://synth.example/' || doc_id || '/' || i AS url,
+       CAST(45 + n * (4 + length(CAST(doc_id AS VARCHAR)))
+            + (LEAST(n, 10) + 2 * GREATEST(n - 10, 0))
+            + (n - 1) AS BIGINT) AS content_length,
+       CAST(n AS INT) AS n_body_tokens
+FROM facts
+ORDER BY doc_id, rec_index
+"""
+
+QUERIES["warc_response_extraction"] = warc_response_extraction
+ORACLES["warc_response_extraction"] = WARC_EXTRACTION_SQL
