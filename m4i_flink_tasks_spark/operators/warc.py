@@ -70,11 +70,19 @@ def synth_warc(doc_id: int) -> bytes:
 
 def _split_members(b: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members, yielding each
-    member's payload — the split a crawl shard reader performs."""
+    member's payload — the split a crawl shard reader performs.
+    Zero-copy over a memoryview (a per-member tail copy would make the
+    walk quadratic in archive size), and ALL corruption — truncation,
+    bad headers, failed checksums — surfaces as ValueError per the
+    dead-letter contract (zlib.error is not a ValueError subclass)."""
+    mv = memoryview(b)
     pos = 0
     while pos < len(b):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out = d.decompress(b[pos:])
+        try:
+            out = d.decompress(mv[pos:])
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at offset {pos}: {e}") from e
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
         yield out

@@ -446,22 +446,31 @@ def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "discount_bp": F.round(F.col("l_discount") * 10000).cast("long"),
         "tax_bp": F.round(F.col("l_tax") * 10000).cast("long"),
     }
-    dec = "decimal(38,0)"
     proj = li.select(
-        *[v.cast(dec).alias(k) for k, v in cols.items()]
+        *[v.cast(_MOMENT_DEC).alias(k) for k, v in cols.items()]
     )
-    names = list(cols)
-    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    return corr_from_moments(proj.agg(*moment_aggs()))
+
+
+_CORR_NAMES = ("quantity", "price_cents", "discount_bp", "tax_bp")
+_MOMENT_DEC = "decimal(38,0)"
+
+
+def moment_aggs() -> list:
+    """The exact moment-vector aggregate (count, sums, squares,
+    cross-products over _CORR_NAMES, all in exact decimal) — ONE
+    definition shared by the batch query above and the streaming state
+    twin's per-batch fold, so the stream==batch monoid argument cannot
+    drift."""
+    names = list(_CORR_NAMES)
+    aggs = [F.count(F.lit(1)).cast(_MOMENT_DEC).alias("n")]
     for a in names:
         aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
         aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
-    return corr_from_moments(proj.agg(*aggs))
-
-
-_CORR_NAMES = ("quantity", "price_cents", "discount_bp", "tax_bp")
+    return aggs
 
 
 def corr_from_moments(moments: DataFrame) -> DataFrame:

@@ -1222,11 +1222,6 @@ def compaction_plan_from_inventory(files: DataFrame) -> DataFrame:
     inventory — shared by the batch query above and the streaming
     maintained-inventory twin (``stream_compaction_plan``), whose state
     equals the batch inventory by the fold monoids."""
-    w = (
-        Window.partitionBy("part_key")
-        .orderBy(F.desc("size_bytes"), "file_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     planned = files.select(
         "part_key",
         "file_id",

@@ -17,14 +17,13 @@ SURVEY §2.6); north-star streaming-capability scope.
 
 from __future__ import annotations
 
-import glob
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .staging import stage_ordered_topic
 from .store import BucketedParquetUpsertStore
 
 EVENT_STREAM_SCHEMA = "etype string, user_id long"
@@ -35,25 +34,17 @@ def stage_event_keys(
 ) -> str:
     """Stage the (event_type, user_id) key stream, ``n_files``
     event-id-ordered parquet files (idempotent immutable-topic model)."""
-    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
-        return staging_dir
     ev = load_table(spark, sf_dir, "events")
-    (
+    return stage_ordered_topic(
         ev.select(
             "event_id",
             F.col("event_type").alias("etype"),
             "user_id",
-        )
-        .repartitionByRange(n_files, "event_id")
-        .drop("event_id")
-        .write.mode("overwrite")
-        .parquet(staging_dir)
+        ),
+        staging_dir,
+        n_files,
+        "event_id",
     )
-    parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
-    t0 = time.time() - len(parts) - 1
-    for i, path in enumerate(parts):
-        os.utime(path, (t0 + i, t0 + i))
-    return staging_dir
 
 
 def _add_counts(cur: DataFrame, batch: DataFrame) -> DataFrame:

@@ -16,14 +16,13 @@ SURVEY §2.6); north-star streaming-capability scope.
 
 from __future__ import annotations
 
-import glob
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .staging import stage_ordered_topic
 from .store import BucketedParquetUpsertStore
 
 _DEC = "decimal(38,0)"
@@ -37,10 +36,8 @@ def stage_numeric_rows(
 ) -> str:
     """Stage lineitem's integer-scaled numeric columns, ``n_files``
     orderkey-ordered parquet files (idempotent immutable-topic model)."""
-    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
-        return staging_dir
     li = load_table(spark, sf_dir, "lineitem")
-    (
+    return stage_ordered_topic(
         li.select(
             "l_orderkey",
             F.col("l_quantity").cast("long").alias("quantity"),
@@ -51,32 +48,20 @@ def stage_numeric_rows(
             .cast("long")
             .alias("discount_bp"),
             F.round(F.col("l_tax") * 10000).cast("long").alias("tax_bp"),
-        )
-        .repartitionByRange(n_files, "l_orderkey")
-        .drop("l_orderkey")
-        .write.mode("overwrite")
-        .parquet(staging_dir)
+        ),
+        staging_dir,
+        n_files,
+        "l_orderkey",
     )
-    parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
-    t0 = time.time() - len(parts) - 1
-    for i, path in enumerate(parts):
-        os.utime(path, (t0 + i, t0 + i))
-    return staging_dir
 
 
 def _batch_moments(batch: DataFrame) -> DataFrame:
-    from ..queries.profiling import _CORR_NAMES
+    from ..queries.profiling import _CORR_NAMES, moment_aggs
 
-    names = list(_CORR_NAMES)
-    proj = batch.select(*[F.col(n).cast(_DEC).alias(n) for n in names])
-    aggs = [F.count(F.lit(1)).cast(_DEC).alias("n")]
-    for a in names:
-        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
-        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
-    for i, a in enumerate(names):
-        for b in names[i + 1 :]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
-    return proj.agg(*aggs).withColumn("k", F.lit(1))
+    proj = batch.select(
+        *[F.col(n).cast(_DEC).alias(n) for n in _CORR_NAMES]
+    )
+    return proj.agg(*moment_aggs()).withColumn("k", F.lit(1))
 
 
 def _add_moments(cur: DataFrame, batch: DataFrame) -> DataFrame:

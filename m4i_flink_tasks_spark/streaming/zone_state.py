@@ -18,14 +18,13 @@ SURVEY §2.6); north-star streaming-capability scope.
 
 from __future__ import annotations
 
-import glob
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .staging import stage_ordered_topic
 from .store import BucketedParquetUpsertStore
 
 FILE_STREAM_SCHEMA = "part_key string, file_id long, price double"
@@ -37,26 +36,18 @@ def stage_file_rows(
     """Stage lineitem rows keyed the way the batch inventory files them
     (month partition x suppkey-hash file), ``n_files`` orderkey-ordered
     parquet files (idempotent immutable-topic model)."""
-    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
-        return staging_dir
     li = load_table(spark, sf_dir, "lineitem")
-    (
+    return stage_ordered_topic(
         li.select(
             "l_orderkey",
             F.date_format("l_shipdate", "yyyy-MM").alias("part_key"),
             (F.col("l_suppkey") % 8).alias("file_id"),
             F.col("l_extendedprice").alias("price"),
-        )
-        .repartitionByRange(n_files, "l_orderkey")
-        .drop("l_orderkey")
-        .write.mode("overwrite")
-        .parquet(staging_dir)
+        ),
+        staging_dir,
+        n_files,
+        "l_orderkey",
     )
-    parts = sorted(glob.glob(os.path.join(staging_dir, "part-*.parquet")))
-    t0 = time.time() - len(parts) - 1
-    for i, path in enumerate(parts):
-        os.utime(path, (t0 + i, t0 + i))
-    return staging_dir
 
 
 def _merge_inventory(cur: DataFrame, batch: DataFrame) -> DataFrame:
