@@ -1371,6 +1371,24 @@ def _stream_numeric_profile_sql() -> str:
     return PROFILING_ORACLES["numeric_correlation_matrix"]
 
 
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl ingest (streaming/warc_ingest.py): each
+    micro-batch walks its .warc.gz archives' gzip members and APPENDS
+    the per-response rows to the corpus store (insert-only — O(batch)
+    regardless of store size); the final store equals the batch
+    extraction for any batch split, so the batch oracle oracles the
+    stream."""
+    from ..streaming.warc_ingest import run_stream_warc_ingest
+
+    return run_stream_warc_ingest(spark, sf_dir, _workdir("warc_ingest"))
+
+
+def _stream_warc_sql() -> str:
+    from .llm_corpus import WARC_EXTRACTION_SQL
+
+    return WARC_EXTRACTION_SQL
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1426,6 +1444,7 @@ QUERIES = {
     "stream_selfjoin_size": stream_selfjoin_size,
     "stream_compaction_plan": stream_compaction_plan,
     "stream_numeric_profile": stream_numeric_profile,
+    "stream_warc_ingest": stream_warc_ingest,
 }
 
 ORACLES = {
@@ -1463,4 +1482,5 @@ ORACLES = {
     "stream_selfjoin_size": _stream_selfjoin_sql(),
     "stream_compaction_plan": _stream_compaction_sql(),
     "stream_numeric_profile": _stream_numeric_profile_sql(),
+    "stream_warc_ingest": _stream_warc_sql(),
 }

@@ -1,0 +1,55 @@
+"""Streaming WARC ingest: the insert-only record store must equal the
+batch extraction for any batch split and across a mid-stream restart
+(unique record keys make the append a trivially commutative merge)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from m4i_flink_tasks_spark.queries.llm_corpus import warc_response_extraction
+from m4i_flink_tasks_spark.streaming.warc_ingest import (
+    run_stream_warc_ingest,
+    stage_doc_ids,
+)
+
+
+def test_stream_equals_batch(spark, sf_dir):
+    wd = tempfile.mkdtemp(prefix="m4i_warc_")
+    got = sorted(
+        map(tuple, run_stream_warc_ingest(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, warc_response_extraction(spark, sf_dir).collect())
+    )
+    assert got == exp and got
+
+
+def test_mid_stream_restart_converges(spark, sf_dir):
+    wd = tempfile.mkdtemp(prefix="m4i_warc_restart_")
+    staging = stage_doc_ids(
+        spark, sf_dir, os.path.join(wd, "staging_ids"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    hidden = tempfile.mkdtemp(prefix="m4i_warc_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    partial = run_stream_warc_ingest(spark, sf_dir, wd)
+    n_partial = partial.count()
+    assert n_partial > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    final = sorted(
+        map(tuple, run_stream_warc_ingest(spark, sf_dir, wd).collect())
+    )
+    exp = sorted(
+        map(tuple, warc_response_extraction(spark, sf_dir).collect())
+    )
+    assert final == exp and len(final) > n_partial
