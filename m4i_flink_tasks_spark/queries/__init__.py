@@ -155,9 +155,9 @@ _MODULES = (
 # selfjoin_size_estimate, kmv_set_operations, stream_zone_map_state,
 # manifest_partition_pruning, stream_selfjoin_size,
 # stream_compaction_plan, numeric_correlation_matrix,
-# stream_numeric_profile, warc_response_extraction — all twelve
-# sf1-measured and oracle-backed on arrival); next tranches,
-# strongest first —
+# stream_numeric_profile, warc_response_extraction,
+# stream_warc_ingest — all thirteen sf1-measured and oracle-backed on
+# arrival); next tranches, strongest first —
 # user_retention_cohorts, rfm_segments, attribution_report,
 # ab_test_report, event_funnel, seasonal_naive_forecast,
 # exp_smoothing_backtest, label_propagation_communities,
