@@ -68,6 +68,46 @@ def synth_warc(doc_id: int) -> bytes:
     return b"".join(members)
 
 
+_HTML_BLOCK = 10  # tokens per markup block (mirrors queries/llm_text.py)
+
+
+def synth_warc_html(doc_id: int) -> bytes:
+    """Deterministic .warc.gz whose response bodies are HTML pages —
+    the same markup shape as ``queries/llm_text.markup_text_extraction``
+    (title + leading anchor block + ``<p>`` blocks of 10 tokens) — so
+    the WARC→WET pipeline runs a REAL tag strip over real archive
+    payloads and the oracle can restate the extracted text in closed
+    form of (doc_id, rec_index)."""
+    members = [
+        _gzip_member(
+            _warc_record("warcinfo", None, b"software: m4i-synth-crawler")
+        )
+    ]
+    n_responses = 1 + doc_id % 3
+    for i in range(n_responses):
+        n_words = 5 + (doc_id + 3 * i) % 20
+        toks = [f"w{doc_id}x{i}n{j}" for j in range(n_words)]
+        blocks = [
+            toks[k : k + _HTML_BLOCK]
+            for k in range(0, n_words, _HTML_BLOCK)
+        ]
+        parts = [f'<a href="#">{" ".join(blocks[0])}</a>'] + [
+            f"<p>{' '.join(blk)}</p>" for blk in blocks[1:]
+        ]
+        html = (
+            "<html><head><title>doc</title></head><body>"
+            + "".join(parts)
+            + "</body></html>"
+        )
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode("ascii")
+        )
+        uri = f"http://synth.example/{doc_id}/{i}"
+        members.append(_gzip_member(_warc_record("response", uri, http)))
+    return b"".join(members)
+
+
 def _split_members(b: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members, yielding each
     member's payload — the split a crawl shard reader performs.
@@ -92,12 +132,11 @@ def _split_members(b: bytes) -> Iterator[bytes]:
         pos += consumed
 
 
-def parse_warc(b: bytes) -> list[dict]:
-    """Per-response-record facts from a .warc.gz payload. Raises
-    ValueError on malformed members/records so a crawl shard full of
-    garbage dead-letters instead of killing the task."""
-    rows: list[dict] = []
-    rec_index = 0
+def iter_warc_records(b: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Walk a .warc.gz payload, yielding (named-fields, record-payload)
+    per record. Raises ValueError on malformed members/records so a
+    crawl shard full of garbage dead-letters instead of killing the
+    task."""
     for member in _split_members(b):
         sep = member.find(b"\r\n\r\n")
         if sep < 0 or not member.startswith(b"WARC/"):
@@ -113,6 +152,26 @@ def parse_warc(b: bytes) -> list[dict]:
         payload = member[sep + 4 : sep + 4 + length]
         if len(payload) != length:
             raise ValueError("payload shorter than Content-Length")
+        yield fields, payload
+
+
+def iter_response_bodies(b: bytes) -> Iterator[tuple[str | None, bytes]]:
+    """(url, HTTP body) per response record — the selection a text
+    pipeline makes; non-response records are skipped."""
+    for fields, payload in iter_warc_records(b):
+        if fields.get("warc-type") != "response":
+            continue
+        hsep = payload.find(b"\r\n\r\n")
+        if hsep < 0 or not payload.startswith(b"HTTP/"):
+            raise ValueError("response record without HTTP envelope")
+        yield fields.get("warc-target-uri"), payload[hsep + 4 :]
+
+
+def parse_warc(b: bytes) -> list[dict]:
+    """Per-response-record facts from a .warc.gz payload."""
+    rows: list[dict] = []
+    rec_index = 0
+    for fields, payload in iter_warc_records(b):
         if fields.get("warc-type") != "response":
             continue
         hsep = payload.find(b"\r\n\r\n")
@@ -123,7 +182,7 @@ def parse_warc(b: bytes) -> list[dict]:
             {
                 "rec_index": rec_index,
                 "url": fields.get("warc-target-uri"),
-                "content_length": length,
+                "content_length": int(fields["content-length"]),
                 "n_body_tokens": len(body.split()),
             }
         )
@@ -149,6 +208,54 @@ def attach_warc_payload(docs: DataFrame) -> DataFrame:
     return spread_for_python(docs.select("doc_id")).select(
         "doc_id", _payload(F.col("doc_id")).alias("payload")
     )
+
+
+WARC_HTML_SCHEMA = "doc_id bigint, rec_index int, url string, html string"
+
+
+def attach_warc_html_payload(docs: DataFrame) -> DataFrame:
+    """.warc.gz payload column with HTML response bodies (one archive
+    per doc) for the end-to-end crawl→corpus pipeline."""
+    from .multimodal import spread_for_python
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_warc_html(int(d)) for d in doc_id], dtype=object
+        )
+
+    return spread_for_python(docs.select("doc_id")).select(
+        "doc_id", _payload(F.col("doc_id")).alias("payload")
+    )
+
+
+def extract_warc_html(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched WARC record walk that stops at the HTTP-body
+    boundary: one row per response record carrying the RAW page markup.
+    Tag stripping and quality gating stay OUTSIDE Python, as JVM
+    regex/string expressions over the returned column — the Python
+    surface is only the member/envelope mechanics bytes demand."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, (url, body) in enumerate(
+                    iter_response_bodies(payload)
+                ):
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "rec_index": idx,
+                            "url": url,
+                            "html": body.decode("utf-8", "replace"),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "rec_index", "url", "html"]
+            )
+
+    return with_payload.mapInPandas(run, schema=WARC_HTML_SCHEMA)
 
 
 def extract_warc_records(with_payload: DataFrame) -> DataFrame:

@@ -1335,3 +1335,101 @@ ORDER BY doc_id, rec_index
 
 QUERIES["warc_response_extraction"] = warc_response_extraction
 ORACLES["warc_response_extraction"] = WARC_EXTRACTION_SQL
+
+
+def warc_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl→training-corpus path END TO END in one dataflow:
+    WARC record walk (real concatenated-gzip-member split + HTTP
+    envelope strip, ``operators/warc.py``) → WET-style tag strip and
+    link-density measurement (the same JVM regex extraction as
+    ``markup_text_extraction``) → corpus quality gates (too-short and
+    link-heavy, the first two filters every web-corpus recipe applies).
+
+    Spark shape: the ONLY Python is the Arrow-batched byte walk that
+    bytes demand; markup stripping, hashing, and gating are codegen'd
+    string expressions over its output column — map-only, no shuffle
+    until the final presentation sort, so a 100 TB crawl splits by
+    gzip-member boundaries and runs at scan speed. The oracle never
+    parses an archive: it rebuilds each response's extracted text in
+    closed form of (doc_id, rec_index) and restates both gates, so a
+    bug anywhere in the member walk, envelope strip, tag regex, or
+    gate logic breaks the hash."""
+    from ..operators.warc import attach_warc_html_payload, extract_warc_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = extract_warc_html(attach_warc_html_payload(docs))
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("html"), "<[^>]+>", " "), r"\s+", " "
+        )
+    )
+    anchor_text = F.array_join(
+        F.regexp_extract_all(F.col("html"), F.lit("<a[^>]*>([^<]*)</a>"), 1),
+        " ",
+    )
+    scored = recs.select(
+        "doc_id",
+        "rec_index",
+        "url",
+        # extracted text is "doc <body tokens>": title survives the strip
+        (F.size(F.split(stripped, " ")) - 1).alias("n_body_tokens"),
+        F.length(stripped).alias("n_extracted_chars"),
+        T.poly_hash(stripped).alias("extracted_hash"),
+        F.round(F.length(anchor_text) / F.length(stripped), 6).alias(
+            "link_density"
+        ),
+    )
+    gated = scored.withColumn(
+        "drop_reason",
+        F.when(F.col("n_body_tokens") < 8, F.lit("too_short")).when(
+            F.col("link_density") > 0.6, F.lit("link_heavy")
+        ),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+    return gated.orderBy("doc_id", "rec_index")
+
+
+# anchor block size — must equal operators/warc.py::_HTML_BLOCK
+_HTML_BLOCK_SQL = 10
+
+_WARC_POLY = r"""list_reduce(list_prepend(0::BIGINT,
+    list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)),
+    (acc, ch) -> (acc * 31 + ch) % 1000000007)"""
+
+WARC_TEXT_PIPELINE_SQL = f"""
+WITH recs AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS i FROM documents
+), facts AS (
+    SELECT doc_id, i, 5 + (doc_id + 3 * i) % 20 AS n FROM recs
+), toks AS (
+    SELECT doc_id, i, n,
+           list_transform(range(n),
+               j -> 'w' || doc_id || 'x' || i || 'n' || j) AS tk
+    FROM facts
+), ext AS (
+    SELECT doc_id, i, n,
+           'doc ' || array_to_string(tk, ' ') AS extracted,
+           array_to_string(list_slice(tk, 1, least({_HTML_BLOCK_SQL}, n)),
+                           ' ') AS anchor
+    FROM toks
+), m AS (
+    SELECT doc_id, i, n, extracted,
+           round(length(anchor)::DOUBLE / length(extracted), 6)
+               AS link_density
+    FROM ext
+)
+SELECT doc_id,
+       CAST(i AS INT) AS rec_index,
+       'http://synth.example/' || doc_id || '/' || i AS url,
+       CAST(n AS INT) AS n_body_tokens,
+       CAST(length(extracted) AS INT) AS n_extracted_chars,
+       {_WARC_POLY.format(expr='extracted')} AS extracted_hash,
+       link_density,
+       CASE WHEN n < 8 THEN 'too_short'
+            WHEN link_density > 0.6 THEN 'link_heavy' END AS drop_reason,
+       (n >= 8 AND link_density <= 0.6) AS keep
+FROM m
+ORDER BY doc_id, rec_index
+"""
+
+QUERIES["warc_text_pipeline"] = warc_text_pipeline
+ORACLES["warc_text_pipeline"] = WARC_TEXT_PIPELINE_SQL

@@ -1389,6 +1389,62 @@ def _stream_warc_sql() -> str:
     return WARC_EXTRACTION_SQL
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (streaming/session_state.py): each
+    micro-batch is sessionized independently and merged into per-user
+    interval state by gap-closure — the transitive closure of the
+    "within gap" relation, so it is associative/commutative and the
+    final state EQUALS the batch gaps-and-islands sessionizer for any
+    batch split, restart, or replay order. The batch query's SQL
+    therefore oracles the stream."""
+    from ..streaming.session_state import run_stream_sessions
+
+    return run_stream_sessions(spark, sf_dir, _workdir("session_state"))
+
+
+def _stream_session_sql() -> str:
+    from .streaming_like import SESSION_SQL
+
+    return SESSION_SQL
+
+
+def stream_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance + probe (streaming/ann_index.py):
+    the LSH-bucketed index is built incrementally from the embedding
+    stream (bucket assignment map-side, vec_id-idempotent merges), then
+    probed by reading ONLY the store buckets holding the query's bucket
+    — no corpus scan. The index materializes the exact bucket function
+    the batch path computes, so the probe equals the batch
+    ``ann_lsh_bucketed`` top-k and shares its oracle."""
+    from ..sources import load_table
+    from ..streaming.ann_index import probe_topk, run_stream_ann_index
+    from .llm_similarity import _GATE_LSH_BITS, _QUERY_VEC_ID, _TOPK
+
+    store = run_stream_ann_index(
+        spark, sf_dir, _workdir("ann_index"), bits=_GATE_LSH_BITS
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    return probe_topk(
+        spark,
+        store,
+        _QUERY_VEC_ID,
+        list(q.embedding),
+        k=_TOPK,
+        bits=_GATE_LSH_BITS,
+    )
+
+
+def _stream_ann_index_sql() -> str:
+    from .llm_similarity import ANN_LSH_SQL
+
+    return ANN_LSH_SQL
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1445,6 +1501,8 @@ QUERIES = {
     "stream_compaction_plan": stream_compaction_plan,
     "stream_numeric_profile": stream_numeric_profile,
     "stream_warc_ingest": stream_warc_ingest,
+    "stream_session_windows": stream_session_windows,
+    "stream_ann_index_topk": stream_ann_index_topk,
 }
 
 ORACLES = {
@@ -1483,4 +1541,6 @@ ORACLES = {
     "stream_compaction_plan": _stream_compaction_sql(),
     "stream_numeric_profile": _stream_numeric_profile_sql(),
     "stream_warc_ingest": _stream_warc_sql(),
+    "stream_session_windows": _stream_session_sql(),
+    "stream_ann_index_topk": _stream_ann_index_sql(),
 }

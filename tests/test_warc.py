@@ -93,3 +93,35 @@ def test_plain_gzip_concat_semantics():
     rows = parse_warc(two)
     assert [r["url"] for r in rows] == ["u1", "u2"]
     assert [r["n_body_tokens"] for r in rows] == [2, 1]
+
+
+def test_html_variant_round_trip():
+    """HTML-body archives: the record walk returns the RAW markup, and
+    its shape matches the closed forms the warc_text_pipeline oracle
+    states (title + anchor block + <p> blocks of 10 tokens)."""
+    from m4i_flink_tasks_spark.operators.warc import (
+        iter_response_bodies,
+        synth_warc_html,
+    )
+
+    for d in (0, 1, 7, 23, 100, 999):
+        bodies = list(iter_response_bodies(synth_warc_html(d)))
+        assert len(bodies) == 1 + d % 3
+        for i, (url, body) in enumerate(bodies):
+            n = 5 + (d + 3 * i) % 20
+            html = body.decode("ascii")
+            assert url == f"http://synth.example/{d}/{i}"
+            assert html.startswith(
+                "<html><head><title>doc</title></head><body>"
+            )
+            assert html.endswith("</body></html>")
+            toks = [f"w{d}x{i}n{j}" for j in range(n)]
+            # anchor holds the first 10 tokens, <p> blocks the rest
+            anchor = " ".join(toks[:10])
+            assert f'<a href="#">{anchor}</a>' in html
+            assert html.count("<p>") == max(0, (n + 9) // 10 - 1)
+            # tag strip recovers exactly "doc" + the body tokens
+            import re
+
+            stripped = re.sub(r"\s+", " ", re.sub("<[^>]+>", " ", html)).strip()
+            assert stripped == "doc " + " ".join(toks)
