@@ -149,88 +149,119 @@ _MODULES = (
 # (tests/test_oracle_parity.py — same SF, same rows/schema/hash check
 # as the driver gate); see COVERAGE.md rotation log.
 #
-# ROTATION PLAN (round 6+): the registered queries below remain
-# never-attested (79 at the r5 rotation, plus the later-r5 additions
-# flac_stream_info, compaction_plan, zone_map_pruning_report,
-# selfjoin_size_estimate, kmv_set_operations, stream_zone_map_state,
-# manifest_partition_pruning, stream_selfjoin_size,
-# stream_compaction_plan, numeric_correlation_matrix,
-# stream_numeric_profile, warc_response_extraction,
-# stream_warc_ingest — all thirteen sf1-measured and oracle-backed on
-# arrival); next tranches, strongest first —
-# user_retention_cohorts, rfm_segments, attribution_report,
-# ab_test_report, event_funnel, seasonal_naive_forecast,
-# exp_smoothing_backtest, label_propagation_communities,
-# k_core_peeling, entity_match_clusters, inverted_postings,
-# revenue_trend_slopes, k_anonymity_audit, pareto_frontier_parts,
-# bucketed_colocated_join, exact_median_twopass, price_tier_revenue,
-# schema_evolution_read, lm_head_sample, image_perceptual_neardup,
-# approx_freq_countmin, stream_audio_ingest, event_rate_anomalies,
-# join_skew_report, supplier_cooccurrence_rules, approx_distinct_kmv,
-# bloom_semijoin_reduction, pagerank_power_iterations, table_profile,
-# integrity_checks, jl_random_projection, hard_negative_mining,
-# kmeans_refine, sequence_packing, zorder_mapping, and the long tail of
-# relational/window/profile extras — against rows that will then hold
-# fresh r5 attestations.
+# ROTATION (round 6 — this round): CORRECTNESS_r05 recorded ALL 50
+# declared rows green (the full-rotation surface), so every r5 row
+# rotates OUT with a fresh same-round attestation + the every-round
+# pytest parity pin. Per the r5 verdict's top item, all 50 slots go to
+# never-attested rows (judge-recounted debt: 96 of 240 after the twelve
+# late-r5 additions): the late-r5 table-maintenance/sketch/WARC wave
+# (flac_stream_info, compaction_plan, zone_map_pruning_report,
+# manifest_partition_pruning, selfjoin_size_estimate,
+# kmv_set_operations, numeric_correlation_matrix,
+# warc_response_extraction + the four streaming twins and
+# stream_warc_ingest), the new r6 capstone warc_text_pipeline and the
+# r6 streaming twins (stream_session_windows, stream_ann_index_topk —
+# the r5 verdict's item 6), the behavioral/retention set
+# (user_retention_cohorts, weekly_retention, rfm_segments,
+# attribution_report, ab_test_report, event_funnel), forecasting/
+# anomaly (seasonal_naive_forecast, exp_smoothing_backtest,
+# revenue_trend_slopes, event_rate_anomalies, daily_anomaly_zscores),
+# graph (label_propagation_communities, k_core_peeling,
+# pagerank_power_iterations, degree_distribution,
+# entity_match_clusters), IR/text (inverted_postings, token_stats,
+# word_entropy_quality), profiling/warehouse (table_profile,
+# integrity_checks, join_skew_report, k_anonymity_audit,
+# schema_evolution_read, bucketed_colocated_join,
+# bloom_semijoin_reduction), sketches (approx_distinct_kmv,
+# approx_freq_countmin, exact_median_twopass), and the LLM tail
+# (lm_head_sample, jl_random_projection, hard_negative_mining,
+# sequence_packing, stream_windowed_distinct).
+#
+# ROTATION PLAN (round 7): the remaining never-attested rows — the
+# relational/window tail (q8_market_share, q13_customer_distribution,
+# q15_top_supplier, q22_idle_customers, grouping_sets_revenue,
+# revenue_pivot_by_year, rolling_30d_customer_revenue,
+# customer_revenue_deciles, group_quantiles, price_histogram,
+# price_tier_revenue, nation_revenue_distribution,
+# nation_volume_shipping, profit_by_nation_year,
+# promo_revenue_by_month, discounted_part_revenue,
+# large_volume_customers, returned_items_top_customers,
+# ship_latency_histogram, daily_activity_gap_fill), doc-lifecycle
+# (breadcrumb_prefix_delete, derived_field_inherit,
+# derived_field_uninherit, descendant_prefix_insert), graph/IR tail
+# (common_neighbor_topk, pagerank_step, degree_distribution if
+# deferred, supplier_cooccurrence_rules, event_transition_matrix),
+# corpus tail (benchmark_decontamination, corpus_build_manifest,
+# domain_mixture_weights, sampled_token_frequency,
+# stratified_fixed_k_sample, temperature_mixture_sample,
+# weighted_corpus_sample, dedup_minhash_signatures,
+# image_perceptual_neardup, embedding_centroids, kmeans_refine,
+# sq8_reconstruction_error, multimodal_metadata_pruning,
+# pareto_frontier_parts, zorder_mapping), and the remaining streaming
+# rows (stream_audio_ingest, stream_corpus_ingest,
+# stream_dead_letter_box, stream_determine_change,
+# stream_synchronize_docstore, stream_windowed_aggregation) — retires
+# the debt entirely.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # LM scoring + duplicate-span family (sf1-proven heavy hitters)
-    "ngram_lm_perplexity",
-    "duplicate_span_stats",
-    "top_duplicate_spans",
-    "stream_duplicate_spans",
-    # similarity: product quantization + recall eval + SemDeDup
-    "pq_encode",
-    "pq_adc_topk",
-    "ivfpq_adc_topk",
-    "ann_multiprobe_topk",
-    "ann_recall_at_k",
-    "semantic_dedup",
-    "embedding_health_report",
-    # quality scoring
-    "quality_classifier_scores",
-    "quality_scores",
-    # dedup: exact-similarity join + containment + impact + image
-    "ppjoin_exact_jaccard",
-    "dedup_ngram_containment",
-    "dedup_impact_report",
-    "image_perceptual_dedup",
-    "stream_image_dedup",
-    "stream_semantic_dedup",
-    "stream_near_dedup",
-    # text / corpus curation
-    "markup_text_extraction",
-    "document_chunking",
-    "language_confusion_matrix",
-    "corpus_filter_audit",
-    "corpus_version_diff",
-    "length_bucketed_batching",
-    "curriculum_shards",
-    "dsir_importance_resampling",
-    "source_vocab_overlap",
-    "split_drift_psi",
-    "bpe_merge_table",
-    # sketches + streaming mergeable-state family
-    "approx_distinct_hll",
-    "stream_hll_distinct",
-    "stream_countmin_freq",
-    "stream_exact_median",
-    "stream_pareto_frontier",
-    "stream_trend_slopes",
-    "stream_scd2_dimension",
-    "stream_rate_anomalies",
-    "stream_interval_join_left",
-    # multimodal / audio container analytics
-    "stream_media_ingest",
-    "audio_spectral_profile",
-    "audio_energy_segments",
-    "media_quality_filter",
-    "multimodal_container_demux",
-    "container_quality_filter",
-    # behavioral analytics + r4 eighth wave
-    "ab_cuped_adjustment",
-    "revenue_drawdown",
-    "corrupt_record_quarantine",
-    "funnel_conversion",
+    # late-r5 table maintenance + sketch algebra + WARC ingest
+    "flac_stream_info",
+    "compaction_plan",
+    "zone_map_pruning_report",
+    "manifest_partition_pruning",
+    "selfjoin_size_estimate",
+    "kmv_set_operations",
+    "numeric_correlation_matrix",
+    "warc_response_extraction",
+    "stream_zone_map_state",
+    "stream_selfjoin_size",
+    "stream_compaction_plan",
+    "stream_numeric_profile",
+    "stream_warc_ingest",
+    # r6 capstone + streaming twins (r5 verdict items 4 and 6)
+    "warc_text_pipeline",
+    "stream_session_windows",
+    "stream_ann_index_topk",
+    "stream_windowed_distinct",
+    # behavioral / retention analytics
+    "user_retention_cohorts",
+    "weekly_retention",
+    "rfm_segments",
+    "attribution_report",
+    "ab_test_report",
+    "event_funnel",
+    # forecasting + anomaly detection
+    "seasonal_naive_forecast",
+    "exp_smoothing_backtest",
+    "revenue_trend_slopes",
+    "event_rate_anomalies",
+    "daily_anomaly_zscores",
+    # graph analytics
+    "label_propagation_communities",
+    "k_core_peeling",
+    "pagerank_power_iterations",
+    "degree_distribution",
+    "entity_match_clusters",
+    # IR / text ranking
+    "inverted_postings",
+    "token_stats",
+    "word_entropy_quality",
+    # profiling / warehouse maintenance
+    "table_profile",
+    "integrity_checks",
+    "join_skew_report",
+    "k_anonymity_audit",
+    "schema_evolution_read",
+    "bucketed_colocated_join",
+    "bloom_semijoin_reduction",
+    # sketches
+    "approx_distinct_kmv",
+    "approx_freq_countmin",
+    "exact_median_twopass",
+    # LLM-pipeline tail
+    "lm_head_sample",
+    "jl_random_projection",
+    "hard_negative_mining",
+    "sequence_packing",
 )
 
 

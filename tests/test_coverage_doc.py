@@ -85,6 +85,8 @@ def test_documented_query_names_exist():
             "synth_flac",
             "demux_flac",
             "f2_report_from_counts",
+            "current_for_keys",
+            "extract_warc_html",
             "compaction_plan_from_inventory",
             "corr_from_moments",
             "candidate_pairs_with_shingles",
@@ -117,3 +119,41 @@ def test_all_queries_have_oracles():
     )
     # every exception must still be a registered, runnable query
     assert _NON_SQL_EXPRESSIBLE <= set(extra_queries())
+
+
+def test_attestation_debt_arithmetic():
+    """COVERAGE.md's attestation-debt ledger must equal the numbers
+    recomputed from the recorded CORRECTNESS_r*.json files and the live
+    registry (r5 verdict 'What's wrong' #1: the doc drifted once; this
+    pins it)."""
+    import glob
+    import json
+
+    from m4i_flink_tasks_spark.queries import DRIVER_QUERIES
+
+    root = os.path.dirname(_DOC)
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, rec in json.load(open(path)).items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+            ):
+                green.add(name)
+    registered = set(all_queries()) | set(extra_queries())
+    never = registered - green
+    after_this_round = never - set(DRIVER_QUERIES)
+    text = open(_DOC).read()
+    expected_lines = [
+        f"registered queries: {len(registered)}",
+        f"never-attested before this round's driver run: {len(never)}",
+        "never-attested after CORRECTNESS_r06 comes back green: "
+        f"{len(after_this_round)}",
+    ]
+    for line in expected_lines:
+        assert line in text, (
+            f"COVERAGE.md debt ledger is stale: expected {line!r}; "
+            f"recomputed registered={len(registered)} never={len(never)} "
+            f"after={len(after_this_round)}"
+        )
