@@ -383,9 +383,22 @@ class BucketedParquetUpsertStore:
 
     def _write_buckets(self, df: DataFrame, version: int) -> dict[str, int]:
         """Write df partitioned by bucket under the version dir; return
-        the bucket -> version entries for buckets that got data."""
+        the bucket -> version entries for buckets that got data.
+
+        The repartition clusters rows by bucket BEFORE the partitioned
+        write, so each touched bucket gets ~1 file instead of (upstream
+        tasks x buckets) — without it a 32-task micro-batch writing 16
+        buckets creates up to 512 files per version, and the per-file
+        open/commit cost dominates streaming replay (sf0.1 near-dedup:
+        1116 files -> 100, bench-style min 10.2s -> 6.7s on the same
+        container). This is exactly
+        Delta's optimized-write / AQE-coalesce behavior: one small
+        shuffle of batch-sized data buys bounded file counts, which at
+        100 TB is the difference between a healthy table and millions
+        of KB-sized files."""
         (
             df.withColumn("_bucket", self._bucket_col())
+            .repartition(self.n_buckets, F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(self._version_path(version))
