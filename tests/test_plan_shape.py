@@ -813,3 +813,16 @@ def test_kmv_set_ops_joins_stay_sketch_bounded(plans):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warc_text_pipeline_is_map_only_until_sort(plans):
+    """The crawl→corpus capstone must be a single Arrow-batched record
+    walk followed by codegen'd string expressions: no joins, no
+    row-at-a-time Python, and no aggregation exchange — the only wide
+    nodes allowed are the spread_for_python repartition (Python-stage
+    parallelism guard) and the final presentation sort."""
+    plan = plans["warc_text_pipeline"]
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
