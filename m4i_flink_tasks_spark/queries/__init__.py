@@ -200,8 +200,9 @@ _MODULES = (
 # pareto_frontier_parts, zorder_mapping), and the remaining streaming
 # rows (stream_audio_ingest, stream_corpus_ingest,
 # stream_dead_letter_box, stream_determine_change,
-# stream_synchronize_docstore, stream_windowed_aggregation) — retires
-# the debt entirely.
+# stream_synchronize_docstore, stream_windowed_aggregation, and the
+# late-r6 stream_warc_text_pipeline capstone twin) — retires the debt
+# entirely.
 DRIVER_QUERIES: tuple[str, ...] = (
     # late-r5 table maintenance + sketch algebra + WARC ingest
     "flac_stream_info",

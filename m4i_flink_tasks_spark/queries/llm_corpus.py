@@ -1358,6 +1358,14 @@ def warc_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     recs = extract_warc_html(attach_warc_html_payload(docs))
+    return wet_gate_records(recs).orderBy("doc_id", "rec_index")
+
+
+def wet_gate_records(recs: DataFrame) -> DataFrame:
+    """WET extraction + quality gates over (doc_id, rec_index, url,
+    html) rows — pure codegen'd string expressions, shared by the batch
+    capstone and the streaming crawl-ingest twin so both paths are
+    guaranteed the same dataflow (and the same oracle)."""
     stripped = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.col("html"), "<[^>]+>", " "), r"\s+", " "
@@ -1379,13 +1387,12 @@ def warc_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "link_density"
         ),
     )
-    gated = scored.withColumn(
+    return scored.withColumn(
         "drop_reason",
         F.when(F.col("n_body_tokens") < 8, F.lit("too_short")).when(
             F.col("link_density") > 0.6, F.lit("link_heavy")
         ),
     ).withColumn("keep", F.col("drop_reason").isNull())
-    return gated.orderBy("doc_id", "rec_index")
 
 
 # anchor block size — must equal operators/warc.py::_HTML_BLOCK

@@ -1389,6 +1389,24 @@ def _stream_warc_sql() -> str:
     return WARC_EXTRACTION_SQL
 
 
+def stream_warc_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC→WET→quality-gate capstone run as a stream
+    (streaming/warc_ingest.py run_stream_warc_text): per-batch member
+    walk + the batch capstone's shared gate expressions, insert-only
+    appends on unique (doc_id, rec_index) keys — so the final store
+    equals batch warc_text_pipeline for any batch split and its
+    closed-form oracle oracles the stream."""
+    from ..streaming.warc_ingest import run_stream_warc_text
+
+    return run_stream_warc_text(spark, sf_dir, _workdir("warc_text"))
+
+
+def _stream_warc_text_sql() -> str:
+    from .llm_corpus import WARC_TEXT_PIPELINE_SQL
+
+    return WARC_TEXT_PIPELINE_SQL
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (streaming/session_state.py): each
     micro-batch is sessionized independently and merged into per-user
@@ -1501,6 +1519,7 @@ QUERIES = {
     "stream_compaction_plan": stream_compaction_plan,
     "stream_numeric_profile": stream_numeric_profile,
     "stream_warc_ingest": stream_warc_ingest,
+    "stream_warc_text_pipeline": stream_warc_text_pipeline,
     "stream_session_windows": stream_session_windows,
     "stream_ann_index_topk": stream_ann_index_topk,
 }
@@ -1541,6 +1560,7 @@ ORACLES = {
     "stream_compaction_plan": _stream_compaction_sql(),
     "stream_numeric_profile": _stream_numeric_profile_sql(),
     "stream_warc_ingest": _stream_warc_sql(),
+    "stream_warc_text_pipeline": _stream_warc_text_sql(),
     "stream_session_windows": _stream_session_sql(),
     "stream_ann_index_topk": _stream_ann_index_sql(),
 }

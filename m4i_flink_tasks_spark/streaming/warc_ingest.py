@@ -84,3 +84,55 @@ def run_stream_warc_ingest(
     state = store.current()
     assert state is not None
     return state.orderBy("doc_id", "rec_index")
+
+
+def run_stream_warc_text(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """The crawl→corpus capstone as a stream: each micro-batch walks
+    its archives' gzip members to raw HTML, runs the SHARED WET
+    strip/score/gate expressions (queries/llm_corpus.py
+    ``wet_gate_records`` — the batch capstone's own dataflow), and
+    APPENDS the gated rows insert-only. Keys (doc_id, rec_index) are
+    unique by construction, so the store equals the batch
+    ``warc_text_pipeline`` for any batch split and shares its
+    closed-form oracle."""
+    from ..operators.warc import attach_warc_html_payload, extract_warc_html
+    from ..queries.llm_corpus import wet_gate_records
+
+    staging = stage_doc_ids(
+        spark, sf_dir, os.path.join(workdir, "staging_ids"), n_files
+    )
+    store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "wet_records"),
+        key_cols=["doc_id", "rec_index"],
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        gated = wet_gate_records(
+            extract_warc_html(attach_warc_html_payload(batch))
+        )
+        store.merge(gated, insert_only=True, batch_id=batch_id)
+
+    reader = spark.readStream.schema(DOC_ID_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    query = (
+        reader.parquet(staging)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_wet"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    state = store.current()
+    assert state is not None
+    return state.orderBy("doc_id", "rec_index")

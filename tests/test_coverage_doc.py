@@ -87,6 +87,8 @@ def test_documented_query_names_exist():
             "f2_report_from_counts",
             "current_for_keys",
             "extract_warc_html",
+            "run_stream_warc_text",
+            "wet_gate_records",
             "compaction_plan_from_inventory",
             "corr_from_moments",
             "candidate_pairs_with_shingles",

@@ -53,3 +53,29 @@ def test_mid_stream_restart_converges(spark, sf_dir):
         map(tuple, warc_response_extraction(spark, sf_dir).collect())
     )
     assert final == exp and len(final) > n_partial
+
+
+def test_wet_stream_equals_batch_capstone(spark, sf_dir):
+    """The streaming WARC→WET→gate pipeline's store must equal the
+    batch warc_text_pipeline row-for-row (shared gate expressions +
+    insert-only unique keys make the merge commutative)."""
+    from m4i_flink_tasks_spark.queries.llm_corpus import warc_text_pipeline
+    from m4i_flink_tasks_spark.streaming.warc_ingest import (
+        run_stream_warc_text,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_wet_")
+    got_df = run_stream_warc_text(spark, sf_dir, wd)
+    exp_df = warc_text_pipeline(spark, sf_dir)
+    cols = sorted(exp_df.columns)
+    assert sorted(got_df.columns) == cols
+    # drop_reason is NULL on kept rows — sort by repr (None vs str)
+    got = sorted(map(tuple, got_df.select(*cols).collect()), key=repr)
+    exp = sorted(map(tuple, exp_df.select(*cols).collect()), key=repr)
+    assert got == exp and got
+    # both gate outcomes must actually occur in the fixture corpus
+    reasons = {
+        row["drop_reason"]
+        for row in got_df.select("drop_reason").distinct().collect()
+    }
+    assert "too_short" in reasons and "link_heavy" in reasons
