@@ -395,7 +395,9 @@ class BucketedParquetUpsertStore:
         Delta's optimized-write / AQE-coalesce behavior: one small
         shuffle of batch-sized data buys bounded file counts, which at
         100 TB is the difference between a healthy table and millions
-        of KB-sized files."""
+        of KB-sized files. Write parallelism equals n_buckets, which is
+        sized to the state (thousands of buckets on a real cluster), so
+        clustering caps files without capping cores."""
         (
             df.withColumn("_bucket", self._bucket_col())
             .repartition(self.n_buckets, F.col("_bucket"))
