@@ -1433,7 +1433,10 @@ def stream_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed by reading ONLY the store buckets holding the query's bucket
     — no corpus scan. The index materializes the exact bucket function
     the batch path computes, so the probe equals the batch
-    ``ann_lsh_bucketed`` top-k and shares its oracle."""
+    ``ann_lsh_bucketed`` top-k and shares its oracle. The ``head()``
+    below is a bounded 1-row fetch of the query vector — in a vector-
+    search API the vector arrives WITH the request; reading it from the
+    corpus here only stands in for that request payload."""
     from ..sources import load_table
     from ..streaming.ann_index import probe_topk, run_stream_ann_index
     from .llm_similarity import _GATE_LSH_BITS, _QUERY_VEC_ID, _TOPK
