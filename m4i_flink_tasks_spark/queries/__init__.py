@@ -201,7 +201,8 @@ _MODULES = (
 # rows (stream_audio_ingest, stream_corpus_ingest,
 # stream_dead_letter_box, stream_determine_change,
 # stream_synchronize_docstore, stream_windowed_aggregation, and the
-# late-r6 stream_warc_text_pipeline capstone twin) — retires the debt
+# late-r6 stream_warc_text_pipeline capstone twin and the
+# crawl_release_manifest capstone) — retires the debt
 # entirely.
 DRIVER_QUERIES: tuple[str, ...] = (
     # late-r5 table maintenance + sketch algebra + WARC ingest

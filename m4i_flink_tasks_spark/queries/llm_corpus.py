@@ -1440,3 +1440,114 @@ ORDER BY doc_id, rec_index
 
 QUERIES["warc_text_pipeline"] = warc_text_pipeline
 ORACLES["warc_text_pipeline"] = WARC_TEXT_PIPELINE_SQL
+
+
+_CRAWL_SHARDS = 8
+_CRAWL_BUDGET = 256  # tokens per packed training sequence
+
+
+def crawl_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RELEASE path end to end: WARC record walk → WET tag
+    strip → quality gates → fixed-token-budget sequence packing → a
+    per-sequence release manifest with content checksums — what a
+    training-data team actually ships after curating a crawl.
+
+    Composes three independently-proven stages in ONE dataflow (record
+    mechanics from ``operators/warc.py``, gates from
+    ``wet_gate_records``, contiguous prefix-sum packing from
+    ``sequence_packing``'s pattern). Packing windows are per shard
+    (``doc_id % 8``, the salted sub-shard key at scale) so no
+    global order ever serializes the corpus; the manifest row carries
+    an additive mod-prime checksum of the packed records' extracted
+    text hashes, so the oracle re-derives every byte of provenance in
+    closed form — a wrong record boundary, gate verdict, pack
+    assignment, or hash anywhere upstream breaks it."""
+    from ..operators.warc import attach_warc_html_payload, extract_warc_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = wet_gate_records(extract_warc_html(attach_warc_html_payload(docs)))
+    kept = recs.filter(F.col("keep")).select(
+        "doc_id",
+        "rec_index",
+        "n_body_tokens",
+        "extracted_hash",
+        (F.col("doc_id") % _CRAWL_SHARDS).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "rec_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = kept.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_body_tokens").over(w), F.lit(0))
+            / _CRAWL_BUDGET
+        ),
+    )
+    # (doc_id, rec_index) orders injectively as doc_id*4 + rec_index
+    # (rec_index <= 2 by construction)
+    okey = F.col("doc_id") * 4 + F.col("rec_index")
+    return (
+        assigned.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("n_body_tokens").alias("total_tokens"),
+            F.min_by("doc_id", okey).alias("first_doc_id"),
+            F.min_by("rec_index", okey).alias("first_rec_index"),
+            F.max_by("doc_id", okey).alias("last_doc_id"),
+            F.max_by("rec_index", okey).alias("last_rec_index"),
+            (F.sum("extracted_hash") % 1_000_000_007).alias(
+                "content_checksum"
+            ),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+CRAWL_RELEASE_SQL = f"""
+WITH recs AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS i FROM documents
+), facts AS (
+    SELECT doc_id, i, 5 + (doc_id + 3 * i) % 20 AS n FROM recs
+), toks AS (
+    SELECT doc_id, i, n,
+           list_transform(range(n),
+               j -> 'w' || doc_id || 'x' || i || 'n' || j) AS tk
+    FROM facts
+), ext AS (
+    SELECT doc_id, i, n,
+           'doc ' || array_to_string(tk, ' ') AS extracted,
+           array_to_string(list_slice(tk, 1, least({_HTML_BLOCK_SQL}, n)),
+                           ' ') AS anchor
+    FROM toks
+), kept AS (
+    SELECT doc_id, i, n,
+           {_WARC_POLY.format(expr='extracted')} AS h,
+           CAST(doc_id % {_CRAWL_SHARDS} AS INT) AS shard
+    FROM ext
+    WHERE n >= 8
+      AND round(length(anchor)::DOUBLE / length(extracted), 6) <= 0.6
+), assigned AS (
+    SELECT *,
+           CAST(floor(COALESCE(SUM(n) OVER (
+               PARTITION BY shard ORDER BY doc_id, i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {_CRAWL_BUDGET}.0) AS BIGINT) AS seq_id
+    FROM kept
+)
+SELECT shard, seq_id,
+       COUNT(*) AS n_records,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       arg_min(doc_id, doc_id * 4 + i) AS first_doc_id,
+       CAST(arg_min(i, doc_id * 4 + i) AS INT) AS first_rec_index,
+       arg_max(doc_id, doc_id * 4 + i) AS last_doc_id,
+       CAST(arg_max(i, doc_id * 4 + i) AS INT) AS last_rec_index,
+       CAST(SUM(h) % 1000000007 AS BIGINT) AS content_checksum
+FROM assigned
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+"""
+
+QUERIES["crawl_release_manifest"] = crawl_release_manifest
+ORACLES["crawl_release_manifest"] = CRAWL_RELEASE_SQL
