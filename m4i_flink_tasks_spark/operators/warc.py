@@ -210,6 +210,81 @@ def attach_warc_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_corrupted_warc_payload(
+    docs: DataFrame, every: int = 17, offset: int = 3
+) -> DataFrame:
+    """.warc.gz payload column where archives of ``doc_id % every ==
+    offset`` are TRUNCATED mid-member (the last 5 bytes cut — inside
+    the final gzip trailer, so decompression hits EOF early). The
+    deterministic-corruption fixture for the quarantine path: real
+    crawls always contain truncated shards, and the oracle can state
+    exactly which ids are poisoned."""
+    from .multimodal import spread_for_python
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            b = synth_warc(int(d))
+            out.append(b[:-5] if int(d) % every == offset else b)
+        return pd.Series(out, dtype=object)
+
+    return spread_for_python(docs.select("doc_id")).select(
+        "doc_id", _payload(F.col("doc_id")).alias("payload")
+    )
+
+
+WARC_QUARANTINE_SCHEMA = (
+    "doc_id bigint, status string, n_records int, n_body_tokens_total bigint"
+)
+
+
+def extract_warc_with_quarantine(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched record walk with the dead-letter contract CLOSED:
+    a malformed archive (ValueError from the member walk) yields one
+    quarantine row instead of failing the task — at 100 TB a single
+    poisoned shard must never kill a stage retry loop. Well-formed
+    archives aggregate to one per-archive ingest-status row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows = parse_warc(payload)
+                except ValueError:
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "status": "dead_letter",
+                            "n_records": 0,
+                            "n_body_tokens_total": 0,
+                        }
+                    )
+                    continue
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "status": "ok",
+                        "n_records": len(rows),
+                        "n_body_tokens_total": sum(
+                            r["n_body_tokens"] for r in rows
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "status",
+                    "n_records",
+                    "n_body_tokens_total",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, schema=WARC_QUARANTINE_SCHEMA)
+
+
 WARC_HTML_SCHEMA = "doc_id bigint, rec_index int, url string, html string"
 
 

@@ -1551,3 +1551,48 @@ ORDER BY shard, seq_id
 
 QUERIES["crawl_release_manifest"] = crawl_release_manifest
 ORACLES["crawl_release_manifest"] = CRAWL_RELEASE_SQL
+
+
+def warc_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingest with the dead-letter contract closed executor-side:
+    archives of ``doc_id % 17 == 3`` arrive TRUNCATED (deterministic
+    fixture), the member walk raises, and the walk quarantines the
+    archive as one ``dead_letter`` row instead of failing the task —
+    the binary-ingest twin of ``corrupt_record_quarantine``. Healthy
+    archives aggregate to per-archive ingest facts the oracle states in
+    closed form, so a quarantine bug in EITHER direction (a poison
+    archive leaking rows, or a healthy archive mis-quarantined) breaks
+    the hash. Map-only Arrow stage; no shuffle until the sort."""
+    from ..operators.warc import (
+        attach_corrupted_warc_payload,
+        extract_warc_with_quarantine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_warc_with_quarantine(
+        attach_corrupted_warc_payload(docs)
+    ).orderBy("doc_id")
+
+
+WARC_QUARANTINE_SQL = """
+WITH recs AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS i FROM documents
+), tok AS (
+    SELECT doc_id,
+           COUNT(*) AS nr,
+           SUM(5 + (doc_id + 3 * i) % 20) AS nt
+    FROM recs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 3 THEN 'dead_letter' ELSE 'ok' END
+           AS status,
+       CAST(CASE WHEN d.doc_id % 17 = 3 THEN 0 ELSE tok.nr END AS INT)
+           AS n_records,
+       CAST(CASE WHEN d.doc_id % 17 = 3 THEN 0 ELSE tok.nt END AS BIGINT)
+           AS n_body_tokens_total
+FROM documents d JOIN tok ON d.doc_id = tok.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["warc_ingest_quarantine"] = warc_ingest_quarantine
+ORACLES["warc_ingest_quarantine"] = WARC_QUARANTINE_SQL

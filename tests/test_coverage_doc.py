@@ -89,6 +89,8 @@ def test_documented_query_names_exist():
             "extract_warc_html",
             "run_stream_warc_text",
             "wet_gate_records",
+            "attach_corrupted_warc_payload",
+            "extract_warc_with_quarantine",
             "compaction_plan_from_inventory",
             "corr_from_moments",
             "candidate_pairs_with_shingles",

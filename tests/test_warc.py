@@ -125,3 +125,13 @@ def test_html_variant_round_trip():
 
             stripped = re.sub(r"\s+", " ", re.sub("<[^>]+>", " ", html)).strip()
             assert stripped == "doc " + " ".join(toks)
+
+
+def test_quarantine_truncated_archives():
+    """A truncated archive must raise from the raw walk, and the
+    quarantine walk must classify it without leaking rows."""
+    b = synth_warc(3)
+    with pytest.raises(ValueError):
+        parse_warc(b[:-5])
+    # healthy archives parse fully — no false quarantine
+    assert parse_warc(b)
