@@ -202,7 +202,8 @@ _MODULES = (
 # stream_dead_letter_box, stream_determine_change,
 # stream_synchronize_docstore, stream_windowed_aggregation, and the
 # late-r6 stream_warc_text_pipeline capstone twin and the
-# crawl_release_manifest and warc_ingest_quarantine additions) —
+# crawl_release_manifest, warc_ingest_quarantine, and
+# stream_warc_quarantine additions) —
 # retires the debt
 # entirely.
 DRIVER_QUERIES: tuple[str, ...] = (

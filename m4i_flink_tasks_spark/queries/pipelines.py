@@ -1407,6 +1407,25 @@ def _stream_warc_text_sql() -> str:
     return WARC_TEXT_PIPELINE_SQL
 
 
+def stream_warc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingest with a dead-letter side channel on the binary path
+    (streaming/warc_ingest.py run_stream_warc_quarantine): healthy
+    archives and poisoned archives land in separate insert-only stores
+    per micro-batch; the union equals the batch warc_ingest_quarantine
+    for any split, so the batch oracle oracles the stream."""
+    from ..streaming.warc_ingest import run_stream_warc_quarantine
+
+    return run_stream_warc_quarantine(
+        spark, sf_dir, _workdir("warc_quarantine")
+    )
+
+
+def _stream_warc_quarantine_sql() -> str:
+    from .llm_corpus import WARC_QUARANTINE_SQL
+
+    return WARC_QUARANTINE_SQL
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (streaming/session_state.py): each
     micro-batch is sessionized independently and merged into per-user
@@ -1523,6 +1542,7 @@ QUERIES = {
     "stream_numeric_profile": stream_numeric_profile,
     "stream_warc_ingest": stream_warc_ingest,
     "stream_warc_text_pipeline": stream_warc_text_pipeline,
+    "stream_warc_quarantine": stream_warc_quarantine,
     "stream_session_windows": stream_session_windows,
     "stream_ann_index_topk": stream_ann_index_topk,
 }
@@ -1564,6 +1584,7 @@ ORACLES = {
     "stream_numeric_profile": _stream_numeric_profile_sql(),
     "stream_warc_ingest": _stream_warc_sql(),
     "stream_warc_text_pipeline": _stream_warc_text_sql(),
+    "stream_warc_quarantine": _stream_warc_quarantine_sql(),
     "stream_session_windows": _stream_session_sql(),
     "stream_ann_index_topk": _stream_ann_index_sql(),
 }

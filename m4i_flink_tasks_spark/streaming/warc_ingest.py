@@ -86,6 +86,74 @@ def run_stream_warc_ingest(
     return state.orderBy("doc_id", "rec_index")
 
 
+def run_stream_warc_quarantine(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Crawl ingest with the dead-letter SIDE CHANNEL (S3 contract) on
+    the binary path: each micro-batch walks its archives through the
+    quarantine extractor; healthy per-archive rows land in the corpus
+    store and poisoned archives in a separate dead-letter store — both
+    insert-only on unique doc_id keys, so the union equals the batch
+    ``warc_ingest_quarantine`` for any batch split and shares its
+    oracle. One walk per batch; the split is a cached filter pair, the
+    same shape as the CDC dead-letter box."""
+    from ..operators.warc import (
+        attach_corrupted_warc_payload,
+        extract_warc_with_quarantine,
+    )
+
+    staging = stage_doc_ids(
+        spark, sf_dir, os.path.join(workdir, "staging_ids"), n_files
+    )
+    ok_store = BucketedParquetUpsertStore(
+        spark, os.path.join(workdir, "ok_records"), key_cols=["doc_id"]
+    )
+    dead_store = BucketedParquetUpsertStore(
+        spark, os.path.join(workdir, "dead_letters"), key_cols=["doc_id"]
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        walked = extract_warc_with_quarantine(
+            attach_corrupted_warc_payload(batch)
+        ).persist()
+        ok_store.merge(
+            walked.filter(F.col("status") == "ok"),
+            insert_only=True,
+            batch_id=batch_id,
+        )
+        dead_store.merge(
+            walked.filter(F.col("status") == "dead_letter"),
+            insert_only=True,
+            batch_id=batch_id,
+        )
+        walked.unpersist()
+
+    reader = spark.readStream.schema(DOC_ID_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    query = (
+        reader.parquet(staging)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_quarantine")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    ok = ok_store.current()
+    dead = dead_store.current()
+    assert ok is not None and dead is not None
+    return ok.unionByName(dead).orderBy("doc_id")
+
+
 def run_stream_warc_text(
     spark: SparkSession,
     sf_dir: str,

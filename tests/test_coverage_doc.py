@@ -91,6 +91,7 @@ def test_documented_query_names_exist():
             "wet_gate_records",
             "attach_corrupted_warc_payload",
             "extract_warc_with_quarantine",
+            "run_stream_warc_quarantine",
             "compaction_plan_from_inventory",
             "corr_from_moments",
             "candidate_pairs_with_shingles",

@@ -79,3 +79,22 @@ def test_wet_stream_equals_batch_capstone(spark, sf_dir):
         for row in got_df.select("drop_reason").distinct().collect()
     }
     assert "too_short" in reasons and "link_heavy" in reasons
+
+
+def test_quarantine_stream_equals_batch(spark, sf_dir):
+    """Dead-letter split across micro-batches must union to exactly the
+    batch quarantine report, with both channels populated."""
+    from m4i_flink_tasks_spark.queries.llm_corpus import (
+        warc_ingest_quarantine,
+    )
+    from m4i_flink_tasks_spark.streaming.warc_ingest import (
+        run_stream_warc_quarantine,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_warcq_")
+    got_df = run_stream_warc_quarantine(spark, sf_dir, wd)
+    got = sorted(map(tuple, got_df.collect()))
+    exp = sorted(map(tuple, warc_ingest_quarantine(spark, sf_dir).collect()))
+    assert got == exp and got
+    statuses = {row["status"] for row in got_df.select("status").distinct().collect()}
+    assert statuses == {"ok", "dead_letter"}
