@@ -203,7 +203,7 @@ _MODULES = (
 # stream_synchronize_docstore, stream_windowed_aggregation, and the
 # late-r6 stream_warc_text_pipeline capstone twin and the
 # crawl_release_manifest, warc_ingest_quarantine, and
-# stream_warc_quarantine additions) —
+# stream_warc_quarantine, and orc_interchange_read additions) —
 # retires the debt
 # entirely.
 DRIVER_QUERIES: tuple[str, ...] = (

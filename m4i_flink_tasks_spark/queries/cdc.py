@@ -669,3 +669,68 @@ ORDER BY lang_bucket
 
 QUERIES["corrupt_record_quarantine"] = corrupt_record_quarantine
 ORACLES["corrupt_record_quarantine"] = QUARANTINE_SQL
+
+
+def orc_interchange_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: the same relation written as ORC
+    and read back with predicate pushdown — the cross-format reality of
+    a 100 TB estate where upstream teams hand over ORC while the lake
+    standardizes on parquet. Spark's ORC reader gets the identical
+    declarative treatment (filters and column pruning reach the ORC
+    stripe reader — pinned by tests/test_formats.py), so the engine is
+    format-agnostic at the plan level.
+
+    The query stages lineitem's five needed columns as ORC once, then
+    computes a month × returnflag revenue report over one ship-year
+    with the filter pushed into the ORC scan. The oracle computes the
+    same report from the parquet base table, so the value hash proves
+    the ORC round-trip is byte-faithful for every type involved
+    (bigint, timestamp, double, varchar)."""
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+    )
+    root = tempfile.mkdtemp(prefix="m4i_orc_")
+    path = os.path.join(root, "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    orc = spark.read.orc(path)
+    filtered = orc.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        filtered.groupBy(
+            "l_returnflag",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "ship_month")
+    )
+
+
+ORC_INTERCHANGE_SQL = """
+SELECT l_returnflag,
+       strftime(l_shipdate, '%Y-%m')                      AS ship_month,
+       count(*)                                           AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag, strftime(l_shipdate, '%Y-%m')
+ORDER BY l_returnflag, ship_month
+"""
+
+QUERIES["orc_interchange_read"] = orc_interchange_read
+ORACLES["orc_interchange_read"] = ORC_INTERCHANGE_SQL

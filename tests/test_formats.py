@@ -106,3 +106,16 @@ def test_orc_pushes_predicates_csv_prunes_columns(spark, sf_dir, tmp_path):
     # pruned: the read schema mentions the 2 selected fields, not all 8
     read_schema = csv_plan.split("ReadSchema:")[1].splitlines()[0]
     assert "c_name" in read_schema and "c_acctbal" not in read_schema
+
+
+def test_orc_interchange_query_pushes_filter(spark, sf_dir):
+    """The registered orc_interchange_read query's ship-date filter
+    must reach the ORC stripe reader (PushedFilters on the ORC scan),
+    and only the five staged columns may be read."""
+    from m4i_flink_tasks_spark.queries.cdc import orc_interchange_read
+
+    df = orc_interchange_read(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]

@@ -36,7 +36,7 @@ _STREAMING = tuple(
 # behavior is pinned in their own behavior tests. (The bucketed SMB
 # join also writes at construction but its no-exchange pin lives here,
 # so it stays — its write is the point of the pin.)
-_EXECUTES_ON_BUILD = ("manifest_partition_pruning",)
+_EXECUTES_ON_BUILD = ("manifest_partition_pruning", "orc_interchange_read")
 
 
 def plan_of(df) -> str:
