@@ -203,7 +203,8 @@ _MODULES = (
 # stream_synchronize_docstore, stream_windowed_aggregation, and the
 # late-r6 stream_warc_text_pipeline capstone twin and the
 # crawl_release_manifest, warc_ingest_quarantine, and
-# stream_warc_quarantine, and orc_interchange_read additions) —
+# stream_warc_quarantine, orc_interchange_read, and
+# url_frontier_curation additions) —
 # retires the debt
 # entirely.
 DRIVER_QUERIES: tuple[str, ...] = (

@@ -1596,3 +1596,97 @@ ORDER BY d.doc_id
 
 QUERIES["warc_ingest_quarantine"] = warc_ingest_quarantine
 ORACLES["warc_ingest_quarantine"] = WARC_QUARANTINE_SQL
+
+
+_URL_TLDS = ("com", "org", "net", "info", "biz")
+_URL_BLOCKLIST = ("h13", "h42", "h77")
+_LOW_TRUST_TLDS = ("info", "biz")
+
+
+def url_frontier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level corpus curation — the gate every web-corpus
+    recipe (C4, RefinedWeb) runs BEFORE fetching or extracting text:
+    parse the crawl frontier's URLs, block listed domains, down-trust
+    spammy TLDs, and report per-domain document/token volumes for the
+    mixture decisions downstream.
+
+    The frontier URL column is synthesized deterministically from
+    doc_id (the generated testdata has no URL column; the parse and
+    gate expressions are the operator — same precedent as pii_scrub),
+    and the query then parses it back with REAL regex/string mechanics:
+    host via the authority regex, TLD and domain label via
+    substring_index, path depth by splitting the path segment. The
+    oracle never parses a URL — it restates host/TLD/depth as closed
+    forms of doc_id — so any parsing bug breaks the hash. Map-only
+    expressions + one domain-keyed aggregate (|domains| << corpus, the
+    classic low-cardinality group-by)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tld_arr = F.array(*[F.lit(t) for t in _URL_TLDS])
+    synth_url = F.concat(
+        F.lit("http://h"),
+        (d % 97).cast("string"),
+        F.lit("."),
+        F.element_at(tld_arr, ((d % 5) + 1).cast("int")),
+        F.when(d % 3 == 0, F.concat(F.lit("/d/"), d.cast("string"))).otherwise(
+            F.concat(
+                F.lit("/d/"), d.cast("string"),
+                F.lit("/p"), (d % 7).cast("string"),
+            )
+        ),
+    )
+    with_url = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("nt"),
+        synth_url.alias("url"),
+    )
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    path = F.regexp_extract(F.col("url"), r"^https?://[^/]+(/.*)$", 1)
+    parsed = with_url.select(
+        "doc_id",
+        "nt",
+        host.alias("host"),
+        F.substring_index(host, ".", -1).alias("tld"),
+        F.substring_index(host, ".", 1).alias("label"),
+        (F.size(F.split(path, "/")) - 1).alias("path_depth"),
+    )
+    status = (
+        F.when(F.col("label").isin(*_URL_BLOCKLIST), F.lit("blocked"))
+        .when(F.col("tld").isin(*_LOW_TRUST_TLDS), F.lit("low_trust"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        parsed.withColumn("status", status)
+        .groupBy("host", "tld", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(F.avg("path_depth"), 6).alias("avg_path_depth"),
+        )
+        .orderBy("host")
+    )
+
+
+URL_FRONTIER_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           'h' || (doc_id % 97) AS label,
+           (['com','org','net','info','biz'])[(doc_id % 5) + 1] AS tld,
+           CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END AS depth,
+           len(string_split_regex(trim(text), '\s+')) AS nt
+    FROM documents
+)
+SELECT label || '.' || tld AS host,
+       tld,
+       CASE WHEN label IN ('h13', 'h42', 'h77') THEN 'blocked'
+            WHEN tld IN ('info', 'biz') THEN 'low_trust'
+            ELSE 'ok' END AS status,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       round(avg(depth), 6) AS avg_path_depth
+FROM base
+GROUP BY 1, 2, 3
+ORDER BY host
+"""
+
+QUERIES["url_frontier_curation"] = url_frontier_curation
+ORACLES["url_frontier_curation"] = URL_FRONTIER_SQL
