@@ -1485,6 +1485,23 @@ def _stream_ann_index_sql() -> str:
     return ANN_LSH_SQL
 
 
+def stream_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ code-index maintenance (streaming/pq_index.py):
+    codebook trained offline once (the FAISS train/add split), each
+    micro-batch encoded map-side against the broadcast frozen codebook
+    and appended insert-only — so the final index equals the batch
+    ``pq_encode`` for any batch split and shares its oracle."""
+    from ..streaming.pq_index import run_stream_pq_index
+
+    return run_stream_pq_index(spark, sf_dir, _workdir("pq_index"))
+
+
+def _stream_pq_index_sql() -> str:
+    from .llm_similarity import ORACLES as SIM_ORACLES
+
+    return SIM_ORACLES["pq_encode"]
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1545,6 +1562,7 @@ QUERIES = {
     "stream_warc_quarantine": stream_warc_quarantine,
     "stream_session_windows": stream_session_windows,
     "stream_ann_index_topk": stream_ann_index_topk,
+    "stream_pq_index": stream_pq_index,
 }
 
 ORACLES = {
@@ -1587,4 +1605,5 @@ ORACLES = {
     "stream_warc_quarantine": _stream_warc_quarantine_sql(),
     "stream_session_windows": _stream_session_sql(),
     "stream_ann_index_topk": _stream_ann_index_sql(),
+    "stream_pq_index": _stream_pq_index_sql(),
 }

@@ -87,3 +87,18 @@ def test_index_survives_mid_stream_restart(spark, sf_dir):
         )
     )
     assert got == _batch_answer(spark, sf_dir)
+
+
+def test_pq_stream_index_equals_batch_encode(spark, sf_dir):
+    """The streaming PQ index (offline-trained frozen codebook +
+    insert-only per-batch encodes) must equal the batch pq_encode
+    row-for-row under the default batch split."""
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.llm_similarity import pq_encode
+    from m4i_flink_tasks_spark.streaming.pq_index import run_stream_pq_index
+
+    wd = tempfile.mkdtemp(prefix="m4i_pqidx_")
+    got = sorted(map(tuple, run_stream_pq_index(spark, sf_dir, wd).collect()))
+    exp = sorted(map(tuple, pq_encode(spark, sf_dir).collect()))
+    assert got == exp and got
