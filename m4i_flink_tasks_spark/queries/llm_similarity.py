@@ -702,15 +702,16 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.groupBy("vec_id").agg(*agg).orderBy("vec_id")
 
 
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric distance computation: the query vector stays exact,
-    every corpus vector is its 8 codes, and distance = a fixed-order
-    sum of 8 lookup-table entries (query subvector -> that subspace's
-    centroid). The scan touches only codes + a broadcast m x k table —
-    the memory shape that makes billion-vector ANN feasible."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    final, codes = _pq_model(emb)
-    q_subs = _pq_subvectors(emb.filter(F.col("vec_id") == _QUERY_VEC_ID))
+def _adc_rank(
+    codes: DataFrame,
+    final: DataFrame,
+    q_subs: DataFrame,
+    exclude_id: int,
+    k: int,
+) -> DataFrame:
+    """ADC top-k readout shared by the batch query and the streamed PQ
+    index probe (streaming/pq_index.py): broadcast m x k lookup table
+    from the query's subvectors, per-vector fixed-order 8-entry sum."""
     lut = (
         final.join(
             F.broadcast(q_subs.select("s", F.col("sub").alias("qsub"))), "s"
@@ -735,11 +736,23 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum((F.col(f"l{s}") for s in range(_PQ_M)), F.lit(0.0)), 6
     )
     return (
-        per_s.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        per_s.filter(F.col("vec_id") != exclude_id)
         .select("vec_id", total.alias("approx_dist"))
         .orderBy("approx_dist", "vec_id")
-        .limit(_TOPK)
+        .limit(k)
     )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation: the query vector stays exact,
+    every corpus vector is its 8 codes, and distance = a fixed-order
+    sum of 8 lookup-table entries (query subvector -> that subspace's
+    centroid). The scan touches only codes + a broadcast m x k table —
+    the memory shape that makes billion-vector ANN feasible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    final, codes = _pq_model(emb)
+    q_subs = _pq_subvectors(emb.filter(F.col("vec_id") == _QUERY_VEC_ID))
+    return _adc_rank(codes, final, q_subs, _QUERY_VEC_ID, _TOPK)
 
 
 def _pq_sql_parts() -> str:

@@ -1502,6 +1502,39 @@ def _stream_pq_index_sql() -> str:
     return SIM_ORACLES["pq_encode"]
 
 
+def stream_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k served FROM the stream-maintained PQ index: codes read
+    back from the index store, ranked with the shared `_adc_rank`
+    readout against the frozen codebook — the query path a compressed
+    vector index exists for. Codes equal the batch encode (pinned), so
+    the batch ``pq_adc_topk`` oracle oracles the probe."""
+    from ..sources import load_table
+    from ..streaming.pq_index import run_stream_pq_index_store, unpivot_codes
+    from .llm_similarity import (
+        _QUERY_VEC_ID,
+        _TOPK,
+        _adc_rank,
+        _pq_subvectors,
+    )
+
+    store, codebook = run_stream_pq_index_store(
+        spark, sf_dir, _workdir("pq_probe")
+    )
+    state = store.current()
+    assert state is not None
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_subs = _pq_subvectors(emb.filter(F.col("vec_id") == _QUERY_VEC_ID))
+    return _adc_rank(
+        unpivot_codes(state), codebook, q_subs, _QUERY_VEC_ID, _TOPK
+    )
+
+
+def _stream_pq_adc_sql() -> str:
+    from .llm_similarity import ORACLES as SIM_ORACLES
+
+    return SIM_ORACLES["pq_adc_topk"]
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1563,6 +1596,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_ann_index_topk": stream_ann_index_topk,
     "stream_pq_index": stream_pq_index,
+    "stream_pq_adc_topk": stream_pq_adc_topk,
 }
 
 ORACLES = {
@@ -1606,4 +1640,5 @@ ORACLES = {
     "stream_session_windows": _stream_session_sql(),
     "stream_ann_index_topk": _stream_ann_index_sql(),
     "stream_pq_index": _stream_pq_index_sql(),
+    "stream_pq_adc_topk": _stream_pq_adc_sql(),
 }

@@ -61,6 +61,32 @@ def run_stream_pq_index(
 ) -> DataFrame:
     """Ingest the bounded embedding stream into the PQ code index;
     return the final index in ``pq_encode``'s shape."""
+    store, _codebook = run_stream_pq_index_store(
+        spark, sf_dir, workdir, n_files, max_files_per_trigger
+    )
+    state = store.current()
+    assert state is not None
+    return state.orderBy("vec_id")
+
+
+def unpivot_codes(state: DataFrame) -> DataFrame:
+    """(vec_id, s, code) rows from the stored (vec_id, c0..c7) index —
+    the shape the ADC readout joins against the lookup table."""
+    stack = ", ".join(f"{s}, c{s}" for s in range(_PQ_M))
+    return state.selectExpr(
+        "vec_id", f"stack({_PQ_M}, {stack}) AS (s, code)"
+    )
+
+
+def run_stream_pq_index_store(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> tuple[BucketedParquetUpsertStore, DataFrame]:
+    """Ingest the bounded embedding stream; return (index store, frozen
+    codebook) so callers can PROBE the maintained index."""
     staging = stage_embeddings(
         spark, sf_dir, os.path.join(workdir, "staging_embeddings"), n_files
     )
@@ -94,7 +120,4 @@ def run_stream_pq_index(
         .start()
     )
     query.awaitTermination()
-
-    state = store.current()
-    assert state is not None
-    return state.orderBy("vec_id")
+    return store, codebook
