@@ -204,7 +204,8 @@ _MODULES = (
 # late-r6 stream_warc_text_pipeline capstone twin and the
 # crawl_release_manifest, warc_ingest_quarantine, and
 # stream_warc_quarantine, orc_interchange_read, and
-# url_frontier_curation, stream_pq_index, and stream_pq_adc_topk
+# url_frontier_curation, stream_pq_index, stream_pq_adc_topk, and
+# stream_ivfpq_probe
 # additions) —
 # retires the debt
 # entirely.

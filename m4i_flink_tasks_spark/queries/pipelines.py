@@ -1535,6 +1535,38 @@ def _stream_pq_adc_sql() -> str:
     return SIM_ORACLES["pq_adc_topk"]
 
 
+def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a stream-maintained, CELL-BUCKETED index
+    (streaming/ivfpq_index.py): offline-frozen coarse centroids +
+    residual codebook, per-batch map-side encode merged by cell, and a
+    probe that reads ONLY the probed cells' store buckets — "probe
+    touches nprobe/k of the corpus" made literal in storage reads. The
+    artifacts equal the batch model, so the batch ``ivfpq_adc_topk``
+    oracle oracles the probe."""
+    from ..sources import load_table
+    from ..streaming.ivfpq_index import (
+        ivfpq_probe_topk,
+        run_stream_ivfpq_index,
+    )
+    from .llm_similarity import _QUERY_VEC_ID
+
+    store, coarse, final = run_stream_ivfpq_index(
+        spark, sf_dir, _workdir("ivfpq_index")
+    )
+    q_emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    return ivfpq_probe_topk(spark, store, coarse, final, q_emb)
+
+
+def _stream_ivfpq_sql() -> str:
+    from .llm_similarity import ORACLES as SIM_ORACLES
+
+    return SIM_ORACLES["ivfpq_adc_topk"]
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1597,6 +1629,7 @@ QUERIES = {
     "stream_ann_index_topk": stream_ann_index_topk,
     "stream_pq_index": stream_pq_index,
     "stream_pq_adc_topk": stream_pq_adc_topk,
+    "stream_ivfpq_probe": stream_ivfpq_probe,
 }
 
 ORACLES = {
@@ -1641,4 +1674,5 @@ ORACLES = {
     "stream_ann_index_topk": _stream_ann_index_sql(),
     "stream_pq_index": _stream_pq_index_sql(),
     "stream_pq_adc_topk": _stream_pq_adc_sql(),
+    "stream_ivfpq_probe": _stream_ivfpq_sql(),
 }

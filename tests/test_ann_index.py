@@ -102,3 +102,32 @@ def test_pq_stream_index_equals_batch_encode(spark, sf_dir):
     got = sorted(map(tuple, run_stream_pq_index(spark, sf_dir, wd).collect()))
     exp = sorted(map(tuple, pq_encode(spark, sf_dir).collect()))
     assert got == exp and got
+
+
+def test_ivfpq_stream_probe_equals_batch(spark, sf_dir):
+    """The cell-bucketed streamed IVF-PQ index probed with the frozen
+    artifacts must equal the batch ivfpq_adc_topk top-k."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from m4i_flink_tasks_spark.queries.llm_similarity import (
+        _QUERY_VEC_ID,
+        ivfpq_adc_topk,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+    from m4i_flink_tasks_spark.streaming.ivfpq_index import (
+        ivfpq_probe_topk,
+        run_stream_ivfpq_index,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_ivfpq_")
+    store, coarse, final = run_stream_ivfpq_index(spark, sf_dir, wd)
+    q_emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    got = [tuple(r) for r in ivfpq_probe_topk(spark, store, coarse, final, q_emb).collect()]
+    exp = [tuple(r) for r in ivfpq_adc_topk(spark, sf_dir).collect()]
+    assert got == exp and got
