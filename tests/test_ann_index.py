@@ -131,3 +131,39 @@ def test_ivfpq_stream_probe_equals_batch(spark, sf_dir):
     got = [tuple(r) for r in ivfpq_probe_topk(spark, store, coarse, final, q_emb).collect()]
     exp = [tuple(r) for r in ivfpq_adc_topk(spark, sf_dir).collect()]
     assert got == exp and got
+
+
+def test_pq_index_mid_stream_restart_converges(spark, sf_dir):
+    """Hiding the tail of the staged feed, ingesting, then restoring it
+    and re-running must converge the PQ index to the batch encode —
+    the checkpoint + batch-id fence replays nothing and misses
+    nothing."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.llm_similarity import pq_encode
+    from m4i_flink_tasks_spark.streaming.ann_index import stage_embeddings
+    from m4i_flink_tasks_spark.streaming.pq_index import run_stream_pq_index
+
+    wd = tempfile.mkdtemp(prefix="m4i_pq_restart_")
+    staging = stage_embeddings(
+        spark, sf_dir, os.path.join(wd, "staging_embeddings"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    hidden = tempfile.mkdtemp(prefix="m4i_pq_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    n_partial = run_stream_pq_index(spark, sf_dir, wd).count()
+    assert n_partial > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    final = sorted(map(tuple, run_stream_pq_index(spark, sf_dir, wd).collect()))
+    exp = sorted(map(tuple, pq_encode(spark, sf_dir).collect()))
+    assert final == exp and len(final) > n_partial
