@@ -855,6 +855,85 @@ WHERE ml IS NOT NULL
 ORDER BY rank
 """
 
+def bpe_corpus_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the token-budgeting pass that follows
+    ``bpe_merge_table``'s training pass: encode every document with the
+    learned 12-merge BPE and report per-document word count, BPE token
+    count and fertility (tokens per word — the standard tokenizer-fit
+    metric; Sennrich et al. 2016).
+
+    The scale shape is classic BPE's own, inherited from
+    ``operators/bpe.py``: encoding runs on the VOCABULARY (sublinear in
+    corpus size, Heaps' law), never the corpus — the corpus is touched
+    exactly once, exploded to words and joined against the broadcast
+    (word → n_subwords) map, then one map-side-combinable per-doc sum.
+    At 100 TB the corpus pass is embarrassingly parallel; the merge
+    replay stays a vocabulary-sized job regardless of data volume.
+
+    Oracle: the same DuckDB RECURSIVE CTE that replays the merge
+    training (``BPE_MERGE_SQL``), read out at its FINAL iteration — the
+    recursion's working table IS the evolving vocabulary, so the
+    encode oracle is the trainer oracle's last state joined back onto
+    the exploded corpus. Fertility is a ratio of exact integers, so
+    both engines agree bit-for-bit after round(…, 6)."""
+    from ..operators.bpe import bpe_token_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = train_bpe(spark, docs, n_merges=12)
+    counts = bpe_token_counts(docs, vocab)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    n_words = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words")
+    )
+    return (
+        n_words.join(counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    # Reuse the trainer recursion verbatim; everything before its final
+    # SELECT is the evolving-vocabulary state machine.
+    recursion = BPE_MERGE_SQL.split("SELECT DISTINCT")[0]
+    return (
+        recursion
+        + r"""
+, final_vocab AS (
+    SELECT word, len(symbols)::BIGINT AS n_subwords
+    FROM steps
+    WHERE it = (SELECT max(it) FROM steps)
+),
+doc_words AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+    FROM documents
+)
+SELECT w.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(v.n_subwords)::BIGINT AS n_bpe_tokens,
+       round(sum(v.n_subwords)::DOUBLE / count(*), 6) AS fertility
+FROM doc_words w
+JOIN final_vocab v USING (word)
+WHERE w.word <> ''
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+    )
+
+
 def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone composition: the final training-corpus MANIFEST a
     data build emits, produced by running EVERY round-4 selection stage
@@ -923,6 +1002,7 @@ ORDER BY a.doc_id
 
 QUERIES = {
     "bpe_merge_table": bpe_merge_table,
+    "bpe_corpus_encode": bpe_corpus_encode,
     "weighted_corpus_sample": weighted_corpus_sample,
     "temperature_mixture_sample": temperature_mixture_sample,
     "repetition_metrics": repetition_metrics,
@@ -936,6 +1016,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_merge_table": BPE_MERGE_SQL,
+    "bpe_corpus_encode": _bpe_encode_sql(),
     "weighted_corpus_sample": _weighted_sample_sql(),
     "temperature_mixture_sample": _temperature_mixture_sql(),
     "repetition_metrics": REPETITION_SQL,
