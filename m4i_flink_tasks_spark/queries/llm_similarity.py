@@ -1450,3 +1450,230 @@ ORDER BY label
 
 QUERIES["embedding_health_report"] = embedding_health_report
 ORACLES["embedding_health_report"] = EMBEDDING_HEALTH_SQL
+
+
+# --------------------------------------------------------------------------
+# PCA by distributed Gram + driver-side power iteration — the embedding
+# WHITENING/compaction prep step (top principal directions of the
+# embedding cloud; e.g. ABQ/OPQ rotation training, SemDeDup centering,
+# drift monitoring of the embedding space).
+#
+# Scale shape: the corpus is touched ONCE to build the d x d covariance
+# (O(n * d^2) flops, but the shuffle is d^2 partial sums per task — 4096
+# rows here, never corpus-sized; this is exactly RowMatrix
+# .computeGramianMatrix's contract). The eigen-solve then runs on the
+# DIMENSION-sized matrix with deterministic power iteration + one
+# deflation — driver math, same discipline as the BPE argmax and the
+# PageRank fixpoint. At d where d^2 stops being "dimension-sized"
+# (d ≳ 10^4) you switch to randomized SVD sketches; for embedding
+# tables (d = 64..4096) this is the plan you want.
+#
+# Cross-engine determinism: BOTH engines round the covariance to 6 dp
+# and then run the SAME fixed-iteration recursion from the same
+# all-0.125 start vector, so parity does not depend on convergence —
+# only the (identical) arithmetic. Sign is fixed by making the
+# largest-|loading| entry positive; component 1 is re-rounded before
+# deflation so component 2 also starts from bit-identical state.
+# --------------------------------------------------------------------------
+
+_PCA_DIM = 64
+# The synthetic embeddings have a near-flat covariance spectrum
+# (Marchenko–Pastur bulk: top ratios ~0.98), so power iteration needs
+# T with 0.98^T << tol. 800 puts the component-1 residual at ~4e-5
+# (pinned against numpy in tests/test_pca.py). Parity does not depend
+# on convergence — both engines run the SAME T from the same rounded
+# covariance — and per-step work is dimension-sized (64 dots of 64).
+_PCA_ITERS = 800
+
+
+def _pca_matvec(G: list[list[float]], v: list[float]) -> list[float]:
+    # left-to-right accumulation: the deterministic order the oracle's
+    # list_dot_product mirrors
+    out = []
+    for row in G:
+        acc = 0.0
+        for g, x in zip(row, v):
+            acc += g * x
+        out.append(acc)
+    return out
+
+
+def _pca_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _pca_top_component(
+    G: list[list[float]], iters: int
+) -> tuple[list[float], float]:
+    """One power-iteration eigenpair: fixed iteration count, fixed
+    start, sign fixed by the largest-|loading| entry, rounded to 6 dp."""
+    import math
+
+    d = len(G)
+    v = [0.125] * d  # 1/sqrt(64), exactly representable
+    for _ in range(iters):
+        u = _pca_matvec(G, v)
+        nrm = math.sqrt(_pca_dot(u, u))
+        v = [x / nrm for x in u]
+    lam = _pca_dot(_pca_matvec(G, v), v)
+    mx = max(abs(x) for x in v)
+    k = min(i for i in range(d) if abs(v[i]) == mx)
+    s = -1.0 if v[k] < 0 else 1.0
+    return [round(s * x, 6) for x in v], round(lam, 6)
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding cloud (loading per
+    dimension + eigenvalue), via one distributed covariance pass and a
+    deterministic driver-side power iteration with deflation. The two
+    ``collect`` sites are dimension-sized (1 row of d sums; d^2 = 4096
+    moment rows), never corpus-sized."""
+    d = _PCA_DIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums_row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"s{i}"
+            )
+            for i in range(d)
+        ],
+    ).collect()[0]
+    n = float(sums_row["n"])
+    mu = [sums_row[f"s{i}"] / n for i in range(d)]
+
+    mom_rows = (
+        emb.select(
+            F.posexplode(
+                F.expr(
+                    "flatten(transform(embedding, a -> "
+                    "transform(embedding, b -> "
+                    "cast(a as double) * cast(b as double))))"
+                )
+            ).alias("pos", "xx")
+        )
+        .groupBy("pos")
+        .agg(F.sum("xx").alias("s"))
+        .collect()
+    )
+    S2 = [[0.0] * d for _ in range(d)]
+    for r in mom_rows:
+        S2[r["pos"] // d][r["pos"] % d] = r["s"]
+
+    G = [
+        [round(S2[i][j] / n - mu[i] * mu[j], 6) for j in range(d)]
+        for i in range(d)
+    ]
+    v1, lam1 = _pca_top_component(G, _PCA_ITERS)
+    G2 = [
+        [G[i][j] - lam1 * v1[i] * v1[j] for j in range(d)]
+        for i in range(d)
+    ]
+    v2, lam2 = _pca_top_component(G2, _PCA_ITERS)
+
+    rows = [
+        (1, i + 1, v1[i], lam1) for i in range(d)
+    ] + [
+        (2, i + 1, v2[i], lam2) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, pos int, loading double, eigenvalue double"
+    ).orderBy("component", "pos")
+
+
+def _pca_power_sql() -> str:
+    d = _PCA_DIM
+    t = _PCA_ITERS
+    # MATERIALIZED is load-bearing: DuckDB inlines CTE references, so
+    # without it the corpus-sized `moments` scan would re-run inside
+    # every recursion step (g is referenced from the recursive term).
+    return f"""
+WITH RECURSIVE moments AS MATERIALIZED (
+    SELECT ii.i AS i, jj.j AS j,
+           sum(e.embedding[ii.i]::DOUBLE * e.embedding[jj.j]::DOUBLE) AS s
+    FROM embeddings e, range(1, {d + 1}) AS ii(i), range(1, {d + 1}) AS jj(j)
+    GROUP BY ii.i, jj.j
+),
+mu AS MATERIALIZED (
+    SELECT ii.i AS i, sum(e.embedding[ii.i]::DOUBLE) / count(*) AS m
+    FROM embeddings e, range(1, {d + 1}) AS ii(i)
+    GROUP BY ii.i
+),
+nrow AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+cov AS MATERIALIZED (
+    SELECT mo.i, mo.j, round(mo.s / nrow.n - ma.m * mb.m, 6) AS c
+    FROM moments mo, nrow, mu ma, mu mb
+    WHERE ma.i = mo.i AND mb.i = mo.j
+),
+gmat AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS grow FROM cov GROUP BY i),
+g AS MATERIALIZED (SELECT list(grow ORDER BY i) AS G FROM gmat),
+pw1(it, v) AS (
+    SELECT 0, list_transform(range(1, {d + 1}), x -> 0.125::DOUBLE)
+    UNION ALL
+    SELECT it + 1,
+        (SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u)))
+         FROM (SELECT [list_dot_product(r, pw1.v) for r in g.G] AS u))
+    FROM pw1, g WHERE it < {t}
+),
+c1 AS (SELECT v FROM pw1 WHERE it = {t}),
+c1rows AS (SELECT ii.i AS i, c1.v[ii.i] AS x FROM c1, range(1, {d + 1}) ii(i)),
+c1sign AS (
+    SELECT CASE WHEN (SELECT x FROM c1rows ORDER BY abs(x) DESC, i LIMIT 1)
+                < 0 THEN -1.0 ELSE 1.0 END AS s
+),
+c1lam AS (
+    SELECT list_dot_product(
+               [list_dot_product(r, c1.v) for r in g.G], c1.v) AS lam
+    FROM c1, g
+),
+c1f AS (
+    SELECT list_transform(c1.v, x -> round(sg.s * x, 6)) AS v,
+           round(l.lam, 6) AS lam
+    FROM c1, c1sign sg, c1lam l
+),
+g2 AS MATERIALIZED (
+    SELECT list_transform(range(1, {d + 1}), i ->
+               list_transform(range(1, {d + 1}), j ->
+                   g.G[i][j] - c1f.lam * c1f.v[i] * c1f.v[j])) AS G
+    FROM g, c1f
+),
+pw2(it, v) AS (
+    SELECT 0, list_transform(range(1, {d + 1}), x -> 0.125::DOUBLE)
+    UNION ALL
+    SELECT it + 1,
+        (SELECT list_transform(u, x -> x / sqrt(list_dot_product(u, u)))
+         FROM (SELECT [list_dot_product(r, pw2.v) for r in g2.G] AS u))
+    FROM pw2, g2 WHERE it < {t}
+),
+c2 AS (SELECT v FROM pw2 WHERE it = {t}),
+c2rows AS (SELECT ii.i AS i, c2.v[ii.i] AS x FROM c2, range(1, {d + 1}) ii(i)),
+c2sign AS (
+    SELECT CASE WHEN (SELECT x FROM c2rows ORDER BY abs(x) DESC, i LIMIT 1)
+                < 0 THEN -1.0 ELSE 1.0 END AS s
+),
+c2lam AS (
+    SELECT list_dot_product(
+               [list_dot_product(r, c2.v) for r in g2.G], c2.v) AS lam
+    FROM c2, g2
+),
+c2f AS (
+    SELECT list_transform(c2.v, x -> round(sg.s * x, 6)) AS v,
+           round(l.lam, 6) AS lam
+    FROM c2, c2sign sg, c2lam l
+)
+SELECT 1 AS component, ii.i AS pos, c1f.v[ii.i] AS loading,
+       c1f.lam AS eigenvalue
+FROM c1f, range(1, {d + 1}) ii(i)
+UNION ALL
+SELECT 2 AS component, ii.i AS pos, c2f.v[ii.i] AS loading,
+       c2f.lam AS eigenvalue
+FROM c2f, range(1, {d + 1}) ii(i)
+ORDER BY component, pos
+"""
+
+
+QUERIES["embedding_pca_power"] = embedding_pca_power
+ORACLES["embedding_pca_power"] = _pca_power_sql()
