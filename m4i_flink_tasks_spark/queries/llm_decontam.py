@@ -284,3 +284,178 @@ ORDER BY c.source_a, c.source_b
 
 QUERIES["source_vocab_overlap"] = source_vocab_overlap
 ORACLES["source_vocab_overlap"] = SOURCE_OVERLAP_SQL
+
+
+# --------------------------------------------------------------------------
+# Cross-split near-duplicate leakage (decontamination by near-dup)
+# --------------------------------------------------------------------------
+# benchmark_decontamination catches EXACT n-gram overlap with an eval
+# set; this is its near-duplicate complement — the Dolma/Pile-style
+# audit for train documents that are ~the same text as a val/test
+# document (train/eval leakage inflates benchmark scores without any
+# verbatim n-gram hit). Pairs are found with the same AllPairs/PPJoin
+# prefix-filter THEOREM as ppjoin_exact_jaccard (queries/llm_dedup.py),
+# applied bipartite: the canonical token order (global df asc, token)
+# is computed over the UNION of both sides, so the prefix argument
+# holds for each side independently and the candidate join is
+# train-prefix x eval-prefix — never all-pairs, no false negatives.
+# The leakage threshold is deliberately LOWER than the dedup threshold
+# (3/5 vs 4/5): an audit wants the gray zone, and the verify predicate
+# stays pure integer cross-multiplication (8c >= 3(n_a + n_b)).
+
+_LEAK_T_NUM, _LEAK_T_DEN = 3, 5
+
+
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 3/5 pairs between train docs and val/test docs
+    of the sampled corpus (split assignment = corpus_sampling_splits'
+    deterministic hash gates). Oracle runs the brute-force bipartite
+    definition, so a hash match proves the prefix filter's
+    completeness on this corpus."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as D
+    from .llm_corpus import corpus_sampling_splits
+
+    splits = corpus_sampling_splits(spark, sf_dir).select("doc_id", "split")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", D.shingles(F.col("text")).alias("sh")
+    )
+    toks = (
+        docs.join(splits, "doc_id")
+        .select("doc_id", "split", F.explode("sh").alias("tok"))
+    )
+    sizes = toks.groupBy("doc_id").agg(
+        F.first("split").alias("split"), F.count(F.lit(1)).alias("n")
+    )
+    # Global canonical order over BOTH sides: shingle df is
+    # near-linear in corpus size — aggregated, never broadcast.
+    df_rel = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        toks.join(df_rel, "tok")
+        .join(sizes.select("doc_id", "n"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(
+                f"({_LEAK_T_NUM} * n + {_LEAK_T_DEN} - 1) "
+                f"DIV {_LEAK_T_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "split", "tok", "n")
+    )
+    pa = prefix.filter(F.col("split") == "train").alias("pa")
+    pb = prefix.filter(F.col("split") != "train").alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            # AllPairs length filter: t*|A| <= |B| <= |A|/t, integer form
+            & (
+                _LEAK_T_DEN * F.col("pb.n")
+                >= _LEAK_T_NUM * F.col("pa.n")
+            )
+            & (
+                _LEAK_T_DEN * F.col("pa.n")
+                >= _LEAK_T_NUM * F.col("pb.n")
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_train"),
+            F.col("pb.doc_id").alias("id_eval"),
+        )
+        .distinct()
+    )
+    # Overlap only for candidates, compound (id_eval, tok) join key —
+    # the same no-fan-out discipline as ppjoin_exact_jaccard.
+    co = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("id_train"), "tok"),
+            "id_train",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("id_eval"), "tok"),
+            ["id_eval", "tok"],
+        )
+        .groupBy("id_train", "id_eval")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("id_train"), F.col("n").alias("n_train")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("id_eval"),
+        F.col("split").alias("eval_split"),
+        F.col("n").alias("n_eval"),
+    )
+    return (
+        co.join(na, "id_train")
+        .join(nb, "id_eval")
+        .filter(
+            (_LEAK_T_NUM + _LEAK_T_DEN) * F.col("n_shared")
+            >= _LEAK_T_NUM * (F.col("n_train") + F.col("n_eval"))
+        )
+        .select(
+            "id_train",
+            "id_eval",
+            "eval_split",
+            "n_shared",
+            "n_train",
+            "n_eval",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_train") + F.col("n_eval") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("id_train", "id_eval")
+    )
+
+
+def _cross_split_leakage_sql() -> str:
+    # Shingle CTEs sliced from the ppjoin oracle so the 3-gram
+    # definition cannot drift between the two audits; split CTE from
+    # the sampling-splits oracle for the same reason.
+    from .llm_corpus import _sampling_splits_sql
+    from .llm_dedup import PPJOIN_SQL
+
+    shingle_ctes = PPJOIN_SQL.split("sizes AS")[0].strip().rstrip(",")
+    splits = _sampling_splits_sql().replace("ORDER BY doc_id", "")
+    return f"""
+{shingle_ctes},
+split_out AS ({splits}),
+stoks AS (
+    SELECT t.doc_id, s.split, t.tok
+    FROM toks t JOIN split_out s ON s.doc_id = t.doc_id
+),
+sizes AS (
+    SELECT doc_id, any_value(split) AS split, count(*) AS n
+    FROM stoks GROUP BY doc_id
+),
+co AS (
+    SELECT a.doc_id AS id_train, b.doc_id AS id_eval,
+           count(*) AS n_shared
+    FROM stoks a JOIN stoks b
+      ON a.tok = b.tok AND a.split = 'train' AND b.split <> 'train'
+    GROUP BY 1, 2
+)
+SELECT co.id_train, co.id_eval,
+       sb.split AS eval_split,
+       co.n_shared,
+       sa.n AS n_train, sb.n AS n_eval,
+       round(co.n_shared::DOUBLE / (sa.n + sb.n - co.n_shared), 6)
+           AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = co.id_train
+JOIN sizes sb ON sb.doc_id = co.id_eval
+WHERE ({_LEAK_T_NUM + _LEAK_T_DEN}) * co.n_shared
+      >= {_LEAK_T_NUM} * (sa.n + sb.n)
+ORDER BY co.id_train, co.id_eval
+"""
+
+
+QUERIES["cross_split_leakage"] = cross_split_leakage
+ORACLES["cross_split_leakage"] = _cross_split_leakage_sql()
