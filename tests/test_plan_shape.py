@@ -826,3 +826,53 @@ def test_warc_text_pipeline_is_map_only_until_sort(plans):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_cross_split_leakage_never_all_pairs(plans):
+    """The bipartite prefix-filter join must stay equi-join shaped:
+    a CartesianProduct or nested loop would mean the candidate
+    generation degenerated to train x eval all-pairs."""
+    plan = plans["cross_split_leakage"]
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_bpe_encode_joins_vocab_broadcast(plans):
+    """bpe_corpus_encode touches the corpus once and attaches the
+    vocabulary-sized (word -> n_subwords) map as a broadcast — a
+    SortMergeJoin here would shuffle the exploded corpus against a
+    Heaps-sublinear dimension."""
+    plan = plans["bpe_corpus_encode"]
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_pca_gram_pass_partial_aggregates(spark, sf_dir):
+    """The PCA covariance pass must keep map-side combine: the d^2
+    moment sums partial-aggregate per task, so the exchange carries
+    4096 rows per partition instead of n*d^2 exploded rows."""
+    from pyspark.sql import functions as F
+
+    from m4i_flink_tasks_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mom = (
+        emb.select(
+            F.posexplode(
+                F.expr(
+                    "flatten(transform(embedding, a -> "
+                    "transform(embedding, b -> "
+                    "cast(a as double) * cast(b as double))))"
+                )
+            ).alias("pos", "xx")
+        )
+        .groupBy("pos")
+        .agg(F.sum("xx").alias("s"))
+    )
+    tree = plan_of(mom).split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 2, (
+        "moments lost map-side partial aggregation:\n" + tree
+    )
+    assert "Exchange" in tree and "Generate" in tree
