@@ -1567,6 +1567,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [round(S2[i][j] / n - mu[i] * mu[j], 6) for j in range(d)]
         for i in range(d)
     ]
+    return pca_readout(spark, G)
+
+
+def pca_readout(spark: SparkSession, G: list[list[float]]) -> DataFrame:
+    """Top-2 eigenpairs of a (rounded) covariance matrix as the
+    standard result frame — shared by the batch query and the
+    streaming moment-state twin so both ends run the identical
+    deterministic iteration."""
+    d = len(G)
     v1, lam1 = _pca_top_component(G, _PCA_ITERS)
     G2 = [
         [G[i][j] - lam1 * v1[i] * v1[j] for j in range(d)]
@@ -1586,7 +1595,6 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pca_power_sql() -> str:
     d = _PCA_DIM
-    t = _PCA_ITERS
     # MATERIALIZED is load-bearing: DuckDB inlines CTE references, so
     # without it the corpus-sized `moments` scan would re-run inside
     # every recursion step (g is referenced from the recursive term).
@@ -1608,7 +1616,19 @@ cov AS MATERIALIZED (
     FROM moments mo, nrow, mu ma, mu mb
     WHERE ma.i = mo.i AND mb.i = mo.j
 ),
-gmat AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS grow FROM cov GROUP BY i),
+{_pca_eigen_sql_tail()}
+"""
+
+
+def _pca_eigen_sql_tail() -> str:
+    """Everything downstream of a CTE named ``cov`` (columns i, j, c —
+    the ROUNDED covariance): matrix assembly, the two fixed-iteration
+    power recursions with deflation, sign fix and the final readout.
+    Shared by the raw-float batch oracle and the quantized streaming
+    oracle so both replay the identical iteration."""
+    d = _PCA_DIM
+    t = _PCA_ITERS
+    return f"""gmat AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS grow FROM cov GROUP BY i),
 g AS MATERIALIZED (SELECT list(grow ORDER BY i) AS G FROM gmat),
 pw1(it, v) AS (
     SELECT 0, list_transform(range(1, {d + 1}), x -> 0.125::DOUBLE)

@@ -1567,6 +1567,53 @@ def _stream_ivfpq_sql() -> str:
     return SIM_ORACLES["ivfpq_adc_topk"]
 
 
+def stream_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PCA maintenance (streaming/pca_state.py): embedding
+    micro-batches fold into exact fixed-point moment state — a
+    DECIMAL addition monoid, bit-identical for any batch split — and
+    the readout rescales to the rounded covariance and runs the batch
+    query's deterministic power iteration. The oracle replays the
+    2^-20 quantization + moments in SQL and reuses the shared eigen
+    recursion tail, so the whole stream is hash-matched end to end."""
+    from ..streaming.pca_state import run_stream_embedding_pca
+
+    return run_stream_embedding_pca(
+        spark, sf_dir, _workdir("embedding_pca")
+    )
+
+
+def _stream_embedding_pca_sql() -> str:
+    from .llm_similarity import _pca_eigen_sql_tail
+
+    d = 64
+    q = "list_transform(embedding, x -> round(x::DOUBLE * 1048576.0)::BIGINT)"
+    return f"""
+WITH RECURSIVE qv AS MATERIALIZED (
+    SELECT {q} AS q FROM embeddings
+),
+moments AS MATERIALIZED (
+    SELECT ii.i AS i, jj.j AS j, sum(qv.q[ii.i] * qv.q[jj.j]) AS s
+    FROM qv, range(1, {d + 1}) AS ii(i), range(1, {d + 1}) AS jj(j)
+    GROUP BY ii.i, jj.j
+),
+mu AS MATERIALIZED (
+    SELECT ii.i AS i,
+           sum(qv.q[ii.i])::DOUBLE / (count(*) * 1048576.0) AS m
+    FROM qv, range(1, {d + 1}) AS ii(i)
+    GROUP BY ii.i
+),
+nrow AS (SELECT count(*)::DOUBLE AS n FROM qv),
+cov AS MATERIALIZED (
+    SELECT mo.i, mo.j,
+           round(mo.s::DOUBLE / (nrow.n * 1099511627776.0)
+                 - ma.m * mb.m, 6) AS c
+    FROM moments mo, nrow, mu ma, mu mb
+    WHERE ma.i = mo.i AND mb.i = mo.j
+),
+{_pca_eigen_sql_tail()}
+"""
+
+
 def _stream_zone_map_sql() -> str:
     from .warehouse import _FILE_ROW_BYTES, _ZONE_HI, _ZONE_LO
 
@@ -1622,6 +1669,7 @@ QUERIES = {
     "stream_selfjoin_size": stream_selfjoin_size,
     "stream_compaction_plan": stream_compaction_plan,
     "stream_numeric_profile": stream_numeric_profile,
+    "stream_embedding_pca": stream_embedding_pca,
     "stream_warc_ingest": stream_warc_ingest,
     "stream_warc_text_pipeline": stream_warc_text_pipeline,
     "stream_warc_quarantine": stream_warc_quarantine,
@@ -1667,6 +1715,7 @@ ORACLES = {
     "stream_selfjoin_size": _stream_selfjoin_sql(),
     "stream_compaction_plan": _stream_compaction_sql(),
     "stream_numeric_profile": _stream_numeric_profile_sql(),
+    "stream_embedding_pca": _stream_embedding_pca_sql(),
     "stream_warc_ingest": _stream_warc_sql(),
     "stream_warc_text_pipeline": _stream_warc_text_sql(),
     "stream_warc_quarantine": _stream_warc_quarantine_sql(),

@@ -99,6 +99,7 @@ def test_documented_query_names_exist():
             "frame_energies",
             "energy_segments",
             "run_stream_rate_anomalies",
+            "pca_readout",
             "mapInPandas",
             "pandas_udf",
             "percentile",
