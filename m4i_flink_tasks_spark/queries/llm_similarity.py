@@ -1531,6 +1531,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic driver-side power iteration with deflation. The two
     ``collect`` sites are dimension-sized (1 row of d sums; d^2 = 4096
     moment rows), never corpus-sized."""
+    G, _mu = _pca_cov_and_mu(spark, sf_dir)
+    return pca_readout(spark, G)
+
+
+def _pca_cov_and_mu(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], list[float]]:
+    """(rounded covariance, mean vector) from one distributed pass —
+    shared by the loading query and the projection query."""
     d = _PCA_DIM
     emb = load_table(spark, sf_dir, "embeddings")
     sums_row = emb.agg(
@@ -1567,7 +1576,22 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [round(S2[i][j] / n - mu[i] * mu[j], 6) for j in range(d)]
         for i in range(d)
     ]
-    return pca_readout(spark, G)
+    return G, mu
+
+
+def pca_components(
+    G: list[list[float]],
+) -> tuple[list[float], float, list[float], float]:
+    """(v1, lam1, v2, lam2) of a rounded covariance — the shared
+    deterministic iteration + deflation."""
+    d = len(G)
+    v1, lam1 = _pca_top_component(G, _PCA_ITERS)
+    G2 = [
+        [G[i][j] - lam1 * v1[i] * v1[j] for j in range(d)]
+        for i in range(d)
+    ]
+    v2, lam2 = _pca_top_component(G2, _PCA_ITERS)
+    return v1, lam1, v2, lam2
 
 
 def pca_readout(spark: SparkSession, G: list[list[float]]) -> DataFrame:
@@ -1576,13 +1600,7 @@ def pca_readout(spark: SparkSession, G: list[list[float]]) -> DataFrame:
     streaming moment-state twin so both ends run the identical
     deterministic iteration."""
     d = len(G)
-    v1, lam1 = _pca_top_component(G, _PCA_ITERS)
-    G2 = [
-        [G[i][j] - lam1 * v1[i] * v1[j] for j in range(d)]
-        for i in range(d)
-    ]
-    v2, lam2 = _pca_top_component(G2, _PCA_ITERS)
-
+    v1, lam1, v2, lam2 = pca_components(G)
     rows = [
         (1, i + 1, v1[i], lam1) for i in range(d)
     ] + [
@@ -1593,7 +1611,9 @@ def pca_readout(spark: SparkSession, G: list[list[float]]) -> DataFrame:
     ).orderBy("component", "pos")
 
 
-def _pca_power_sql() -> str:
+def _pca_cov_sql_front() -> str:
+    """The raw-float covariance CTE chain (ends with ``cov``), shared
+    by the loading oracle and the projection oracle."""
     d = _PCA_DIM
     # MATERIALIZED is load-bearing: DuckDB inlines CTE references, so
     # without it the corpus-sized `moments` scan would re-run inside
@@ -1616,16 +1636,21 @@ cov AS MATERIALIZED (
     FROM moments mo, nrow, mu ma, mu mb
     WHERE ma.i = mo.i AND mb.i = mo.j
 ),
-{_pca_eigen_sql_tail()}
 """
 
 
-def _pca_eigen_sql_tail() -> str:
+def _pca_power_sql() -> str:
+    return f"""{_pca_cov_sql_front()}{_pca_eigen_sql_tail()}
+"""
+
+
+def _pca_eigen_sql_core() -> str:
     """Everything downstream of a CTE named ``cov`` (columns i, j, c —
-    the ROUNDED covariance): matrix assembly, the two fixed-iteration
-    power recursions with deflation, sign fix and the final readout.
-    Shared by the raw-float batch oracle and the quantized streaming
-    oracle so both replay the identical iteration."""
+    the ROUNDED covariance) up to the rounded component CTEs ``c1f`` /
+    ``c2f``: matrix assembly, the two fixed-iteration power recursions
+    with deflation and the sign fix. Shared by the batch oracle, the
+    quantized streaming oracle and the projection oracle so all three
+    replay the identical iteration."""
     d = _PCA_DIM
     t = _PCA_ITERS
     return f"""gmat AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS grow FROM cov GROUP BY i),
@@ -1684,6 +1709,14 @@ c2f AS (
            round(l.lam, 6) AS lam
     FROM c2, c2sign sg, c2lam l
 )
+"""
+
+
+def _pca_eigen_sql_tail() -> str:
+    """The core plus the loading readout — the batch/stream oracle
+    shape."""
+    d = _PCA_DIM
+    return f"""{_pca_eigen_sql_core()}
 SELECT 1 AS component, ii.i AS pos, c1f.v[ii.i] AS loading,
        c1f.lam AS eigenvalue
 FROM c1f, range(1, {d + 1}) ii(i)
@@ -1695,5 +1728,54 @@ ORDER BY component, pos
 """
 
 
+def pca_projection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA APPLIED: every vector's coordinates on the top-2 principal
+    axes — the projection/whitening step itself (outlier triage, 2-D
+    drift maps, the rotation input OPQ-style quantizers train on).
+
+    The model (mu, v1, v2) is dimension-sized driver state from the
+    same covariance pass; the projection is ONE corpus scan with the
+    centered dot products as 64-term codegen expressions — no joins,
+    no shuffle besides the output sort. At 100 TB this is the map-only
+    pass you fuse into whatever scan comes next."""
+    G, mu = _pca_cov_and_mu(spark, sf_dir)
+    v1, _lam1, v2, _lam2 = pca_components(G)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def score(v: list[float]):
+        return sum(
+            (F.element_at("embedding", i + 1).cast("double") - mu[i])
+            * v[i]
+            for i in range(_PCA_DIM)
+        )
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(score(v1), 6).alias("pc1"),
+        F.round(score(v2), 6).alias("pc2"),
+    ).orderBy("vec_id")
+
+
+def _pca_projection_sql() -> str:
+    d = _PCA_DIM
+    return f"""{_pca_cov_sql_front()}{_pca_eigen_sql_core()},
+mus AS (SELECT list(m ORDER BY i) AS mu FROM mu)
+SELECT e.vec_id, e.label,
+       round(list_dot_product(
+           list_transform(range(1, {d + 1}),
+                          i -> e.embedding[i]::DOUBLE - mus.mu[i]),
+           c1f.v), 6) AS pc1,
+       round(list_dot_product(
+           list_transform(range(1, {d + 1}),
+                          i -> e.embedding[i]::DOUBLE - mus.mu[i]),
+           c2f.v), 6) AS pc2
+FROM embeddings e, c1f, c2f, mus
+ORDER BY e.vec_id
+"""
+
+
 QUERIES["embedding_pca_power"] = embedding_pca_power
+QUERIES["pca_projection_scores"] = pca_projection_scores
+ORACLES["pca_projection_scores"] = _pca_projection_sql()
 ORACLES["embedding_pca_power"] = _pca_power_sql()

@@ -673,3 +673,107 @@ ORDER BY doc_id
 
 QUERIES["markup_text_extraction"] = markup_text_extraction
 ORACLES["markup_text_extraction"] = MARKUP_EXTRACTION_SQL
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit of the token frequency spectrum
+# --------------------------------------------------------------------------
+# The standard corpus-health diagnostic: natural text follows
+# freq(rank) ~ rank^-s with s ~ 1; a slope far from -1 or a poor fit
+# flags synthetic/boilerplate-heavy corpora before training. The
+# frequency table is ONE corpus-sized token aggregate (map-side
+# combined); ranking and the OLS closed form then run on the
+# VOCABULARY relation — dimension-sized by Heaps' law, so the global
+# rank window is a deliberate single-partition pass over a small
+# relation, not a corpus sort.
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) on ln(rank) over the corpus vocabulary
+    (rank = freq desc, token asc). One row: type/token counts, slope,
+    intercept, R^2 — engine-exact after round(…, 6) because every sum
+    is over identical doubles of identical integer inputs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freqs.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.desc("freq"), "tok")
+        ),
+    ).select(
+        F.log("r").alias("x"),
+        F.log("freq").alias("y"),
+        "freq",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    v = F.col("v").cast("double")
+    cov_xy = F.col("sxy") - F.col("sx") * F.col("sy") / v
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / v
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / v
+    slope = cov_xy / var_x
+    return agg.select(
+        F.col("v").alias("n_types"),
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / v, 6
+        ).alias("zipf_intercept"),
+        F.round(cov_xy * cov_xy / (var_x * var_y), 6).alias("r_squared"),
+    )
+
+
+ZIPF_FIT_SQL = r"""
+WITH freqs AS (
+    SELECT tok, count(*)::BIGINT AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY tok
+),
+ranked AS (
+    SELECT ln(row_number() OVER (ORDER BY freq DESC, tok)) AS x,
+           ln(freq) AS y,
+           freq
+    FROM freqs
+),
+agg AS (
+    SELECT count(*)::BIGINT AS v,
+           sum(freq)::BIGINT AS n_tokens,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM ranked
+)
+SELECT v AS n_types,
+       n_tokens,
+       round((sxy - sx * sy / v) / (sxx - sx * sx / v), 6) AS zipf_slope,
+       round((sy - ((sxy - sx * sy / v) / (sxx - sx * sx / v)) * sx) / v, 6)
+           AS zipf_intercept,
+       round((sxy - sx * sy / v) * (sxy - sx * sy / v)
+             / ((sxx - sx * sx / v) * (syy - sy * sy / v)), 6) AS r_squared
+FROM agg
+"""
+
+QUERIES["zipf_fit"] = zipf_fit
+ORACLES["zipf_fit"] = ZIPF_FIT_SQL
