@@ -1554,18 +1554,40 @@ def _pca_cov_and_mu(
     n = float(sums_row["n"])
     mu = [sums_row[f"s{i}"] / n for i in range(d)]
 
+    # Per-partition BLAS Gram (X^T X) via Arrow — the vectorized form
+    # of RowMatrix.computeGramianMatrix's treeAggregate. Measured at
+    # the synthesized sf1 (20k vectors, 1 input split): JVM
+    # posexplode 12.6 s, posexplode + spread 1.2 s, mapInPandas+numpy
+    # 0.35 s — the d^2-per-row explosion materializes 82M rows where
+    # dgemm does the same flops in microseconds. spread_for_compute
+    # keeps a few-split scan from pinning all Arrow batches on one
+    # worker (no-op when the scan already has enough splits).
+    from ..operators.spread import spread_for_compute
+
+    def _gram_parts(it):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(acc.size, dtype=np.int64),
+                    "s": acc.ravel(),
+                }
+            )
+
     mom_rows = (
-        emb.select(
-            F.posexplode(
-                F.expr(
-                    "flatten(transform(embedding, a -> "
-                    "transform(embedding, b -> "
-                    "cast(a as double) * cast(b as double))))"
-                )
-            ).alias("pos", "xx")
-        )
+        spread_for_compute(emb.select("embedding"))
+        .mapInPandas(_gram_parts, "pos long, s double")
         .groupBy("pos")
-        .agg(F.sum("xx").alias("s"))
+        .agg(F.sum("s").alias("s"))
         .collect()
     )
     S2 = [[0.0] * d for _ in range(d)]

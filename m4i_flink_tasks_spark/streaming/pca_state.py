@@ -65,16 +65,39 @@ def stage_quantized_embeddings(
 
 def _batch_moments(batch: DataFrame) -> DataFrame:
     """(pos, m) partial moments of one micro-batch: the d^2 products,
-    the d sums, and the count, in one posexplode + hash aggregate
-    (map-side combined; the exchange is state-sized, 4161 rows)."""
-    arr = F.expr(
-        "concat("
-        "flatten(transform(q, a -> transform(q, b -> a * b))), "
-        "q, "
-        "array(1L))"
-    )
+    the d sums, and the count. Per-Arrow-chunk integer Gram via numpy
+    (Q^T Q on int64 is EXACT: |q| <= 2^21, chunk <= 2^20 rows keeps
+    every entry under 2^62), then a DECIMAL(38,0) sum across chunks —
+    so the monoid stays bit-exact while avoiding the d^2-per-row
+    explosion (measured 36x on the batch twin's float Gram; the
+    integer path is the same shape). The exchange is state-sized,
+    4161 rows per chunk."""
+    d = _D
+
+    def _parts(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            assert len(pdf) <= 1 << 20, "Arrow chunk too large for int64 Gram"
+            Q = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            g = Q.T @ Q
+            s = Q.sum(axis=0)
+            vals = np.concatenate(
+                [g.ravel(), s, np.array([len(pdf)], dtype=np.int64)]
+            )
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(d * d + d + 1, dtype=np.int64),
+                    "v": vals,
+                }
+            )
+
     return (
-        batch.select(F.posexplode(arr).alias("pos", "v"))
+        batch.select("q")
+        .mapInPandas(_parts, "pos long, v long")
         .groupBy("pos")
         .agg(F.sum(F.col("v").cast(_DEC)).alias("m"))
     )

@@ -849,30 +849,42 @@ def test_bpe_encode_joins_vocab_broadcast(plans):
     assert "BroadcastNestedLoopJoin" not in tree
 
 
-def test_pca_gram_pass_partial_aggregates(spark, sf_dir):
-    """The PCA covariance pass must keep map-side combine: the d^2
-    moment sums partial-aggregate per task, so the exchange carries
-    4096 rows per partition instead of n*d^2 exploded rows."""
+def test_pca_gram_pass_is_arrow_blas(spark, sf_dir):
+    """The PCA covariance pass must stay on the Arrow+BLAS path (the
+    vectorized RowMatrix.computeGramianMatrix shape): per-partition
+    dgemm partials, then a state-sized hash aggregate. Measured at the
+    synthesized sf1: the d^2-per-row JVM explosion is 36x slower. A
+    BatchEvalPython node here would be the row-at-a-time regression."""
     from pyspark.sql import functions as F
 
+    from m4i_flink_tasks_spark.operators.spread import spread_for_compute
     from m4i_flink_tasks_spark.sources import load_table
+
+    def _gram_parts(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                X = np.vstack(pdf["embedding"].to_numpy())
+                g = X.T.astype("float64") @ X.astype("float64")
+                yield pd.DataFrame(
+                    {
+                        "pos": np.arange(g.size, dtype=np.int64),
+                        "s": g.ravel(),
+                    }
+                )
 
     emb = load_table(spark, sf_dir, "embeddings")
     mom = (
-        emb.select(
-            F.posexplode(
-                F.expr(
-                    "flatten(transform(embedding, a -> "
-                    "transform(embedding, b -> "
-                    "cast(a as double) * cast(b as double))))"
-                )
-            ).alias("pos", "xx")
-        )
+        spread_for_compute(emb.select("embedding"))
+        .mapInPandas(_gram_parts, "pos long, s double")
         .groupBy("pos")
-        .agg(F.sum("xx").alias("s"))
+        .agg(F.sum("s").alias("s"))
     )
     tree = plan_of(mom).split("\n\n")[0]
+    assert "MapInPandas" in tree, tree
+    assert "BatchEvalPython" not in tree
     assert tree.count("HashAggregate") >= 2, (
         "moments lost map-side partial aggregation:\n" + tree
     )
-    assert "Exchange" in tree and "Generate" in tree
