@@ -50,6 +50,13 @@ HEAVY = (
     "dsir_importance_resampling",
     "quality_classifier_scores",
     "stream_near_dedup",
+    # late-r6 additions: the eigen pass (driver-iteration bound after
+    # the Arrow/BLAS Gram fix, SCALE.md nineteenth wave) and the
+    # bipartite exact leakage join (pairwise stress-law bound — wall
+    # tracks the generator's co-pair volume, not an algorithmic
+    # defect; same law as ppjoin_exact_jaccard).
+    "embedding_pca_power",
+    "cross_split_leakage",
 )
 
 

@@ -205,9 +205,10 @@ _MODULES = (
 # crawl_release_manifest, warc_ingest_quarantine, and
 # stream_warc_quarantine, orc_interchange_read, and
 # url_frontier_curation, stream_pq_index, stream_pq_adc_topk, and
-# stream_ivfpq_probe additions, plus the post-rotation r6 sextet
+# stream_ivfpq_probe additions, plus the post-rotation r6 wave:
 # bpe_corpus_encode, embedding_pca_power, pca_projection_scores,
-# cross_split_leakage, stream_embedding_pca, and zipf_fit) —
+# cross_split_leakage, stream_embedding_pca, zipf_fit, and
+# leakage_safe_splits) —
 # retires all but a one-digit tail, which rides the r8 surface.
 DRIVER_QUERIES: tuple[str, ...] = (
     # late-r5 table maintenance + sketch algebra + WARC ingest

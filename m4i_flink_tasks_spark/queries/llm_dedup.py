@@ -891,3 +891,73 @@ ORDER BY co.id_a, co.id_b
 
 QUERIES["ppjoin_exact_jaccard"] = ppjoin_exact_jaccard
 ORACLES["ppjoin_exact_jaccard"] = PPJOIN_SQL
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split assignment (the PREVENTION paired with the
+# cross_split_leakage DETECTION audit in queries/llm_decontam.py)
+# --------------------------------------------------------------------------
+# Assign train/val/test by NEAR-DUP CLUSTER, not by document: every
+# document hashes its group id (connected component of the LSH
+# near-dup graph; singleton docs are their own group), so a cluster of
+# near-duplicates lands in ONE split by construction — the group-aware
+# splitting discipline (GroupKFold / Dolma's cluster-then-split) that
+# makes the leakage audit come back empty. Same salted cross-engine
+# poly-hash gates and 80/10/10 thresholds as corpus_sampling_splits,
+# under an independent salt so the two assignments stay uncorrelated.
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, group_id, split) with split a pure function of
+    the near-dup GROUP. Scale shape = neardup_components (LSH bands +
+    fixpoint components on the pair graph — never all-pairs) plus one
+    left join and codegen hash gates; the component relation is
+    duplicate-bounded, far smaller than the corpus."""
+    from .llm_corpus import _TRAIN_UPPER, _VAL_UPPER
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    comp = neardup_components(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    grouped = docs.join(comp, "doc_id", "left").withColumn(
+        "group_id", F.coalesce("component_id", F.col("doc_id"))
+    )
+    bucket = T.poly_hash(
+        F.concat(F.lit("gsplit:"), F.col("group_id").cast("string"))
+    ) % 100
+    return (
+        grouped.select(
+            "doc_id",
+            "lang",
+            "group_id",
+            F.when(bucket < _TRAIN_UPPER, "train")
+            .when(bucket < _VAL_UPPER, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _leakage_safe_splits_sql() -> str:
+    from .llm_corpus import _TRAIN_UPPER, _VAL_UPPER
+
+    h = _poly_hash_sql("'gsplit:' || group_id::VARCHAR")
+    return f"""
+WITH RECURSIVE comp AS ({_COMPONENTS_CORE_SQL}),
+grouped AS (
+    SELECT d.doc_id, d.lang,
+           coalesce(c.component_id, d.doc_id) AS group_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, lang, group_id,
+       CASE WHEN {h} % 100 < {_TRAIN_UPPER} THEN 'train'
+            WHEN {h} % 100 < {_VAL_UPPER} THEN 'val'
+            ELSE 'test' END AS split
+FROM grouped
+ORDER BY doc_id
+"""
+
+
+QUERIES["leakage_safe_splits"] = leakage_safe_splits
+ORACLES["leakage_safe_splits"] = _leakage_safe_splits_sql()
