@@ -207,8 +207,8 @@ _MODULES = (
 # url_frontier_curation, stream_pq_index, stream_pq_adc_topk, and
 # stream_ivfpq_probe additions, plus the post-rotation r6 wave:
 # bpe_corpus_encode, embedding_pca_power, pca_projection_scores,
-# cross_split_leakage, stream_embedding_pca, zipf_fit, and
-# leakage_safe_splits) —
+# cross_split_leakage, stream_embedding_pca, zipf_fit,
+# leakage_safe_splits, and stream_zipf_fit) —
 # retires all but a one-digit tail, which rides the r8 surface.
 DRIVER_QUERIES: tuple[str, ...] = (
     # late-r5 table maintenance + sketch algebra + WARC ingest

@@ -706,6 +706,15 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    return zipf_from_freqs(freqs)
+
+
+def zipf_from_freqs(freqs: DataFrame) -> DataFrame:
+    """Rank + closed-form OLS readout over a (tok, freq) relation —
+    shared by the batch query and the streaming token-frequency state
+    twin, so the stream's readout is the batch definition verbatim."""
+    from pyspark.sql import Window
+
     ranked = freqs.withColumn(
         "r",
         F.row_number().over(

@@ -1567,6 +1567,23 @@ def _stream_ivfpq_sql() -> str:
     return SIM_ORACLES["ivfpq_adc_topk"]
 
 
+def stream_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-health monitor (streaming/zipf_state.py):
+    exact (token -> count) keyed state — a plain integer addition
+    monoid, vocabulary-sized by Heaps' law — with the batch Zipf
+    rank+OLS readout run on the final state, so the batch oracle
+    oracles the stream."""
+    from ..streaming.zipf_state import run_stream_zipf_fit
+
+    return run_stream_zipf_fit(spark, sf_dir, _workdir("zipf_fit"))
+
+
+def _stream_zipf_sql() -> str:
+    from .llm_text import ZIPF_FIT_SQL
+
+    return ZIPF_FIT_SQL
+
+
 def stream_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PCA maintenance (streaming/pca_state.py): embedding
     micro-batches fold into exact fixed-point moment state — a
@@ -1670,6 +1687,7 @@ QUERIES = {
     "stream_compaction_plan": stream_compaction_plan,
     "stream_numeric_profile": stream_numeric_profile,
     "stream_embedding_pca": stream_embedding_pca,
+    "stream_zipf_fit": stream_zipf_fit,
     "stream_warc_ingest": stream_warc_ingest,
     "stream_warc_text_pipeline": stream_warc_text_pipeline,
     "stream_warc_quarantine": stream_warc_quarantine,
@@ -1716,6 +1734,7 @@ ORACLES = {
     "stream_compaction_plan": _stream_compaction_sql(),
     "stream_numeric_profile": _stream_numeric_profile_sql(),
     "stream_embedding_pca": _stream_embedding_pca_sql(),
+    "stream_zipf_fit": _stream_zipf_sql(),
     "stream_warc_ingest": _stream_warc_sql(),
     "stream_warc_text_pipeline": _stream_warc_text_sql(),
     "stream_warc_quarantine": _stream_warc_quarantine_sql(),

@@ -100,6 +100,7 @@ def test_documented_query_names_exist():
             "energy_segments",
             "run_stream_rate_anomalies",
             "pca_readout",
+            "zipf_from_freqs",
             "mapInPandas",
             "pandas_udf",
             "percentile",
