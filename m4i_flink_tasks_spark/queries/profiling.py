@@ -547,3 +547,131 @@ def _corr_sql() -> str:
 
 QUERIES["numeric_correlation_matrix"] = numeric_correlation_matrix
 ORACLES["numeric_correlation_matrix"] = _corr_sql()
+
+
+# --------------------------------------------------------------------------
+# Robust outlier audit (median / MAD)
+# --------------------------------------------------------------------------
+# Mean/stddev outlier rules break on the very rows they should catch
+# (the outliers move the mean); the robust rule is |x - median| >
+# 3 * 1.4826 * MAD. Both medians are LOWER medians over integer cents
+# (rank (n+1)//2), so every comparison is exact integer arithmetic on
+# both engines and the threshold is the rational 10000*|x-med| >
+# 44478*mad — no float anywhere until the report's rate column.
+# Scale shape: two nation-keyed window passes (25 balanced groups;
+# each pass one keyed exchange) + a broadcast-sized group report. For
+# high-cardinality or skewed groups the 100 TB swap is the two-pass
+# histogram selection of exact_median_twopass per group — same
+# semantics, no per-group sort.
+
+_MAD_SCALE_NUM = 44478   # 3 * 1.4826 * 10^4  (consistency constant)
+_MAD_SCALE_DEN = 10000
+
+
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation robust outlier audit of order totals: n_orders,
+    lower-median cents, MAD cents, outlier count and rate under the
+    3-sigma-equivalent MAD rule."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    x = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("nationkey"), "pc")
+    )
+    w = Window.partitionBy("nationkey").orderBy("pc")
+    med = (
+        x.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("nationkey")))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("nationkey", F.col("pc").alias("med"), "n")
+    )
+    dev = x.join(med, "nationkey").select(
+        "nationkey", "pc", "med", F.abs(F.col("pc") - F.col("med")).alias("ad")
+    )
+    wd = Window.partitionBy("nationkey").orderBy("ad")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .join(med.select("nationkey", "n"), "nationkey")
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("nationkey", F.col("ad").alias("mad"))
+    )
+    flagged = dev.join(mad, "nationkey").withColumn(
+        "is_outlier",
+        _MAD_SCALE_DEN * F.col("ad") > _MAD_SCALE_NUM * F.col("mad"),
+    )
+    return (
+        flagged.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.first("med").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .select(
+            "nationkey",
+            "n_orders",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n_orders").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+MAD_OUTLIER_SQL = f"""
+WITH x AS (
+    SELECT c.c_nationkey AS nationkey,
+           round(o.o_totalprice * 100)::BIGINT AS pc
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+    SELECT nationkey, pc,
+           row_number() OVER (PARTITION BY nationkey ORDER BY pc) AS rn,
+           count(*) OVER (PARTITION BY nationkey) AS n
+    FROM x
+),
+med AS (
+    SELECT nationkey, pc AS med, n
+    FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+    SELECT x.nationkey, x.pc, m.med, abs(x.pc - m.med) AS ad, m.n
+    FROM x JOIN med m ON m.nationkey = x.nationkey
+),
+dev_ranked AS (
+    SELECT nationkey, ad, n,
+           row_number() OVER (PARTITION BY nationkey ORDER BY ad) AS rn
+    FROM dev
+),
+mad AS (
+    SELECT nationkey, ad AS mad
+    FROM dev_ranked WHERE rn = (n + 1) // 2
+)
+SELECT d.nationkey,
+       count(*)::BIGINT AS n_orders,
+       any_value(d.med) AS median_cents,
+       any_value(m.mad) AS mad_cents,
+       sum(CASE WHEN {_MAD_SCALE_DEN} * d.ad > {_MAD_SCALE_NUM} * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(sum(CASE WHEN {_MAD_SCALE_DEN} * d.ad
+                          > {_MAD_SCALE_NUM} * m.mad
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS outlier_rate
+FROM dev d JOIN mad m ON m.nationkey = d.nationkey
+GROUP BY d.nationkey
+ORDER BY d.nationkey
+"""
+
+QUERIES["mad_outlier_report"] = mad_outlier_report
+ORACLES["mad_outlier_report"] = MAD_OUTLIER_SQL
