@@ -237,3 +237,157 @@ ORDER BY stage
 
 QUERIES["curriculum_shards"] = curriculum_shards
 ORACLES["curriculum_shards"] = CURRICULUM_SQL
+
+
+# --------------------------------------------------------------------------
+# Held-out perplexity evaluation (the data-selection feedback loop)
+# --------------------------------------------------------------------------
+# ngram_lm_perplexity trains and scores on the same corpus — the
+# FILTERING shape. This is the EVALUATION shape a data-selection
+# experiment actually runs: fit the model on the train split only,
+# score the held-out splits, and report per-document perplexity plus
+# the out-of-vocabulary rate (the quantity that explains a ppl move).
+# Unseen bigrams survive through add-one smoothing with cb = 0 (and
+# cu = 0 for an unseen context word), so the score is defined for
+# every held-out document; the bigram attach becomes a LEFT join.
+# Same scale shape as the base query — two train-side hash aggregates,
+# one bigram-keyed shuffle on the eval side, vocabulary broadcast.
+
+
+def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-out-document bigram-LM perplexity under the TRAIN-split
+    model, with OOV-bigram accounting. Splits = the deterministic
+    hash-gated corpus_sampling_splits assignment."""
+    from ..operators.spread import spread_for_compute
+    from .llm_corpus import corpus_sampling_splits
+
+    splits = corpus_sampling_splits(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).join(splits, "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "split",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+    ).filter(F.size("t") >= 2)
+
+    occ = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "split", "b.w1", "b.w2")
+
+    train_toks = toks.filter(F.col("split") == "train")
+    unigrams = (
+        train_toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab_size = unigrams.agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    bigrams = (
+        occ.filter(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    eval_occ = occ.filter(F.col("split") != "train")
+    scored = (
+        eval_occ.join(bigrams, ["w1", "w2"], "left")
+        .join(
+            F.broadcast(unigrams.withColumnRenamed("w", "w1")),
+            "w1",
+            "left",
+        )
+        .join(F.broadcast(vocab_size))
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("cb", F.lit(0)).alias("cb0"),
+            (
+                F.log(
+                    (F.coalesce("cb", F.lit(0)) + 1)
+                    / (F.coalesce("cu", F.lit(0)) + F.col("v"))
+                )
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("cb0") == 0).cast("long")).alias("n_oov_bigrams"),
+            F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            "n_bigrams",
+            "n_oov_bigrams",
+            F.round(
+                F.col("n_oov_bigrams") / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("oov_rate"),
+            "ppl",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _heldout_ppl_sql() -> str:
+    from .llm_corpus import _sampling_splits_sql
+
+    splits = _sampling_splits_sql().replace("ORDER BY doc_id", "")
+    return rf"""
+WITH split_out AS ({splits}),
+toks AS (
+    SELECT d.doc_id, s.split,
+           string_split_regex(trim(lower(d.text)), '\s+') AS t
+    FROM documents d JOIN split_out s ON s.doc_id = d.doc_id
+), toks2 AS (
+    SELECT * FROM toks WHERE len(t) >= 2
+), occ AS (
+    SELECT doc_id, split, t[i] AS w1, t[i + 1] AS w2
+    FROM toks2, unnest(range(1, len(t))) AS u(i)
+), unigrams AS (
+    SELECT w, count(*) AS cu
+    FROM (SELECT unnest(t) AS w FROM toks2 WHERE split = 'train')
+    GROUP BY w
+), v AS (
+    SELECT count(*)::DOUBLE AS v FROM unigrams
+), bigrams AS (
+    SELECT w1, w2, count(*) AS cb
+    FROM occ WHERE split = 'train' GROUP BY w1, w2
+), scored AS (
+    SELECT o.doc_id, o.split,
+           coalesce(b.cb, 0) AS cb0,
+           ln((coalesce(b.cb, 0) + 1)
+              / (coalesce(u.cu, 0) + v.v)) AS logp
+    FROM occ o
+    LEFT JOIN bigrams b ON b.w1 = o.w1 AND b.w2 = o.w2
+    LEFT JOIN unigrams u ON u.w = o.w1
+    CROSS JOIN v
+    WHERE o.split <> 'train'
+)
+SELECT doc_id, split,
+       count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN cb0 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov_bigrams,
+       round(sum(CASE WHEN cb0 = 0 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+             6) AS oov_rate,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM scored
+GROUP BY doc_id, split
+ORDER BY doc_id
+"""
+
+
+QUERIES["heldout_perplexity_eval"] = heldout_perplexity_eval
+ORACLES["heldout_perplexity_eval"] = _heldout_ppl_sql()
