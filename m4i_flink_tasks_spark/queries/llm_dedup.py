@@ -961,3 +961,97 @@ ORDER BY doc_id
 
 QUERIES["leakage_safe_splits"] = leakage_safe_splits
 ORACLES["leakage_safe_splits"] = _leakage_safe_splits_sql()
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sensitivity curve
+# --------------------------------------------------------------------------
+# The tuning sweep a curation run does before fixing tau: at each
+# candidate threshold, how many near-dup pairs fire and how much of
+# the corpus is touched. All per-threshold work runs on the PAIR
+# relation (duplicate-bounded, far smaller than the corpus) from the
+# same MinHash-LSH candidate path as dedup_ngram_jaccard; the corpus
+# is scanned once by that path and once for the denominator count.
+
+_CURVE_THRESHOLDS = (50, 60, 70, 80, 90)  # percent
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold_pct, n_pairs, n_docs_affected, affected_rate) for
+    each candidate tau — the removal-mass curve that picks the dedup
+    operating point."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=_JACCARD_THRESHOLD,
+        rows_hint=table_num_rows(sf_dir, "documents"),
+    )
+    ths = F.explode(
+        F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])
+    ).alias("threshold_pct")
+    qualifying = (
+        pairs.select("id_a", "id_b", "jaccard_sim", ths)
+        .filter(F.col("jaccard_sim") >= F.col("threshold_pct") / 100.0)
+    )
+    pair_counts = qualifying.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = (
+        qualifying.select(
+            "threshold_pct",
+            F.explode(F.array("id_a", "id_b")).alias("doc_id"),
+        )
+        .distinct()
+        .groupBy("threshold_pct")
+        .agg(F.count(F.lit(1)).alias("n_docs_affected"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        pair_counts.join(doc_counts, "threshold_pct")
+        .join(F.broadcast(total))
+        .select(
+            "threshold_pct",
+            "n_pairs",
+            "n_docs_affected",
+            F.round(
+                F.col("n_docs_affected")
+                / F.col("total_docs").cast("double"),
+                6,
+            ).alias("affected_rate"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def _dedup_curve_sql() -> str:
+    ths = ", ".join(str(t) for t in _CURVE_THRESHOLDS)
+    return f"""
+WITH pairs AS ({_PAIRS_SQL}),
+q AS (
+    SELECT t.t AS threshold_pct, p.id_a, p.id_b
+    FROM pairs p, (SELECT unnest([{ths}]) AS t) t
+    WHERE p.jaccard_sim >= t.t / 100.0
+),
+pair_counts AS (
+    SELECT threshold_pct, count(*)::BIGINT AS n_pairs
+    FROM q GROUP BY threshold_pct
+),
+doc_counts AS (
+    SELECT threshold_pct, count(DISTINCT d)::BIGINT AS n_docs_affected
+    FROM (
+        SELECT threshold_pct, unnest([id_a, id_b]) AS d FROM q
+    )
+    GROUP BY threshold_pct
+),
+total AS (SELECT count(*)::BIGINT AS total_docs FROM documents)
+SELECT p.threshold_pct, p.n_pairs, d.n_docs_affected,
+       round(d.n_docs_affected::DOUBLE / t.total_docs, 6)
+           AS affected_rate
+FROM pair_counts p
+JOIN doc_counts d ON d.threshold_pct = p.threshold_pct
+CROSS JOIN total t
+ORDER BY p.threshold_pct
+"""
+
+
+QUERIES["dedup_threshold_curve"] = dedup_threshold_curve
+ORACLES["dedup_threshold_curve"] = _dedup_curve_sql()
