@@ -391,3 +391,190 @@ ORDER BY doc_id
 
 QUERIES["heldout_perplexity_eval"] = heldout_perplexity_eval
 ORACLES["heldout_perplexity_eval"] = _heldout_ppl_sql()
+
+
+# --------------------------------------------------------------------------
+# Selection ablation: does the curated corpus beat the raw corpus?
+# --------------------------------------------------------------------------
+# The experiment every data-selection pipeline exists to run: fit the
+# LM once on the RAW train split and once on the CURATED train split
+# (corpus_build_manifest's gate chain: rule filters + perplexity cut +
+# classifier keep), score both models on the same held-out splits, and
+# report corpus-level perplexity side by side. Two model fits and two
+# scoring passes, each with the heldout_perplexity_eval scale shape;
+# the curated doc set arrives as a doc_id semi-join (broadcast-sized
+# against the corpus at any scale, duplicate of the manifest's own
+# output relation).
+
+
+def selection_ablation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(model, split, n_docs, n_bigrams, oov_rate, corpus_ppl) for
+    model ∈ {raw_train, curated_train} × split ∈ {val, test}.
+    corpus_ppl = exp(-sum logp / n_bigrams) over ALL held-out bigram
+    occurrences (token-weighted, the standard eval convention)."""
+    from .llm_corpus import corpus_build_manifest, corpus_sampling_splits
+
+    splits = corpus_sampling_splits(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.join(splits, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        )
+        .filter(F.size("t") >= 2)
+    )
+    occ = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "split", "b.w1", "b.w2")
+    eval_occ = occ.filter(F.col("split") != "train")
+
+    curated = corpus_build_manifest(spark, sf_dir).select("doc_id")
+
+    def scores(train_toks, train_occ, model: str):
+        unigrams = (
+            train_toks.select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cu"))
+        )
+        vocab_size = unigrams.agg(
+            F.count(F.lit(1)).cast("double").alias("v")
+        )
+        bigrams = train_occ.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        scored = (
+            eval_occ.join(bigrams, ["w1", "w2"], "left")
+            .join(
+                F.broadcast(unigrams.withColumnRenamed("w", "w1")),
+                "w1",
+                "left",
+            )
+            .join(F.broadcast(vocab_size))
+            .select(
+                "doc_id",
+                "split",
+                F.coalesce("cb", F.lit(0)).alias("cb0"),
+                (
+                    F.log(
+                        (F.coalesce("cb", F.lit(0)) + 1)
+                        / (F.coalesce("cu", F.lit(0)) + F.col("v"))
+                    )
+                ).alias("logp"),
+            )
+        )
+        return scored.groupBy("split").agg(
+            F.lit(model).alias("model"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum((F.col("cb0") == 0).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+            F.round(
+                F.exp(-F.sum("logp") / F.count(F.lit(1))), 4
+            ).alias("corpus_ppl"),
+        )
+
+    raw_toks = toks.filter(F.col("split") == "train")
+    raw_occ = occ.filter(F.col("split") == "train")
+    cur_toks = raw_toks.join(curated, "doc_id")
+    cur_occ = raw_occ.join(curated, "doc_id")
+
+    return (
+        scores(raw_toks, raw_occ, "raw_train")
+        .unionByName(scores(cur_toks, cur_occ, "curated_train"))
+        .select(
+            "model", "split", "n_docs", "n_bigrams", "oov_rate",
+            "corpus_ppl",
+        )
+        .orderBy("model", "split")
+    )
+
+
+def _selection_ablation_sql() -> str:
+    from .llm_corpus import _corpus_build_manifest_sql, _sampling_splits_sql
+
+    splits = _sampling_splits_sql().replace("ORDER BY doc_id", "")
+    manifest = _corpus_build_manifest_sql().replace(
+        "ORDER BY a.doc_id", ""
+    )
+
+    def scores(train_gate: str, model: str) -> str:
+        return f"""
+SELECT '{model}' AS model, s.split,
+       count(DISTINCT s.doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_bigrams,
+       round(sum(CASE WHEN s.cb0 = 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate,
+       round(exp(-sum(s.logp) / count(*)), 4) AS corpus_ppl
+FROM (
+    SELECT o.doc_id, o.split,
+           coalesce(b.cb, 0) AS cb0,
+           ln((coalesce(b.cb, 0) + 1)
+              / (coalesce(u.cu, 0) + v.v)) AS logp
+    FROM occ o
+    LEFT JOIN (
+        SELECT i.w1, i.w2, count(*) AS cb
+        FROM occ i WHERE i.split = 'train' AND {train_gate}
+        GROUP BY i.w1, i.w2
+    ) b ON b.w1 = o.w1 AND b.w2 = o.w2
+    LEFT JOIN (
+        SELECT i.w, count(*) AS cu
+        FROM (
+            SELECT doc_id, unnest(t) AS w FROM toks2
+            WHERE split = 'train'
+        ) i
+        WHERE {train_gate}
+        GROUP BY i.w
+    ) u ON u.w = o.w1
+    CROSS JOIN (
+        SELECT count(DISTINCT i.w)::DOUBLE AS v
+        FROM (
+            SELECT doc_id, unnest(t) AS w FROM toks2
+            WHERE split = 'train'
+        ) i
+        WHERE {train_gate}
+    ) v
+    WHERE o.split <> 'train'
+) s
+GROUP BY s.split
+"""
+
+    raw_gate = "TRUE"
+    cur_gate = "i.doc_id IN (SELECT doc_id FROM curated)"
+    return rf"""
+WITH split_out AS ({splits}),
+curated AS (SELECT doc_id FROM ({manifest})),
+toks AS (
+    SELECT d.doc_id, s.split,
+           string_split_regex(trim(lower(d.text)), '\s+') AS t
+    FROM documents d JOIN split_out s ON s.doc_id = d.doc_id
+), toks2 AS (
+    SELECT * FROM toks WHERE len(t) >= 2
+), occ AS (
+    SELECT doc_id, split, t[i] AS w1, t[i + 1] AS w2
+    FROM toks2, unnest(range(1, len(t))) AS u(i)
+)
+{scores(raw_gate, 'raw_train')}
+UNION ALL
+{scores(cur_gate, 'curated_train')}
+ORDER BY model, split
+"""
+
+
+QUERIES["selection_ablation_report"] = selection_ablation_report
+ORACLES["selection_ablation_report"] = _selection_ablation_sql()
