@@ -1055,3 +1055,79 @@ ORDER BY p.threshold_pct
 
 QUERIES["dedup_threshold_curve"] = dedup_threshold_curve
 ORACLES["dedup_threshold_curve"] = _dedup_curve_sql()
+
+
+# --------------------------------------------------------------------------
+# Dedup execution manifest
+# --------------------------------------------------------------------------
+# dedup_exact / neardup_components / dedup_impact_report answer "what
+# would dedup do"; this is the artifact the PASS ITSELF emits: one row
+# per document with its verdict and survivor — what downstream
+# tokenization filters on and what an audit replays. Exact duplicates
+# are a subset of the LSH components (J=1 collides in every band), so
+# the group relation is the component graph with singletons as their
+# own group; the verdict distinguishes exact copies of the survivor
+# (normalized-text equality) from near-duplicates. One corpus scan +
+# the (duplicate-bounded) components join; the survivor-text attach is
+# a survivor-keyed join, survivor-count-sized.
+
+
+def dedup_execution_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, survivor_id, verdict ∈ kept|exact_dup|near_dup),
+    survivor = min doc_id of the near-dup group (singletons keep
+    themselves)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("norm")
+    )
+    comp = neardup_components(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    grouped = docs.join(comp, "doc_id", "left").withColumn(
+        "group_id", F.coalesce("component_id", F.col("doc_id"))
+    )
+    surv = grouped.groupBy("group_id").agg(
+        F.min("doc_id").alias("survivor_id")
+    )
+    surv_norm = docs.select(
+        F.col("doc_id").alias("survivor_id"),
+        F.col("norm").alias("surv_norm"),
+    )
+    return (
+        grouped.join(surv, "group_id")
+        .join(surv_norm, "survivor_id")
+        .select(
+            "doc_id",
+            "survivor_id",
+            F.when(F.col("doc_id") == F.col("survivor_id"), "kept")
+            .when(F.col("norm") == F.col("surv_norm"), "exact_dup")
+            .otherwise("near_dup")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXECUTION_SQL = f"""
+WITH RECURSIVE comp AS ({_COMPONENTS_CORE_SQL}),
+norm AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+grouped AS (
+    SELECT n.doc_id, n.norm,
+           coalesce(c.component_id, n.doc_id) AS group_id
+    FROM norm n LEFT JOIN comp c ON c.doc_id = n.doc_id
+),
+surv AS (
+    SELECT group_id, min(doc_id) AS survivor_id
+    FROM grouped GROUP BY group_id
+)
+SELECT g.doc_id, s.survivor_id,
+       CASE WHEN g.doc_id = s.survivor_id THEN 'kept'
+            WHEN g.norm = sn.norm THEN 'exact_dup'
+            ELSE 'near_dup' END AS verdict
+FROM grouped g
+JOIN surv s ON s.group_id = g.group_id
+JOIN norm sn ON sn.doc_id = s.survivor_id
+ORDER BY g.doc_id
+"""
+
+QUERIES["dedup_execution_manifest"] = dedup_execution_manifest
+ORACLES["dedup_execution_manifest"] = DEDUP_EXECUTION_SQL
