@@ -321,3 +321,88 @@ ORDER BY o.doc_id
 
 QUERIES["dsir_importance_resampling"] = dsir_importance_resampling
 ORACLES["dsir_importance_resampling"] = _dsir_sql()
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration vs the rule-based gates (reliability diagram)
+# --------------------------------------------------------------------------
+# The eval loop for the learned keep-model: bucket classifier scores
+# into fixed-width bins and compare each bin's mean score against the
+# RULE-based audit's keep rate (corpus_filter_audit), plus the Brier
+# score per bin — a well-calibrated classifier's mean score tracks the
+# observed keep rate. Fixed-width bins (not quantiles) keep the report
+# deterministic and rank-free; everything after the two per-doc scans
+# is a 10-row aggregate.
+
+
+def classifier_calibration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(score_bin, n_docs, mean_score, rule_keep_rate, brier) per
+    fixed-width score decile, rule labels = corpus_filter_audit.kept."""
+    from .llm_text import corpus_filter_audit
+
+    scores = quality_classifier_scores(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = corpus_filter_audit(spark, sf_dir).select(
+        "doc_id", F.col("kept").cast("long").alias("y")
+    )
+    joined = scores.join(labels, "doc_id").select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+            "score_bin"
+        ),
+        "score",
+        "y",
+    )
+    return (
+        joined.groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias(
+                "rule_keep_rate"
+            ),
+            F.round(
+                F.avg(
+                    (F.col("score") - F.col("y"))
+                    * (F.col("score") - F.col("y"))
+                ),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+def _calibration_sql() -> str:
+    from .llm_text import ORACLES as TEXT_ORACLES
+
+    audit = TEXT_ORACLES["corpus_filter_audit"].replace(
+        "ORDER BY doc_id", ""
+    )
+    clf = ORACLES["quality_classifier_scores"].replace(
+        "ORDER BY doc_id", ""
+    )
+    return f"""
+WITH clf_out AS ({clf}),
+audit_out AS ({audit}),
+joined AS (
+    SELECT least(floor(c.score * 10)::INT, 9) AS score_bin,
+           c.score,
+           CASE WHEN a.kept THEN 1 ELSE 0 END AS y
+    FROM clf_out c JOIN audit_out a ON a.doc_id = c.doc_id
+)
+SELECT score_bin,
+       count(*)::BIGINT AS n_docs,
+       round(avg(score), 6) AS mean_score,
+       round(avg(y::DOUBLE), 6) AS rule_keep_rate,
+       round(avg((score - y) * (score - y)), 6) AS brier
+FROM joined
+GROUP BY score_bin
+ORDER BY score_bin
+"""
+
+
+QUERIES["classifier_calibration_report"] = classifier_calibration_report
+ORACLES["classifier_calibration_report"] = _calibration_sql()
