@@ -210,8 +210,8 @@ _MODULES = (
 # cross_split_leakage, stream_embedding_pca, zipf_fit,
 # leakage_safe_splits, stream_zipf_fit, mad_outlier_report,
 # heldout_perplexity_eval, dedup_threshold_curve,
-# selection_ablation_report, dedup_execution_manifest, and
-# classifier_calibration_report) —
+# selection_ablation_report, dedup_execution_manifest,
+# classifier_calibration_report, and bootstrap_ci_revenue) —
 # retires all but a one-digit tail, which rides the r8 surface.
 DRIVER_QUERIES: tuple[str, ...] = (
     # late-r5 table maintenance + sketch algebra + WARC ingest

@@ -895,3 +895,152 @@ ORDER BY event_type
 
 QUERIES["revenue_drawdown"] = revenue_drawdown
 ORACLES["revenue_drawdown"] = DRAWDOWN_SQL
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (distributed uncertainty)
+# --------------------------------------------------------------------------
+# The canonical way to put error bars on a metric at cluster scale:
+# resampling-with-replacement is impossible in one pass, but giving
+# every row an independent Poisson(1) weight per replica is
+# distribution-equivalent for large n and needs exactly ONE scan —
+# B weighted sums with map-side combine, no data-sized shuffle (the
+# exchange is B rows). Weights come from a deterministic integer LCG
+# on (order, replica), so the draw is a pure function of the row —
+# stable under re-partitioning and reproducible by the SQL oracle —
+# and the weighted sums are exact integers (cents), so replica means
+# are engine-identical before the defensive round.
+
+_BOOT_B = 100
+# cumulative Poisson(1): P(X <= k) for k = 0..6; k = 7 is the tail
+_POISSON_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483647
+
+
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for the mean order value:
+    (n_replicas, point_mean, ci_lo, ci_hi) in dollars. lo/hi are the
+    3rd and 98th of the B=100 sorted replica means (the rank-based
+    2.5/97.5 cut, deterministic with replica id as tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rows = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+    )
+    h1 = (
+        (F.col("o_orderkey") * _BOOT_B + F.col("b")) * _LCG_A + _LCG_C
+    ) % _LCG_M
+    h2 = (h1 * _LCG_A + _LCG_C) % _LCG_M
+    u = h2.cast("double") / float(_LCG_M)
+    w = F.lit(7)
+    for k in range(len(_POISSON_CUM) - 1, -1, -1):
+        w = F.when(u < _POISSON_CUM[k], k).otherwise(w)
+    rep = (
+        rows.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+            F.sum(
+                (F.col("w") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("swx"),
+        )
+    )
+    means = rep.select(
+        "b",
+        F.round(
+            F.col("swx").cast("double")
+            / F.col("sw").cast("double")
+            / 100.0,
+            4,
+        ).alias("m"),
+    )
+    from pyspark.sql import Window
+
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == 3).select(
+        F.col("m").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rn") == 98).select(
+        F.col("m").alias("ci_hi")
+    )
+    point = orders.agg(
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 4
+        ).alias("point_mean")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).alias("n_replicas"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+def _bootstrap_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POISSON_CUM)
+    )
+    return f"""
+WITH o AS (
+    SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+    FROM orders
+),
+drawn AS (
+    SELECT cents, b,
+           CASE {cases} ELSE 7 END AS w
+    FROM (
+        SELECT cents, bb.b AS b,
+            (((((o_orderkey * {_BOOT_B} + bb.b) * {_LCG_A} + {_LCG_C})
+               % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M})::DOUBLE
+            / {_LCG_M} AS u
+        FROM o, range(0, {_BOOT_B}) AS bb(b)
+    )
+),
+rep AS (
+    SELECT b, sum(w) AS sw, sum(w * cents) AS swx
+    FROM drawn GROUP BY b
+),
+means AS (
+    SELECT b, round(swx::DOUBLE / sw::DOUBLE / 100.0, 4) AS m
+    FROM rep
+),
+ranked AS (
+    SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means
+),
+point AS (
+    SELECT round(sum(cents)::DOUBLE / count(*) / 100.0, 4)
+        AS point_mean
+    FROM o
+)
+SELECT {_BOOT_B} AS n_replicas,
+       p.point_mean,
+       (SELECT m FROM ranked WHERE rn = 3) AS ci_lo,
+       (SELECT m FROM ranked WHERE rn = 98) AS ci_hi
+FROM point p
+"""
+
+
+QUERIES["bootstrap_ci_revenue"] = bootstrap_ci_revenue
+ORACLES["bootstrap_ci_revenue"] = _bootstrap_sql()
