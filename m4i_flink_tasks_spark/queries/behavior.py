@@ -932,11 +932,15 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_replicas, point_mean, ci_lo, ci_hi) in dollars. lo/hi are the
     3rd and 98th of the B=100 sorted replica means (the rank-based
     2.5/97.5 cut, deterministic with replica id as tiebreak)."""
+    from ..operators.spread import spread_for_compute
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    rows = orders.select(
+    # B x n codegen rows (LCG + CASE ladder) off a compact scan — the
+    # classic parallelism-cliff shape; spread before the explode.
+    rows = spread_for_compute(orders).select(
         "o_orderkey",
         "cents",
         F.explode(
