@@ -211,7 +211,8 @@ _MODULES = (
 # leakage_safe_splits, stream_zipf_fit, mad_outlier_report,
 # heldout_perplexity_eval, dedup_threshold_curve,
 # selection_ablation_report, dedup_execution_manifest,
-# classifier_calibration_report, and bootstrap_ci_revenue) —
+# classifier_calibration_report, bootstrap_ci_revenue, and
+# kaplan_meier_return_time) —
 # retires all but a one-digit tail, which rides the r8 surface.
 DRIVER_QUERIES: tuple[str, ...] = (
     # late-r5 table maintenance + sketch algebra + WARC ingest

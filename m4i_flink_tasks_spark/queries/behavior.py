@@ -1048,3 +1048,151 @@ FROM point p
 
 QUERIES["bootstrap_ci_revenue"] = bootstrap_ci_revenue
 ORACLES["bootstrap_ci_revenue"] = _bootstrap_sql()
+
+
+# --------------------------------------------------------------------------
+# Survival analysis: Kaplan–Meier return-time curve
+# --------------------------------------------------------------------------
+# Duration analytics on the event stream, with censoring done right:
+# the curve estimates P(user's next event arrives later than t
+# minutes) from inter-event gaps, where each user's FINAL open gap
+# (last event -> observation cutoff) is CENSORED — the user simply
+# had not returned yet, and counting those gaps as "never returned"
+# (or dropping them) biases any naive return-time average. The KM
+# estimator is exactly expressible: gaps are one lead() window over
+# the user-keyed stream; everything after runs on the
+# distinct-gap-minutes relation (bounded by the observation window),
+# so risk sets, event counts and the cumulative product are window
+# arithmetic on a dimension-sized table. Gap minutes are
+# floor((epoch_us_next - epoch_us) / 60e6) as explicit integer math —
+# NOT date_diff('minute'), which counts boundary crossings and
+# diverges between engines. The cumulative product runs as
+# exp(sum(ln(term))) with an explicit zero guard, because Spark's
+# log(0) is NULL while DuckDB's ln(0) is -inf.
+
+
+def kaplan_meier_return_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(gap_minutes, n_at_risk, n_events, survival) at every observed
+    return time: an 'event' is a user's next action arriving exactly
+    that many whole minutes after the previous one; the final open gap
+    per user is censored at the global cutoff."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    cutoff = ev.agg(F.max("ts").alias("cutoff"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gaps = (
+        ev.withColumn("nxt", nxt)
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            (
+                (
+                    F.unix_micros(F.coalesce("nxt", "cutoff"))
+                    - F.unix_micros("ts")
+                )
+                / F.lit(60_000_000)
+            )
+            .cast("long")
+            .alias("dur"),
+            F.col("nxt").isNotNull().alias("returned"),
+        )
+    )
+    total = gaps.agg(F.count(F.lit(1)).alias("n_total"))
+    durs = (
+        gaps.groupBy("dur")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(F.col("returned").cast("long")).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = durs.withColumn(
+        "n_at_risk",
+        F.col("n_total") - F.coalesce(F.sum("n_gaps").over(wprev), F.lit(0)),
+    ).filter(F.col("n_events") > 0)
+    term = (
+        F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_at_risk")
+    )
+    scored = at_risk.select(
+        F.col("dur").alias("gap_minutes"),
+        "n_at_risk",
+        "n_events",
+        term.alias("term"),
+    )
+    wcum = Window.orderBy("gap_minutes").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    has_zero = F.max((F.col("term") <= 0.0).cast("int")).over(wcum)
+    logsum = F.sum(
+        F.when(F.col("term") > 0.0, F.log("term")).otherwise(F.lit(0.0))
+    ).over(wcum)
+    return scored.select(
+        "gap_minutes",
+        "n_at_risk",
+        "n_events",
+        F.round(
+            F.when(has_zero == 1, F.lit(0.0)).otherwise(F.exp(logsum)),
+            6,
+        ).alias("survival"),
+    ).orderBy("gap_minutes")
+
+
+KAPLAN_MEIER_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_id FROM events
+),
+cutoff AS (SELECT max(ts) AS cutoff FROM ev),
+gaps AS (
+    SELECT ((epoch_us(coalesce(
+                lead(e.ts) OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id),
+                c.cutoff))
+             - epoch_us(e.ts)) // 60000000)::BIGINT AS dur,
+           lead(e.ts) OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id)
+               IS NOT NULL AS returned
+    FROM ev e CROSS JOIN cutoff c
+),
+total AS (SELECT count(*)::BIGINT AS n_total FROM gaps),
+durs AS (
+    SELECT dur, count(*)::BIGINT AS n_gaps,
+           sum(CASE WHEN returned THEN 1 ELSE 0 END)::BIGINT AS n_events
+    FROM gaps GROUP BY dur
+),
+at_risk AS (
+    SELECT d.dur, d.n_events,
+           (t.n_total - coalesce(sum(d.n_gaps) OVER (
+               ORDER BY d.dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS n_at_risk
+    FROM durs d CROSS JOIN total t
+),
+terms AS (
+    SELECT dur AS gap_minutes, n_at_risk, n_events,
+           1.0 - n_events::DOUBLE / n_at_risk AS term
+    FROM at_risk WHERE n_events > 0
+)
+SELECT gap_minutes, n_at_risk, n_events,
+       round(CASE WHEN max(CASE WHEN term <= 0.0 THEN 1 ELSE 0 END)
+                      OVER (ORDER BY gap_minutes
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE exp(sum(CASE WHEN term > 0.0 THEN ln(term)
+                               ELSE 0.0 END)
+                      OVER (ORDER BY gap_minutes
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+             END, 6) AS survival
+FROM terms
+ORDER BY gap_minutes
+"""
+
+QUERIES["kaplan_meier_return_time"] = kaplan_meier_return_time
+ORACLES["kaplan_meier_return_time"] = KAPLAN_MEIER_SQL
