@@ -215,65 +215,75 @@ _MODULES = (
 # kaplan_meier_return_time) —
 # retires all but a one-digit tail, which rides the r8 surface.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # late-r5 table maintenance + sketch algebra + WARC ingest
-    "flac_stream_info",
-    "compaction_plan",
-    "zone_map_pruning_report",
-    "manifest_partition_pruning",
-    "selfjoin_size_estimate",
-    "kmv_set_operations",
-    "numeric_correlation_matrix",
-    "warc_response_extraction",
-    "stream_zone_map_state",
-    "stream_selfjoin_size",
-    "stream_compaction_plan",
-    "stream_numeric_profile",
-    "stream_warc_ingest",
-    # r6 capstone + streaming twins (r5 verdict items 4 and 6)
-    "warc_text_pipeline",
-    "stream_session_windows",
-    "stream_ann_index_topk",
-    "stream_windowed_distinct",
-    # behavioral / retention analytics
-    "user_retention_cohorts",
-    "weekly_retention",
-    "rfm_segments",
-    "attribution_report",
-    "ab_test_report",
-    "event_funnel",
-    # forecasting + anomaly detection
-    "seasonal_naive_forecast",
-    "exp_smoothing_backtest",
-    "revenue_trend_slopes",
-    "event_rate_anomalies",
-    "daily_anomaly_zscores",
-    # graph analytics
-    "label_propagation_communities",
-    "k_core_peeling",
-    "pagerank_power_iterations",
-    "degree_distribution",
-    "entity_match_clusters",
-    # IR / text ranking
-    "inverted_postings",
-    "token_stats",
-    "word_entropy_quality",
-    # profiling / warehouse maintenance
-    "table_profile",
-    "integrity_checks",
-    "join_skew_report",
-    "k_anonymity_audit",
-    "schema_evolution_read",
-    "bucketed_colocated_join",
-    "bloom_semijoin_reduction",
-    # sketches
-    "approx_distinct_kmv",
-    "approx_freq_countmin",
-    "exact_median_twopass",
-    # LLM-pipeline tail
-    "lm_head_sample",
-    "jl_random_projection",
-    "hard_negative_mining",
-    "sequence_packing",
+    # ROTATION (round 7): CORRECTNESS_r06 recorded all 50 declared rows
+    # green, so the r6 surface rotates OUT (each row keeps its r6
+    # attestation + the every-round pytest parity pin) and all 50 slots
+    # go to never-attested rows, leading with the late-r6 waves the r6
+    # verdict sequenced, then the last four §2-critical streaming
+    # proofs, then the relational/corpus tail. 20 never-attested rows
+    # remain for r8 (see COVERAGE.md rotation log).
+    #
+    # late-r6 embedding-PCA / distribution-fit / leakage waves
+    "embedding_pca_power",
+    "pca_projection_scores",
+    "stream_embedding_pca",
+    "zipf_fit",
+    "stream_zipf_fit",
+    "cross_split_leakage",
+    "leakage_safe_splits",
+    # dedup operating-point artifacts + model-quality reports
+    "dedup_threshold_curve",
+    "dedup_execution_manifest",
+    "classifier_calibration_report",
+    "bootstrap_ci_revenue",
+    "kaplan_meier_return_time",
+    "heldout_perplexity_eval",
+    "selection_ablation_report",
+    "mad_outlier_report",
+    # WARC crawl-release capstone + quarantine + interchange + frontier
+    "crawl_release_manifest",
+    "warc_ingest_quarantine",
+    "stream_warc_quarantine",
+    "orc_interchange_read",
+    "url_frontier_curation",
+    # streaming PQ / IVF-PQ serving index (FAISS train/add/search split)
+    "stream_pq_index",
+    "stream_pq_adc_topk",
+    "stream_ivfpq_probe",
+    "stream_warc_text_pipeline",
+    # last §2-critical streaming proofs without a recent driver row
+    "stream_dead_letter_box",
+    "stream_windowed_aggregation",
+    "stream_determine_change",
+    "stream_synchronize_docstore",
+    "stream_audio_ingest",
+    "stream_corpus_ingest",
+    # relational / window tail
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q22_idle_customers",
+    "grouping_sets_revenue",
+    "revenue_pivot_by_year",
+    "rolling_30d_customer_revenue",
+    "daily_activity_gap_fill",
+    # doc-lifecycle standalone proofs (errored in the r1 harness on
+    # array-typed output columns; serialized via array_join since r2 —
+    # the local parity pin has hashed them green every round since)
+    "breadcrumb_prefix_delete",
+    "derived_field_inherit",
+    "derived_field_uninherit",
+    "descendant_prefix_insert",
+    # graph / IR tail
+    "common_neighbor_topk",
+    "event_transition_matrix",
+    # corpus-curation tail
+    "benchmark_decontamination",
+    "corpus_build_manifest",
+    "domain_mixture_weights",
+    "dedup_minhash_signatures",
+    "image_perceptual_neardup",
+    "bpe_corpus_encode",
 )
 
 

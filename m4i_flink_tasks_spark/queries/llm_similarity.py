@@ -910,6 +910,54 @@ def _residual(vec: Column, cent: Column) -> Column:
     )
 
 
+# FAISS train/add/search split for the BATCH server (the streaming twin
+# in streaming/pq_index.py already freezes its codebook this way): the
+# index — coarse centroids, residual PQ codebook, and the encoded
+# corpus — is built ONCE per (session, sf_dir) and frozen; every
+# subsequent search pays only probe + ADC. Without this, each bench
+# repetition re-ran k-means training + the full-corpus encode, so the
+# recorded ivfpq row measured index BUILD, not serving (r6 verdict
+# item 4). Cache contents: two dimension-sized local row lists
+# (n_clusters x 64 and m x k x 8 doubles — KB at any corpus scale,
+# same bounded-collect class the plan audit already admits) and one
+# persisted corpus-sized code table ((vec_id, label, s, code) — the
+# 8-bytes-per-vector compressed representation a real ANN server keeps
+# resident by design).
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_index(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (coarse centroids, PQ codebook, labeled codes), training
+    on first use per (session, sf_dir) and serving frozen thereafter.
+    Determinism: centroid components are rounded to 6 at training time,
+    so collect + createDataFrame round-trips the exact doubles and a
+    cold and warm call hash identically."""
+    hit = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2], hit[3]
+    coarse = _coarse_centroids(emb)
+    resid = emb.join(F.broadcast(coarse), "label").select(
+        "vec_id",
+        _residual(F.col("embedding"), F.col("ccent")).alias("embedding"),
+    )
+    final, codes = _pq_model(resid, n_vecs=emb.count())
+    labeled = codes.join(emb.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "s", "code"
+    )
+    coarse_f = spark.createDataFrame(
+        coarse.collect(), "label int, ccent array<double>"
+    )
+    final_f = spark.createDataFrame(
+        final.collect(), "s int, code int, cent array<double>"
+    )
+    labeled = labeled.persist()
+    labeled.count()
+    _IVFPQ_INDEX_CACHE[sf_dir] = (spark, coarse_f, final_f, labeled)
+    return coarse_f, final_f, labeled
+
+
 def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search: probe the ``n_probe`` nearest coarse cells by
     exact L2 to the (broadcast, rounded) coarse centroids, then rank
@@ -928,12 +976,7 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappears — kept here to reuse the label-free PQ kernel
     verbatim). The probe semi-join and the LUT join are broadcasts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse = _coarse_centroids(emb)
-    resid = emb.join(F.broadcast(coarse), "label").select(
-        "vec_id",
-        _residual(F.col("embedding"), F.col("ccent")).alias("embedding"),
-    )
-    final, codes = _pq_model(resid, n_vecs=emb.count())
+    coarse, final, labeled = _ivfpq_index(spark, sf_dir, emb)
 
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb")
@@ -969,7 +1012,6 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.round(_pq_sqdist(F.col("qsub"), F.col("cent")), 6).alias("ld"),
     )
-    labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
     per_s = (
         labeled.join(F.broadcast(lut), ["label", "s", "code"])
         .groupBy("vec_id")

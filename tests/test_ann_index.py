@@ -167,3 +167,21 @@ def test_pq_index_mid_stream_restart_converges(spark, sf_dir):
     final = sorted(map(tuple, run_stream_pq_index(spark, sf_dir, wd).collect()))
     exp = sorted(map(tuple, pq_encode(spark, sf_dir).collect()))
     assert final == exp and len(final) > n_partial
+
+
+def test_ivfpq_batch_serving_cache_is_transparent(spark, sf_dir):
+    """The batch IVF-PQ index (coarse centroids + residual codebook +
+    encoded codes) is trained once per (session, sf_dir) and frozen —
+    the FAISS train/add/search split (r6 verdict item 4: the bench row
+    should measure serving, not repeated k-means builds). The cache
+    must be semantically invisible: a cold call, a warm call, and a
+    cache-evicted rebuild all return identical rows."""
+    from m4i_flink_tasks_spark.queries import llm_similarity as L
+
+    L._IVFPQ_INDEX_CACHE.clear()
+    cold = [tuple(r) for r in L.ivfpq_adc_topk(spark, sf_dir).collect()]
+    assert sf_dir in L._IVFPQ_INDEX_CACHE
+    warm = [tuple(r) for r in L.ivfpq_adc_topk(spark, sf_dir).collect()]
+    L._IVFPQ_INDEX_CACHE.clear()
+    rebuilt = [tuple(r) for r in L.ivfpq_adc_topk(spark, sf_dir).collect()]
+    assert cold == warm == rebuilt and cold
