@@ -1771,3 +1771,127 @@ ORDER BY host
 
 QUERIES["url_frontier_curation"] = url_frontier_curation
 ORACLES["url_frontier_curation"] = URL_FRONTIER_SQL
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-fairness audit (Petrov et al., "Language Model Tokenizers
+# Introduce Unfairness Between Languages", NeurIPS 2023): the same
+# tokenizer fragments different languages into different token counts
+# per word, which silently reprices context windows and compute across
+# languages. The audit ships per-language fertility (BPE tokens per
+# word), chars per token, and the parity ratio against the
+# best-tokenized language — the table a multilingual data build
+# publishes next to its tokenizer.
+# --------------------------------------------------------------------------
+
+
+def tokenizer_fertility_by_language(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language tokenizer-fertility report under the corpus's own
+    12-merge BPE (trained by operators/bpe.py exactly as
+    bpe_corpus_encode does — vocabulary-sized replay, corpus touched
+    once): docs, words, BPE tokens, fertility = tokens/words,
+    chars_per_token, and parity = fertility / min(fertility) over
+    languages. The final parity window runs over the language-count-
+    sized aggregate (3 rows), not the corpus."""
+    from ..operators.bpe import bpe_token_counts, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = train_bpe(spark, docs, n_merges=12)
+    counts = bpe_token_counts(docs, vocab)
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("n_words"),
+        )
+        .join(counts, "doc_id")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    fert = F.round(
+        F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+    )
+    scored = agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        fert.alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+    from pyspark.sql.window import Window as W
+
+    parity = F.round(
+        F.col("fertility") / F.min("fertility").over(W.partitionBy()), 6
+    )
+    return scored.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "fertility",
+        "chars_per_token",
+        parity.alias("parity_ratio"),
+    ).orderBy("lang")
+
+
+def _tokenizer_fertility_sql() -> str:
+    recursion = BPE_MERGE_SQL.split("SELECT DISTINCT")[0]
+    return (
+        recursion
+        + r"""
+, final_vocab AS (
+    SELECT word, len(symbols)::BIGINT AS n_subwords
+    FROM steps
+    WHERE it = (SELECT max(it) FROM steps)
+),
+doc_words AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+    FROM documents
+),
+doc_tokens AS (
+    SELECT w.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(v.n_subwords)::BIGINT AS n_bpe_tokens
+    FROM doc_words w
+    JOIN final_vocab v USING (word)
+    WHERE w.word <> ''
+    GROUP BY w.doc_id
+),
+per_lang AS (
+    SELECT d.lang,
+           count(*)::BIGINT AS n_docs,
+           sum(t.n_words)::BIGINT AS n_words,
+           sum(t.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+           round(sum(t.n_bpe_tokens)::DOUBLE / sum(t.n_words), 6)
+               AS fertility,
+           round(sum(length(d.text))::DOUBLE / sum(t.n_bpe_tokens), 6)
+               AS chars_per_token
+    FROM documents d JOIN doc_tokens t USING (doc_id)
+    GROUP BY d.lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens, fertility, chars_per_token,
+       round(fertility / min(fertility) OVER (), 6) AS parity_ratio
+FROM per_lang
+ORDER BY lang
+"""
+    )
+
+
+QUERIES["tokenizer_fertility_by_language"] = tokenizer_fertility_by_language
+ORACLES["tokenizer_fertility_by_language"] = _tokenizer_fertility_sql()

@@ -1843,3 +1843,122 @@ QUERIES["embedding_pca_power"] = embedding_pca_power
 QUERIES["pca_projection_scores"] = pca_projection_scores
 ORACLES["pca_projection_scores"] = _pca_projection_sql()
 ORACLES["embedding_pca_power"] = _pca_power_sql()
+
+
+# --------------------------------------------------------------------------
+# Prototypicality-based data pruning (Sorscher et al., "Beyond neural
+# scaling laws: beating power law scaling via data pruning", NeurIPS
+# 2022): in the abundant-data regime the EASIEST examples — those
+# closest to their cluster prototype — teach the least, so rank every
+# vector by cosine to its cluster centroid and mark the most
+# prototypical fraction per cluster for pruning. The self-supervised
+# prototype is the k-means centroid (here the given ``label``
+# assignment, the repo's k-means stand-in, as in embedding_centroids).
+#
+# Scale shape: centroids are ONE map-side-combinable aggregate with a
+# dimension-sized output (k x 64 doubles, broadcast back); scoring is a
+# scan-stage expression; the only corpus-sized exchange is the
+# per-cluster rank window (shuffle by label — cluster-count-bounded
+# keys; a 100 TB run replaces the exact rank with a per-cluster
+# similarity-quantile threshold so the window never materializes, at
+# the cost of an approximate prune fraction).
+# --------------------------------------------------------------------------
+
+_PRUNE_FRACTION = 0.2  # prune the 20% most prototypical per cluster
+
+
+def prototypicality_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector prototypicality verdict: cosine to own-cluster
+    centroid (components rounded to 6 pre-ranking so both engines rank
+    identical numbers), dense-ordered rank within cluster (vec_id
+    tiebreak), pruned = rank <= ceil(0.2 * cluster size)."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    cents = (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
+                    f"s{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        .select(
+            "label",
+            "n",
+            F.array(
+                *[
+                    F.round(F.col(f"s{i}") / F.col("n"), 6)
+                    for i in range(dim)
+                ]
+            ).alias("cent"),
+        )
+    )
+    sim = F.round(
+        S.cosine(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("cent"),
+        ),
+        6,
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", "n", sim.alias("proto_sim")
+    )
+    w = W.partitionBy("label").orderBy(F.desc("proto_sim"), "vec_id")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "proto_sim",
+            "proto_rank",
+            (
+                F.col("proto_rank")
+                <= F.ceil(F.col("n") * F.lit(_PRUNE_FRACTION))
+            ).alias("pruned"),
+        )
+        .orderBy("label", "proto_rank")
+    )
+
+
+def _prototypicality_sql() -> str:
+    dim = 64
+    cent_cols = ", ".join(
+        f"round(sum(embedding[{i + 1}]::DOUBLE) / count(*), 6) AS c{i}"
+        for i in range(dim)
+    )
+    dot = " + ".join(f"embedding[{i + 1}]::DOUBLE * c{i}" for i in range(dim))
+    norm_e = " + ".join(
+        f"embedding[{i + 1}]::DOUBLE * embedding[{i + 1}]::DOUBLE"
+        for i in range(dim)
+    )
+    norm_c = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    return f"""
+WITH cent AS (
+    SELECT label, count(*) AS n, {cent_cols}
+    FROM embeddings GROUP BY label
+), scored AS (
+    SELECT e.vec_id, e.label, cent.n,
+           round(({dot}) / (sqrt({norm_e}) * sqrt({norm_c})), 6)
+               AS proto_sim
+    FROM embeddings e JOIN cent USING (label)
+), ranked AS (
+    SELECT vec_id, label, n, proto_sim,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY proto_sim DESC, vec_id)
+               AS proto_rank
+    FROM scored
+)
+SELECT vec_id, label, proto_sim, proto_rank::INT AS proto_rank,
+       proto_rank <= ceil(n * {_PRUNE_FRACTION}) AS pruned
+FROM ranked
+ORDER BY label, proto_rank
+"""
+
+
+QUERIES["prototypicality_pruning"] = prototypicality_pruning
+ORACLES["prototypicality_pruning"] = _prototypicality_sql()

@@ -1651,6 +1651,55 @@ ORDER BY part_key, file_id
 """
 
 
+def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR-histogram quantile sketch
+    (streaming/hdr_state.py): per-bucket (count, min-member) keyed
+    state — an addition/min monoid pair, bounded by 90 rows per value
+    decade — with the batch midpoint-quantile readout on the final
+    state. The oracle restates the bucket walk over the raw table, so
+    the stream is hash-matched end to end."""
+    from ..streaming.hdr_state import run_stream_hdr_quantiles
+
+    return run_stream_hdr_quantiles(spark, sf_dir, _workdir("hdr"))
+
+
+def _stream_hdr_sql() -> str:
+    from .sketches import _HDR_QS
+
+    bucket = (
+        "CASE WHEN c < 10 THEN c - 10 "
+        "ELSE (length(c::VARCHAR) - 1) * 90 "
+        "   + (c // power(10, length(c::VARCHAR) - 2)::BIGINT) - 10 END"
+    )
+    mid = (
+        "CASE WHEN c < 10 THEN c::DOUBLE ELSE "
+        "((c // power(10, length(c::VARCHAR) - 2)::BIGINT)::DOUBLE + 0.5) "
+        "* power(10, length(c::VARCHAR) - 2) END / 100.0"
+    )
+    qs_union = " UNION ALL ".join(f"SELECT {q} AS q" for q in _HDR_QS)
+    return f"""
+WITH vals AS (
+    SELECT round(l_extendedprice * 100)::BIGINT AS c FROM lineitem
+), sketch AS (
+    SELECT {bucket} AS bucket, count(*) AS cnt, min(c) AS c_min
+    FROM vals GROUP BY 1
+), cum AS (
+    SELECT bucket,
+           sum(cnt) OVER (ORDER BY bucket) AS cum,
+           (SELECT {mid} FROM (SELECT c_min AS c) t) AS est
+    FROM sketch
+), total AS (SELECT count(*) AS n FROM vals),
+qs AS ({qs_union})
+SELECT q,
+       round((SELECT est FROM cum
+              WHERE cum >= ceil(q * total.n) ORDER BY bucket LIMIT 1), 4)
+           AS est,
+       total.n AS n
+FROM qs, total
+ORDER BY q
+"""
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1696,6 +1745,7 @@ QUERIES = {
     "stream_pq_index": stream_pq_index,
     "stream_pq_adc_topk": stream_pq_adc_topk,
     "stream_ivfpq_probe": stream_ivfpq_probe,
+    "stream_hdr_quantiles": stream_hdr_quantiles,
 }
 
 ORACLES = {
@@ -1743,4 +1793,5 @@ ORACLES = {
     "stream_pq_index": _stream_pq_index_sql(),
     "stream_pq_adc_topk": _stream_pq_adc_sql(),
     "stream_ivfpq_probe": _stream_ivfpq_sql(),
+    "stream_hdr_quantiles": _stream_hdr_sql(),
 }

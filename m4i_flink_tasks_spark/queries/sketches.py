@@ -1024,3 +1024,156 @@ ORDER BY e.cls_a, e.cls_b
 
 QUERIES["kmv_set_operations"] = kmv_set_operations
 ORACLES["kmv_set_operations"] = KMV_SET_OPS_SQL
+
+
+# --------------------------------------------------------------------------
+# HDR-histogram quantile sketch (the HdrHistogram layout, Tene; same
+# mergeable bounded-relative-error family as DDSketch, Masson et al.,
+# VLDB 2019): values bucket by (decade, two leading digits) — PURE
+# INTEGER/STRING arithmetic, so unlike a log-gamma bucket index the
+# bucket of every value is bit-identical across engines (this module's
+# ground rule). State is one count per occupied bucket: bounded by
+# 90 buckets per decade regardless of row count, mergeable by addition
+# — the shape that lets 1000 executors sketch 100 TB with a KB-sized
+# combine. Worst-case relative error of the midpoint readout is
+# 1/(2*10) = 5% at the low edge of a decade, <=0.5% at the high edge.
+# --------------------------------------------------------------------------
+
+_HDR_QS = (0.5, 0.9, 0.99)
+
+
+def _hdr_bucket(cents):
+    """Monotone integer bucket id of a positive cents value: exact
+    region (< 10 cents) maps to negative ids; otherwise
+    d*90 + lead2 - 10 where d = decimal digit count - 1 and lead2 =
+    the two leading digits (10..99)."""
+    d = F.length(F.col(cents).cast("string")) - 1
+    lead2 = F.floor(
+        F.col(cents) / F.pow(F.lit(10.0), (d - 1).cast("double"))
+    ).cast("long")
+    return F.when(F.col(cents) < 10, F.col(cents) - 10).otherwise(
+        d.cast("long") * 90 + lead2 - 10
+    )
+
+
+def _hdr_midpoint_dollars(cents_col: str = "c"):
+    """Midpoint of the bucket's value range, in dollars: for bucket
+    (d, lead2) the range is [lead2*10^(d-1), (lead2+1)*10^(d-1))."""
+    d = F.length(F.col(cents_col).cast("string")) - 1
+    p = F.pow(F.lit(10.0), (d - 1).cast("double"))
+    lead2 = F.floor(F.col(cents_col) / p).cast("long")
+    mid = (lead2.cast("double") + F.lit(0.5)) * p
+    return F.when(
+        F.col(cents_col) < 10, F.col(cents_col).cast("double")
+    ).otherwise(mid) / 100.0
+
+
+def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice from the HDR bucket sketch,
+    beside the exact order statistic and the realized relative error.
+
+    Plan: ONE map-side-combinable aggregate builds the sketch (output
+    ~250 buckets at any scale); the readout is a window cumsum over
+    the bucket table (KB-sized). The `exact` column is the validation
+    path — a full-sort order statistic a 100 TB run would omit (or
+    sample); the sketch columns are the scale path."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    sketch = (
+        li.select(_hdr_bucket("c").alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("c").alias("c_min"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # the bucket's (d, lead2) — hence its midpoint — is a function of
+    # any member value, so reconstruct it from c_min
+    cum = sketch.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        _hdr_midpoint_dollars("c_min").alias("est"),
+    )
+    n = li.count()
+
+    # exact order statistics (validation path): k-th smallest cents
+    ws = Window.orderBy("c")
+    ranked = li.withColumn("rn", F.row_number().over(ws))
+    import math
+
+    rows = []
+    for q in _HDR_QS:
+        k = math.ceil(q * n)
+        est = (
+            cum.filter(F.col("cum") >= k)
+            .orderBy("bucket")
+            .limit(1)
+            .select(F.round(F.col("est"), 4).alias("est"))
+        )
+        exact = ranked.filter(F.col("rn") == k).select(
+            (F.col("c") / 100.0).alias("exact")
+        )
+        rows.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                F.lit(q).alias("q"),
+                "est",
+                F.round("exact", 4).alias("exact"),
+                F.round(
+                    F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 4
+                ).alias("rel_err"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("q")
+
+
+def _hdr_sql() -> str:
+    bucket = (
+        "CASE WHEN c < 10 THEN c - 10 "
+        "ELSE (length(c::VARCHAR) - 1) * 90 "
+        "   + (c // power(10, length(c::VARCHAR) - 2)::BIGINT) - 10 END"
+    )
+    mid = (
+        "CASE WHEN c < 10 THEN c::DOUBLE ELSE "
+        "((c // power(10, length(c::VARCHAR) - 2)::BIGINT)::DOUBLE + 0.5) "
+        "* power(10, length(c::VARCHAR) - 2) END / 100.0"
+    )
+    qs_union = " UNION ALL ".join(f"SELECT {q} AS q" for q in _HDR_QS)
+    return f"""
+WITH vals AS (
+    SELECT round(l_extendedprice * 100)::BIGINT AS c FROM lineitem
+), sketch AS (
+    SELECT {bucket} AS bucket, count(*) AS cnt, min(c) AS c_min
+    FROM vals GROUP BY 1
+), cum AS (
+    SELECT bucket,
+           sum(cnt) OVER (ORDER BY bucket) AS cum,
+           (SELECT {mid} FROM (SELECT c_min AS c) t) AS est
+    FROM sketch
+), total AS (SELECT count(*) AS n FROM vals),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c) AS rn FROM vals
+), qs AS ({qs_union})
+SELECT q,
+       round((SELECT est FROM cum
+              WHERE cum >= ceil(q * total.n) ORDER BY bucket LIMIT 1), 4)
+           AS est,
+       round((SELECT c / 100.0 FROM ranked
+              WHERE rn = ceil(q * total.n)), 4) AS exact,
+       round(abs((SELECT est FROM cum
+                  WHERE cum >= ceil(q * total.n) ORDER BY bucket LIMIT 1)
+                 - (SELECT c / 100.0 FROM ranked
+                    WHERE rn = ceil(q * total.n)))
+             / (SELECT c / 100.0 FROM ranked
+                WHERE rn = ceil(q * total.n)), 4) AS rel_err
+FROM qs, total
+ORDER BY q
+"""
+
+
+QUERIES["hdr_histogram_quantiles"] = hdr_histogram_quantiles
+ORACLES["hdr_histogram_quantiles"] = _hdr_sql()

@@ -1,0 +1,90 @@
+"""HDR-histogram quantile sketch: error bound, monotone bucketing,
+batch/stream agreement, and prototypicality-pruning invariants."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import functions as F
+
+from m4i_flink_tasks_spark.queries.llm_similarity import (
+    prototypicality_pruning,
+)
+from m4i_flink_tasks_spark.queries.sketches import (
+    hdr_histogram_quantiles,
+)
+
+
+def test_hdr_sketch_error_bound(spark, sf_dir):
+    """The midpoint readout's relative error is bounded by half a
+    leading-digit-pair step: 1/(2*10) = 5% worst case."""
+    rows = hdr_histogram_quantiles(spark, sf_dir).collect()
+    assert [r["q"] for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r["rel_err"] <= 0.05, r
+
+
+def test_hdr_bucket_monotone(spark):
+    """Bucket id must be monotone in the value, else the cumulative
+    walk reads out the wrong order statistic."""
+    from m4i_flink_tasks_spark.queries.sketches import _hdr_bucket
+
+    vals = [1, 5, 9, 10, 11, 99, 100, 101, 999, 1000, 123456, 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    out = (
+        df.select("c", _hdr_bucket("c").alias("b"))
+        .orderBy("c")
+        .collect()
+    )
+    buckets = [r["b"] for r in out]
+    assert buckets == sorted(buckets)
+    # distinct decades never collide
+    assert len({b for b in buckets}) >= 8
+
+
+def test_hdr_stream_matches_batch(spark, sf_dir):
+    """Streamed sketch state equals the batch sketch for the replayed
+    feed: the quantile estimates agree exactly."""
+    from m4i_flink_tasks_spark.streaming.hdr_state import (
+        run_stream_hdr_quantiles,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_hdr_")
+    got = {
+        r["q"]: (r["est"], r["n"])
+        for r in run_stream_hdr_quantiles(spark, sf_dir, wd).collect()
+    }
+    exp = {
+        r["q"]: r["est"]
+        for r in hdr_histogram_quantiles(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    n = {v[1] for v in got.values()}
+    assert len(n) == 1
+    for q, est in exp.items():
+        assert got[q][0] == est
+
+
+def test_prototypicality_prune_fraction(spark, sf_dir):
+    """Per cluster: exactly ceil(0.2*n) vectors pruned, ranks are a
+    permutation of 1..n, and pruned vectors are the TOP-ranked (most
+    prototypical) ones."""
+    out = prototypicality_pruning(spark, sf_dir)
+    per = (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pruned").cast("int")).alias("n_pruned"),
+            F.max("proto_rank").alias("max_rank"),
+            F.max(F.when(F.col("pruned"), F.col("proto_rank"))).alias(
+                "max_pruned_rank"
+            ),
+        )
+        .collect()
+    )
+    assert per
+    for r in per:
+        assert r["n_pruned"] == math.ceil(0.2 * r["n"])
+        assert r["max_rank"] == r["n"]
+        assert r["max_pruned_rank"] == r["n_pruned"]
