@@ -1073,10 +1073,16 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside the exact order statistic and the realized relative error.
 
     Plan: ONE map-side-combinable aggregate builds the sketch (output
-    ~250 buckets at any scale); the readout is a window cumsum over
-    the bucket table (KB-sized). The `exact` column is the validation
-    path — a full-sort order statistic a 100 TB run would omit (or
-    sample); the sketch columns are the scale path."""
+    ~250 buckets at any scale; collected driver-side — the same
+    bounded-histogram collect as exact_median_twopass). The `exact`
+    column is the validation path, computed by two-pass selection
+    exactly as exact_median_twopass does it: the sketch locates the
+    quantile's bucket, then a filter prunes to that one bucket and a
+    TakeOrdered picks the residual rank — never a one-partition global
+    sort. A 100 TB run keeps the sketch columns and samples (or omits)
+    the validation column; here it proves the error bound row by row."""
+    import math
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
@@ -1087,33 +1093,32 @@ def hdr_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.min("c").alias("c_min"),
         )
+        .orderBy("bucket")
+        .collect()
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    # the bucket's (d, lead2) — hence its midpoint — is a function of
-    # any member value, so reconstruct it from c_min
-    cum = sketch.select(
-        "bucket",
-        F.sum("cnt").over(w).alias("cum"),
-        _hdr_midpoint_dollars("c_min").alias("est"),
-    )
-    n = li.count()
-
-    # exact order statistics (validation path): k-th smallest cents
-    ws = Window.orderBy("c")
-    ranked = li.withColumn("rn", F.row_number().over(ws))
-    import math
-
+    n = sum(r.cnt for r in sketch)
     rows = []
     for q in _HDR_QS:
         k = math.ceil(q * n)
+        cum = 0
+        target = None
+        residual = None
+        for r in sketch:
+            if cum + r.cnt >= k:
+                target, residual = r, k - cum
+                break
+            cum += r.cnt
+        # the bucket's (d, lead2) — hence its midpoint — is a function
+        # of any member value, so reconstruct it from c_min
         est = (
-            cum.filter(F.col("cum") >= k)
-            .orderBy("bucket")
-            .limit(1)
-            .select(F.round(F.col("est"), 4).alias("est"))
+            spark.createDataFrame([(target.c_min,)], "c_min long")
+            .select(F.round(_hdr_midpoint_dollars("c_min"), 4).alias("est"))
         )
-        exact = ranked.filter(F.col("rn") == k).select(
-            (F.col("c") / 100.0).alias("exact")
+        exact = (
+            li.filter(_hdr_bucket("c") == int(target.bucket))
+            .orderBy("c")
+            .limit(int(residual))
+            .agg((F.max("c") / 100.0).alias("exact"))
         )
         rows.append(
             est.crossJoin(F.broadcast(exact)).select(

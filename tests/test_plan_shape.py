@@ -888,3 +888,24 @@ def test_pca_gram_pass_is_arrow_blas(spark, sf_dir):
     assert tree.count("HashAggregate") >= 2, (
         "moments lost map-side partial aggregation:\n" + tree
     )
+
+
+def test_prototypicality_centroid_join_broadcasts(plans):
+    """prototypicality_pruning's scoring join attaches a k x 64
+    centroid table — it must broadcast (the corpus side never
+    shuffles for it); the only corpus exchange is the per-cluster
+    rank window."""
+    plan = plans["prototypicality_pruning"]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hdr_quantiles_validation_avoids_global_sort(plans):
+    """hdr_histogram_quantiles' exact-validation column must use the
+    two-pass bucket selection (filter + bounded limit), never a
+    one-partition global rank window over the raw rows (the r7
+    arrival measurement caught exactly that: 3.3x at 10x data before
+    the fix, 1.1x after)."""
+    plan = plans["hdr_histogram_quantiles"]
+    assert "Window" not in plan, plan
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
