@@ -459,3 +459,94 @@ ORDER BY co.id_train, co.id_eval
 
 QUERIES["cross_split_leakage"] = cross_split_leakage
 ORACLES["cross_split_leakage"] = _cross_split_leakage_sql()
+
+
+# --------------------------------------------------------------------------
+# Epoch budgeting under data constraints (Muennighoff et al., "Scaling
+# Data-Constrained Language Models", NeurIPS 2023): when the token
+# budget exceeds the deduplicated corpus, domains are REPEATED — and
+# repeated tokens decay in value. The fitted law: with R repeat epochs
+# beyond the first over U unique tokens, the effective data seen is
+#     D' = U + U * R_STAR * (1 - exp(-R / R_STAR)),   R_STAR ~= 15,
+# i.e. fresh-equivalent up to ~4 epochs, asymptoting at ~16 epochs of
+# value. This query turns the mixture table into the per-domain epoch
+# PLAN a data-constrained run ships: budget allocation, epochs,
+# repeat regime, effective tokens, and budget utilization.
+# Everything runs on the #sources-sized aggregate — the corpus is
+# touched once for token totals.
+# --------------------------------------------------------------------------
+
+_BUDGET_MULT = 3.0  # train-token budget as a multiple of corpus tokens
+_R_STAR = 15.0  # fitted repeat half-value constant (Muennighoff et al.)
+
+
+def epoch_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mix = domain_mixture_weights(spark, sf_dir)
+    budget = mix.agg(
+        (F.sum("total_tokens") * F.lit(_BUDGET_MULT)).alias("_budget")
+    )
+    planned = mix.crossJoin(F.broadcast(budget)).withColumn(
+        "target_tokens",
+        F.round(F.col("_budget") * F.col("mixture_weight")).cast("long"),
+    )
+    epochs = F.col("target_tokens") / F.col("total_tokens")
+    repeats = F.greatest(epochs - 1.0, F.lit(0.0))
+    effective = F.col("total_tokens") * (
+        1.0
+        + F.lit(_R_STAR)
+        * (1.0 - F.exp(-repeats / F.lit(_R_STAR)))
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "mixture_weight",
+        "target_tokens",
+        F.round(epochs, 6).alias("epochs"),
+        F.when(epochs <= 1.0, "fresh")
+        .when(epochs <= 4.0, "cheap_repeat")
+        .otherwise("diminishing")
+        .alias("repeat_regime"),
+        F.round(effective, 2).alias("effective_tokens"),
+        F.round(
+            effective / F.col("target_tokens"), 6
+        ).alias("utilization"),
+    ).orderBy("source")
+
+
+EPOCH_BUDGET_SQL = f"""
+WITH s AS (
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+    FROM documents
+    GROUP BY source
+), mix AS (
+    SELECT source, n_docs, total_tokens,
+           round(pow(total_tokens::DOUBLE, {_MIX_ALPHA})
+                 / sum(pow(total_tokens::DOUBLE, {_MIX_ALPHA})) OVER (), 6)
+               AS mixture_weight,
+           sum(total_tokens) OVER () * {_BUDGET_MULT} AS budget
+    FROM s
+), planned AS (
+    SELECT *, round(budget * mixture_weight)::BIGINT AS target_tokens
+    FROM mix
+)
+SELECT source, n_docs, total_tokens, mixture_weight, target_tokens,
+       round(target_tokens::DOUBLE / total_tokens, 6) AS epochs,
+       CASE WHEN target_tokens::DOUBLE / total_tokens <= 1.0 THEN 'fresh'
+            WHEN target_tokens::DOUBLE / total_tokens <= 4.0
+                THEN 'cheap_repeat'
+            ELSE 'diminishing' END AS repeat_regime,
+       round(total_tokens * (1.0 + {_R_STAR} * (1.0 - exp(
+           -greatest(target_tokens::DOUBLE / total_tokens - 1.0, 0.0)
+           / {_R_STAR}))), 2) AS effective_tokens,
+       round(total_tokens * (1.0 + {_R_STAR} * (1.0 - exp(
+           -greatest(target_tokens::DOUBLE / total_tokens - 1.0, 0.0)
+           / {_R_STAR}))) / target_tokens, 6) AS utilization
+FROM planned
+ORDER BY source
+"""
+
+QUERIES["epoch_budget_plan"] = epoch_budget_plan
+ORACLES["epoch_budget_plan"] = EPOCH_BUDGET_SQL
