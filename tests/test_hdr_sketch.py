@@ -119,3 +119,45 @@ def test_mmr_rerank_properties(spark, sf_dir):
     # scores are the lambda-tradeoff, so each later pick's mmr_score
     # can't exceed pure relevance of the first pick
     assert all(r["mmr_score"] <= out[0]["mmr_score"] for r in out)
+
+
+def test_hdr_mid_stream_restart_converges(spark, sf_dir):
+    """(cnt,+ / c_min,min) keyed state is a commutative monoid pair, so
+    a kill-and-resume replay converges to the batch sketch."""
+    import glob
+    import os
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.hdr_state import (
+        run_stream_hdr_quantiles,
+    )
+    from m4i_flink_tasks_spark.streaming.median_state import (
+        stage_price_cents,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_hdr_restart_")
+    staging = stage_price_cents(
+        spark, sf_dir, os.path.join(wd, "staging_prices"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    hidden = tempfile.mkdtemp(prefix="m4i_hdr_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    partial = run_stream_hdr_quantiles(spark, sf_dir, wd)
+    assert partial.count() == 3
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    final = {
+        r["q"]: (r["est"], r["n"])
+        for r in run_stream_hdr_quantiles(spark, sf_dir, wd).collect()
+    }
+    exp = {
+        r["q"]: r["est"]
+        for r in hdr_histogram_quantiles(spark, sf_dir).collect()
+    }
+    assert {q: v[0] for q, v in final.items()} == exp
