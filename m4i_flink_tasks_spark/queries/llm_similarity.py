@@ -1995,9 +1995,14 @@ _MMR_N = 20
 _MMR_K = 10
 
 
-def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cand = S.brute_force_topk(emb, _QUERY_VEC_ID, _MMR_N)
+def mmr_rerank(
+    spark: SparkSession, emb: DataFrame, cand: DataFrame, k: int = _MMR_K
+) -> DataFrame:
+    """The k-sized rerank stage, shared by the batch query and the
+    streaming-index twin: candidates (vec_id, cosine_sim) get their
+    N x N pair sims via one broadcast self-join (rounded to 6
+    in-engine with the proven cross-engine cosine fold), then the
+    greedy argmax runs driver-side on the bounded tables."""
     cand_emb = cand.join(emb.select("vec_id", "embedding"), "vec_id")
     pairs = (
         cand_emb.alias("l")
@@ -2017,7 +2022,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks: list[int] = []
     remaining = set(rel)
     out_rows = []
-    for _ in range(_MMR_K):
+    for _ in range(min(k, len(rel))):
         best = None
         for c in sorted(remaining):
             ms = max((sim[(c, s)] for s in picks), default=0.0)
@@ -2038,6 +2043,12 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "mmr_rank int, vec_id long, rel_sim double, mmr_score double",
     ).orderBy("mmr_rank")
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = S.brute_force_topk(emb, _QUERY_VEC_ID, _MMR_N)
+    return mmr_rerank(spark, emb, cand)
 
 
 def _mmr_sql() -> str:

@@ -1663,6 +1663,102 @@ def stream_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_hdr_quantiles(spark, sf_dir, _workdir("hdr"))
 
 
+def stream_mmr_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full served retrieval stack on the STREAMED index: the LSH
+    index is maintained from the embedding stream
+    (streaming/ann_index.py), the probe reads only the query's bucket
+    (top-N candidates, no corpus scan), and the MMR rerank
+    (llm_similarity.mmr_rerank) diversifies the final top-k — exactly
+    the ANN-then-rerank pipeline a production vector-search service
+    runs. Oracle: the batch LSH-bucket candidate CTE feeding the same
+    recursive greedy the batch MMR oracle uses."""
+    from ..sources import load_table
+    from ..streaming.ann_index import probe_topk, run_stream_ann_index
+    from .llm_similarity import (
+        _GATE_LSH_BITS,
+        _MMR_N,
+        _QUERY_VEC_ID,
+        mmr_rerank,
+    )
+
+    store = run_stream_ann_index(
+        spark, sf_dir, _workdir("mmr_index"), bits=_GATE_LSH_BITS
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .head()
+    )
+    cand = probe_topk(
+        spark,
+        store,
+        _QUERY_VEC_ID,
+        q["embedding"],
+        k=_MMR_N,
+        bits=_GATE_LSH_BITS,
+    )
+    return mmr_rerank(spark, emb, cand)
+
+
+def _stream_mmr_sql() -> str:
+    from .llm_similarity import (
+        _BUCKET_SQL,
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_N,
+        _QUERY_VEC_ID,
+        _cosine_sql,
+    )
+
+    lam = _MMR_LAMBDA
+    return f"""
+WITH RECURSIVE b AS (
+    SELECT vec_id, embedding,
+           {_BUCKET_SQL.format(e='embedding')} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT embedding AS query_emb, bucket AS query_bucket
+    FROM b WHERE vec_id = {_QUERY_VEC_ID}
+), cand AS (
+    SELECT vec_id, embedding,
+           round({_cosine_sql('embedding', 'query_emb')}, 6) AS rel
+    FROM b, q
+    WHERE vec_id != {_QUERY_VEC_ID} AND bucket = query_bucket
+    ORDER BY rel DESC, vec_id
+    LIMIT {_MMR_N}
+), pair AS (
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round({_cosine_sql('l.embedding', 'r.embedding')}, 6) AS sim
+    FROM cand l, cand r
+    WHERE l.vec_id != r.vec_id
+), steps(it, picks, pick, rel, score) AS (
+    SELECT 0, []::BIGINT[], NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+    UNION ALL
+    SELECT s.it + 1,
+           list_append(s.picks, w.vec_id),
+           w.vec_id, w.rel, w.score
+    FROM steps s, LATERAL (
+        SELECT c.vec_id, c.rel,
+               {lam} * c.rel - (1.0 - {lam}) * coalesce(
+                   (SELECT max(p.sim) FROM pair p
+                    WHERE p.a = c.vec_id
+                      AND list_contains(s.picks, p.b)), 0.0) AS score
+        FROM cand c
+        WHERE NOT list_contains(s.picks, c.vec_id)
+        ORDER BY score DESC, c.vec_id
+        LIMIT 1
+    ) w
+    WHERE s.it < {_MMR_K}
+)
+SELECT it::INT AS mmr_rank, pick AS vec_id, rel AS rel_sim,
+       round(score, 7) AS mmr_score
+FROM steps
+WHERE pick IS NOT NULL
+ORDER BY mmr_rank
+"""
+
+
 def _stream_hdr_sql() -> str:
     from .sketches import _HDR_QS
 
@@ -1746,6 +1842,7 @@ QUERIES = {
     "stream_pq_adc_topk": stream_pq_adc_topk,
     "stream_ivfpq_probe": stream_ivfpq_probe,
     "stream_hdr_quantiles": stream_hdr_quantiles,
+    "stream_mmr_serving": stream_mmr_serving,
 }
 
 ORACLES = {
@@ -1794,4 +1891,5 @@ ORACLES = {
     "stream_pq_adc_topk": _stream_pq_adc_sql(),
     "stream_ivfpq_probe": _stream_ivfpq_sql(),
     "stream_hdr_quantiles": _stream_hdr_sql(),
+    "stream_mmr_serving": _stream_mmr_sql(),
 }
