@@ -428,6 +428,84 @@ QUERIES["k_anonymity_audit"] = k_anonymity_audit
 ORACLES["k_anonymity_audit"] = K_ANONYMITY_SQL
 
 
+_LDIV_L = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al., "l-Diversity:
+    Privacy Beyond k-Anonymity", TKDD 2007) — the companion gate to
+    k_anonymity_audit: a class can be large (k-anonymous) yet still
+    leak if every member shares the SENSITIVE value, so the release
+    gate also requires >= l distinct sensitive values per class.
+
+    Quasi-identifier class = (nation, account-balance thousand-bucket),
+    sensitive attribute = market segment. Report = classes and rows per
+    diversity band (homogeneous / under-l / l-diverse) — bounded output
+    at any scale, same two map-side-combinable aggregates as the
+    k-anonymity report (the distinct count rides the same shuffle as
+    the class group-by)."""
+    customer = load_table(spark, sf_dir, "customer")
+    classes = (
+        customer.select(
+            "c_nationkey",
+            (
+                F.round(F.col("c_acctbal") * 100).cast("long")
+                / F.lit(100_000)
+            )
+            .cast("long")
+            .alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+    )
+    band = (
+        F.when(F.col("l_distinct") == 1, "1 homogeneous")
+        .when(F.col("l_distinct") < _LDIV_L, f"2 under-l (<{_LDIV_L})")
+        .otherwise(f"3 l-diverse (>={_LDIV_L})")
+    )
+    return (
+        classes.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.min("l_distinct").alias("min_l"),
+            F.max("l_distinct").alias("max_l"),
+        )
+        .orderBy("band")
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH classes AS (
+    SELECT c_nationkey,
+           round(c_acctbal * 100)::BIGINT // 100000 AS bal_bucket,
+           count(*) AS class_size,
+           count(DISTINCT c_mktsegment) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT CASE
+         WHEN l_distinct = 1 THEN '1 homogeneous'
+         WHEN l_distinct < {_LDIV_L} THEN '2 under-l (<{_LDIV_L})'
+         ELSE '3 l-diverse (>={_LDIV_L})'
+       END AS band,
+       count(*) AS n_classes,
+       sum(class_size)::BIGINT AS n_rows,
+       min(l_distinct) AS min_l,
+       max(l_distinct) AS max_l
+FROM classes
+GROUP BY band
+ORDER BY band
+"""
+
+QUERIES["l_diversity_audit"] = l_diversity_audit
+ORACLES["l_diversity_audit"] = L_DIVERSITY_SQL
+
+
 def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation across lineitem's numeric columns —
     the feature-selection read a modeling pipeline takes before
