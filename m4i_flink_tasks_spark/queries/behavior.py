@@ -1196,3 +1196,145 @@ ORDER BY gap_minutes
 
 QUERIES["kaplan_meier_return_time"] = kaplan_meier_return_time
 ORACLES["kaplan_meier_return_time"] = KAPLAN_MEIER_SQL
+
+
+# --------------------------------------------------------------------------
+# Watermark-delay recommendation — the streaming-ops artifact that
+# SIZES the watermark every event-time pipeline in streaming/ depends
+# on: measure how late events actually arrive (event time vs the
+# running maximum event time in arrival order) and recommend the p99
+# as `withWatermark` delay. Choosing this bound by guesswork either
+# drops real data (too tight) or bloats state (too loose); this report
+# is how it's chosen from the stream itself.
+#
+# Scale shape — the running max is a PREFIX SCAN, and a naive global
+# ORDER BY window is a one-partition cliff. It decomposes exactly:
+#   running_max(i) = greatest(within-bucket running max up to i,
+#                             max over all PRIOR buckets)
+# with bucket = event_id DIV 1024: the within-bucket window partitions
+# by bucket (embarrassingly parallel), and the cross-bucket prefix
+# runs over the n/1024-sized bucket relation — the classic two-level
+# scan (Blelloch). The per-type lateness percentiles are exact order
+# statistics over type-keyed windows; at 100 TB those would ride the
+# HDR sketch instead (hdr_histogram_quantiles), trading exactness for
+# a mergeable state — noted, not needed at test SFs.
+# --------------------------------------------------------------------------
+
+_WM_BUCKET = 1024
+_WM_QS = (0.5, 0.95, 0.99)
+
+
+def watermark_delay_recommendation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_id") / _WM_BUCKET).cast("long").alias("bkt"),
+    )
+    w_in = (
+        W.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = ev.withColumn("run_in", F.max("us").over(w_in))
+    bucket_max = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prior = bucket_max.select(
+        "bkt", F.max("bmax").over(w_b).alias("prior_max")
+    )
+    late = (
+        within.join(prior, "bkt")
+        .select(
+            "event_type",
+            "event_id",
+            (
+                F.greatest(
+                    F.col("run_in"),
+                    F.coalesce("prior_max", F.col("run_in")),
+                )
+                - F.col("us")
+            ).alias("late_us"),
+        )
+    )
+    w_rank = W.partitionBy("event_type").orderBy("late_us", "event_id")
+    ranked = late.withColumn("rn", F.row_number().over(w_rank))
+    counts = late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.round(F.max("late_us") / 1e6, 3).alias("max_late_s"),
+    )
+    out = counts
+    for q in _WM_QS:
+        # k-th smallest per type: join the rank relation on the
+        # per-type k computed from counts
+        out = out.join(
+            ranked.alias(f"r{int(q * 100)}"),
+            (F.col(f"r{int(q * 100)}.event_type") == out["event_type"])
+            & (
+                F.col(f"r{int(q * 100)}.rn")
+                == F.ceil(out["n_events"] * F.lit(q))
+            ),
+        ).select(
+            out["*"],
+            F.round(F.col(f"r{int(q * 100)}.late_us") / 1e6, 3).alias(
+                f"p{int(q * 100)}_late_s"
+            ),
+        )
+    return out.select(
+        "event_type",
+        "n_events",
+        "n_late",
+        "p50_late_s",
+        "p95_late_s",
+        "p99_late_s",
+        "max_late_s",
+        F.col("p99_late_s").alias("watermark_recommend_s"),
+    ).orderBy("event_type")
+
+
+WATERMARK_DELAY_SQL = f"""
+WITH e AS (
+    SELECT event_type, event_id,
+           epoch_us(ts) AS us,
+           max(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+    FROM events
+), late AS (
+    SELECT event_type, event_id, run_max - us AS late_us
+    FROM e
+), ranked AS (
+    SELECT event_type, late_us,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY late_us, event_id) AS rn
+    FROM late
+), counts AS (
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           round(max(late_us) / 1e6, 3) AS max_late_s
+    FROM late
+    GROUP BY event_type
+)
+SELECT c.event_type, c.n_events, c.n_late,
+       round(p50.late_us / 1e6, 3) AS p50_late_s,
+       round(p95.late_us / 1e6, 3) AS p95_late_s,
+       round(p99.late_us / 1e6, 3) AS p99_late_s,
+       c.max_late_s,
+       round(p99.late_us / 1e6, 3) AS watermark_recommend_s
+FROM counts c
+JOIN ranked p50 ON p50.event_type = c.event_type
+               AND p50.rn = ceil(c.n_events * 0.5)
+JOIN ranked p95 ON p95.event_type = c.event_type
+               AND p95.rn = ceil(c.n_events * 0.95)
+JOIN ranked p99 ON p99.event_type = c.event_type
+               AND p99.rn = ceil(c.n_events * 0.99)
+ORDER BY c.event_type
+"""
+
+QUERIES["watermark_delay_recommendation"] = watermark_delay_recommendation
+ORACLES["watermark_delay_recommendation"] = WATERMARK_DELAY_SQL
