@@ -161,3 +161,46 @@ def test_hdr_mid_stream_restart_converges(spark, sf_dir):
         for r in hdr_histogram_quantiles(spark, sf_dir).collect()
     }
     assert {q: v[0] for q, v in final.items()} == exp
+
+
+def test_hdr_bucket_matches_reference_on_broad_sample(spark):
+    """500 LCG-sampled values across 12 decades: the Spark bucket
+    expression must equal an independent Python reference (digit-count
+    decade + two leading digits), and midpoints must bracket the
+    value within the bucket's range."""
+    from m4i_flink_tasks_spark.queries.sketches import (
+        _hdr_bucket,
+        _hdr_midpoint_dollars,
+    )
+
+    def ref_bucket(c: int) -> int:
+        if c < 10:
+            return c - 10
+        s = str(c)
+        d = len(s) - 1
+        lead2 = int(s[:2])
+        return d * 90 + lead2 - 10
+
+    vals, x = [], 12345
+    for _ in range(500):
+        x = (x * 1103515245 + 12345) % (2**31)
+        vals.append(1 + x % 10 ** (1 + x % 12))
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = {
+        r["c"]: (r["b"], r["m"])
+        for r in df.select(
+            "c",
+            _hdr_bucket("c").alias("b"),
+            _hdr_midpoint_dollars("c").alias("m"),
+        ).collect()
+    }
+    for v in vals:
+        b, m = got[v]
+        assert b == ref_bucket(v), (v, b, ref_bucket(v))
+        # midpoint (in dollars) stays within the bucket's value range
+        if v >= 10:
+            lo = int(str(v)[:2]) * 10 ** (len(str(v)) - 2)
+            hi = (int(str(v)[:2]) + 1) * 10 ** (len(str(v)) - 2)
+            assert lo / 100.0 <= m < hi / 100.0, (v, m, lo, hi)
+        else:
+            assert m == v / 100.0
