@@ -1131,3 +1131,139 @@ ORDER BY g.doc_id
 
 QUERIES["dedup_execution_manifest"] = dedup_execution_manifest
 ORACLES["dedup_execution_manifest"] = DEDUP_EXECUTION_SQL
+
+
+# --------------------------------------------------------------------------
+# LSH parameter planner — the (bands, rows) tuning table every MinHash
+# deployment ships before committing a layout (Leskovec/Rajaraman/
+# Ullman, "Mining of Massive Datasets" §3.4's S-curve analysis, made
+# operational): for each banding of the k=16 signature it reports the
+# ANALYTIC selectivity (threshold tau* = (1/b)^(1/r) and the collision
+# probability 1-(1-j^r)^b at a reference Jaccard) NEXT TO the MEASURED
+# candidate workload on this corpus (pair count, colliding buckets,
+# max bucket) — the two numbers a tuning decision actually weighs.
+#
+# Scale shape: candidate pairs are counted from bucket SIZES
+# (sum n·(n-1)/2 over the (config, band, key) group-by) — pairs are
+# never enumerated, so the planner costs one signature scan + one
+# aggregate regardless of how quadratic the worst config's candidate
+# set would be. All four configs ride ONE explode of the same
+# signature array.
+# --------------------------------------------------------------------------
+
+_LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+_LSH_REF_J = 0.5  # reference Jaccard for the analytic collision column
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.shingle_hashes(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select(
+        "doc_id", D.minhash_signature(F.col("sh")).alias("sig")
+    )
+    band_structs = []
+    for b, r in _LSH_CONFIGS:
+        for i in range(b):
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", i * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                )
+            )
+    exploded = sig.select(
+        F.explode(F.array(*band_structs)).alias("e")
+    ).select("e.bands", "e.rows_per_band", "e.band", "e.key")
+    buckets = exploded.groupBy(
+        "bands", "rows_per_band", "band", "key"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    measured = buckets.groupBy("bands", "rows_per_band").agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+        F.sum((F.col("n") > 1).cast("long")).alias("colliding_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+    b = F.col("bands").cast("double")
+    r = F.col("rows_per_band").cast("double")
+    return measured.select(
+        "bands",
+        "rows_per_band",
+        F.round(F.pow(1.0 / b, 1.0 / r), 6).alias("tau_star"),
+        F.round(
+            1.0 - F.pow(1.0 - F.pow(F.lit(_LSH_REF_J), r), b), 6
+        ).alias(f"p_collide_at_{str(_LSH_REF_J).replace('.', '')}"),
+        "candidate_pairs",
+        "colliding_buckets",
+        "max_bucket",
+    ).orderBy("bands")
+
+
+def _lsh_planner_sql() -> str:
+    sig = (
+        "list_transform(range(1, 17), j -> "
+        f"list_aggregate(list_transform(shl, h -> ({_A_LIST}[j] * h "
+        f"+ {_B_LIST}[j]) % 1000000007), 'min'))"
+    )
+    selects = []
+    for b, r in _LSH_CONFIGS:
+        selects.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band, bb.i AS band,
+       array_to_string(sig[(bb.i * {r} + 1):(bb.i * {r} + {r})], ',')
+           AS key
+FROM sigs, range(0, {b}) AS bb(i)"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_transform(
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')
+               )),
+               s -> list_reduce(
+                        list_prepend(0::BIGINT,
+                            list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                        (acc, ch) -> (acc * 31 + ch) % 1000000007)
+           ) AS shl
+    FROM toks
+), sigs AS (
+    SELECT doc_id, {sig} AS sig
+    FROM sh WHERE len(shl) > 0
+), bandkeys AS (
+{union}
+), buckets AS (
+    SELECT bands, rows_per_band, band, key, count(*) AS n
+    FROM bandkeys
+    GROUP BY 1, 2, 3, 4
+)
+SELECT bands, rows_per_band,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS tau_star,
+       round(1.0 - pow(1.0 - pow({_LSH_REF_J}, rows_per_band),
+                       bands), 6)
+           AS p_collide_at_{str(_LSH_REF_J).replace('.', '')},
+       sum(n * (n - 1) // 2)::BIGINT AS candidate_pairs,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS colliding_buckets,
+       max(n) AS max_bucket
+FROM buckets
+GROUP BY bands, rows_per_band
+ORDER BY bands
+"""
+
+
+QUERIES["lsh_parameter_planner"] = lsh_parameter_planner
+ORACLES["lsh_parameter_planner"] = _lsh_planner_sql()
