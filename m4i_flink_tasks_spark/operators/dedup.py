@@ -173,6 +173,64 @@ def signature_partitions(df: DataFrame, rows_hint: int | None = None) -> int:
     return min(width, ideal)
 
 
+def _signatures_batch(texts, n: int, k: int):
+    """Full k-component MinHash signatures — plain-int arithmetic
+    identical to the ``minhash_signature`` expression form (and the
+    DuckDB oracles that restate it)."""
+    out: list[list[int] | None] = []
+    for text in texts:
+        if text is None:
+            out.append(None)
+            continue
+        toks = text.strip().split()
+        seen: dict[str, None] = {}
+        for i in range(max(len(toks) - (n - 1), 0)):
+            seen.setdefault(" ".join(toks[i : i + n]), None)
+        sh: list[int] = []
+        for s in seen:
+            acc = 0
+            for ch in s:
+                acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+            sh.append(acc)
+        if not sh:
+            out.append([])
+            continue
+        out.append(
+            [
+                min((MINHASH_A[j] * h + MINHASH_B[j]) % HASH_MOD for h in sh)
+                for j in range(k)
+            ]
+        )
+    return out
+
+
+def signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """``(doc_id, sig)`` — the raw k-component signature via the Arrow
+    kernel, for consumers that band the signature THEMSELVES (e.g. the
+    LSH parameter planner sweeping several (bands, rows) layouts over
+    one signature pass). Same 100x-over-HOF rationale as
+    ``minhash_frame``."""
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(_signatures_batch(texts, n, k))
+
+    n_parts = signature_partitions(df, rows_hint=rows_hint)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", sig_udf(F.col("_text")).alias("sig"))
+        .filter(F.size("sig") > 0)
+    )
+
+
 def minhash_frame(
     df: DataFrame,
     id_col: str,

@@ -1157,12 +1157,13 @@ _LSH_REF_J = 0.5  # reference Jaccard for the analytic collision column
 
 def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", D.shingle_hashes(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sh.select(
-        "doc_id", D.minhash_signature(F.col("sh")).alias("sig")
-    )
+    # Arrow signature kernel, not the HOF expression form: the first
+    # arrival measurement of this planner (HOF lambdas) read 7.2x at
+    # 10x data — the interpretive-lambda CPU wall minhash_frame's
+    # docstring documents; the kernel swap keeps bit-identical integer
+    # arithmetic (the oracle below IS the expression form, so the hash
+    # match re-proves kernel == expression every round).
+    sig = D.signature_frame(docs, "doc_id", "text", n=3)
     band_structs = []
     for b, r in _LSH_CONFIGS:
         for i in range(b):
