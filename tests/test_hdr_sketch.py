@@ -204,3 +204,29 @@ def test_hdr_bucket_matches_reference_on_broad_sample(spark):
             assert lo / 100.0 <= m < hi / 100.0, (v, m, lo, hi)
         else:
             assert m == v / 100.0
+
+
+def test_signature_frame_matches_expression_form(spark, sf_dir):
+    """The Arrow signature kernel must equal the HOF expression form
+    component-for-component (the planner's oracle also proves this
+    via SQL; this pins it engine-internally and per-component)."""
+    from pyspark.sql import functions as F2
+
+    from m4i_flink_tasks_spark.operators import dedup as D
+    from m4i_flink_tasks_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in D.signature_frame(docs, "doc_id", "text", n=3).collect()
+    }
+    sh = docs.select(
+        "doc_id", D.shingle_hashes(F2.col("text"), 3).alias("sh")
+    ).filter(F2.size("sh") > 0)
+    exp = {
+        r["doc_id"]: list(r["sig"])
+        for r in sh.select(
+            "doc_id", D.minhash_signature(F2.col("sh")).alias("sig")
+        ).collect()
+    }
+    assert got == exp and got
