@@ -406,3 +406,110 @@ ORDER BY score_bin
 
 QUERIES["classifier_calibration_report"] = classifier_calibration_report
 ORACLES["classifier_calibration_report"] = _calibration_sql()
+
+
+# --------------------------------------------------------------------------
+# Classifier AUC report — the ranking-quality companion to the
+# calibration report: AUC computed EXACTLY via the Mann-Whitney U
+# rank-sum identity with midrank tie correction,
+#     AUC = (sum of positive midranks - n_pos(n_pos+1)/2)
+#           / (n_pos * n_neg),
+# labels = the rule-based gate decisions (corpus_filter_audit.kept),
+# i.e. "how well does the learned score rank what the rules keep".
+#
+# Scale shape: scores are rounded to 6 decimals, so ranking reduces to
+# the SCORE-DISTINCT relation (value-domain bounded at <= 1e6 rows
+# regardless of corpus size — the exact_median_twopass argument): one
+# per-score aggregate over the corpus, then cumsum + rank-sum over the
+# bounded relation. No per-row global sort ever materializes.
+# --------------------------------------------------------------------------
+
+
+def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from .llm_text import corpus_filter_audit
+
+    scores = quality_classifier_scores(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = corpus_filter_audit(spark, sf_dir).select(
+        "doc_id", F.col("kept").cast("long").alias("y")
+    )
+    per_score = (
+        scores.join(labels, "doc_id")
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("n_pos_s"),
+        )
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_score.select(
+        "score",
+        "cnt",
+        "n_pos_s",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1).alias("min_rank"),
+    ).select(
+        "n_pos_s",
+        # midrank of every member of this score group
+        (F.col("min_rank") + (F.col("cnt") - 1) / 2.0).alias("midrank"),
+    )
+    totals = ranked.agg(
+        F.sum("n_pos_s").alias("n_pos"),
+        F.sum(F.col("n_pos_s") * F.col("midrank")).alias("rank_sum"),
+    ).crossJoin(
+        F.broadcast(
+            scores.join(labels, "doc_id").agg(
+                F.count(F.lit(1)).alias("n_all")
+            )
+        )
+    )
+    auc = (
+        F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * (F.col("n_all") - F.col("n_pos")))
+    return totals.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_all") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+def _auc_sql() -> str:
+    from .llm_text import _corpus_filter_audit_sql
+
+    audit_sql = _corpus_filter_audit_sql().replace(';', '')
+    return f"""
+WITH audit AS ({audit_sql}
+), joined AS (
+    SELECT s.score, a.kept::BIGINT AS y
+    FROM ({_classifier_sql().replace(';', '')}) s
+    JOIN audit a USING (doc_id)
+), per_score AS (
+    SELECT score, count(*) AS cnt, sum(y) AS n_pos_s
+    FROM joined GROUP BY score
+), ranked AS (
+    SELECT n_pos_s,
+           coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + 1 + (cnt - 1) / 2.0 AS midrank
+    FROM per_score
+), t AS (
+    SELECT sum(n_pos_s) AS n_pos,
+           sum(n_pos_s * midrank) AS rank_sum,
+           (SELECT count(*) FROM joined) AS n_all
+    FROM ranked
+)
+SELECT n_pos::BIGINT AS n_pos,
+       (n_all - n_pos)::BIGINT AS n_neg,
+       round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * (n_all - n_pos)), 6) AS auc,
+       round(2.0 * (rank_sum - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * (n_all - n_pos)) - 1.0, 6) AS gini
+FROM t
+"""
+
+
+QUERIES["classifier_auc_report"] = classifier_auc_report
+ORACLES["classifier_auc_report"] = _auc_sql()
