@@ -107,6 +107,9 @@ def test_documented_query_names_exist():
             "percentile_approx",
             "quantile_cont",
             "array_join",
+            "noise_ratio",
+            "noise_normalized_value",
+            "signature_frame",
         }
     }
     assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"
