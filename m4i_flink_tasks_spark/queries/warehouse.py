@@ -1272,6 +1272,95 @@ QUERIES["compaction_plan"] = compaction_plan
 ORACLES["compaction_plan"] = COMPACTION_PLAN_SQL
 
 
+_VACUUM_RETAIN = 3  # snapshots kept per partition beyond the current one
+
+
+def vacuum_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum plan over a versioned-file inventory — the third leg of
+    the table-maintenance triad beside compaction_plan and
+    zone_map_pruning_report (Delta VACUUM / Iceberg expire_snapshots):
+    per partition, versions older than the newest ``_VACUUM_RETAIN``
+    are reclaimable; the plan lists every version with its file count,
+    bytes, eligibility, and the partition's reclaimable totals — the
+    artifact the delete job consumes and the audit log keeps.
+
+    Inventory synthesis follows the compaction/zone-map convention
+    (month partition, suppkey-derived file id; version = orderkey mod
+    6 models successive snapshot writes). Plan shape: one
+    map-side-combinable aggregate to the (partition, version) grain,
+    then windows over the version-count-sized relation — the rewrite
+    parallelism is per-partition, same as compaction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    inv = (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("part_key"),
+            (F.col("l_orderkey") % 6).cast("int").alias("version"),
+            (F.col("l_suppkey") % 8).alias("file_id"),
+        )
+        .groupBy("part_key", "version")
+        .agg(
+            F.countDistinct("file_id").cast("int").alias("n_files"),
+            (F.count(F.lit(1)) * _FILE_ROW_BYTES).alias("size_bytes"),
+        )
+    )
+    wp = Window.partitionBy("part_key")
+    flagged = inv.select(
+        "part_key",
+        "version",
+        "n_files",
+        "size_bytes",
+        (
+            F.col("version")
+            <= F.max("version").over(wp) - F.lit(_VACUUM_RETAIN)
+        ).alias("reclaimable"),
+    )
+    return flagged.select(
+        "part_key",
+        "version",
+        "n_files",
+        "size_bytes",
+        "reclaimable",
+        F.sum(
+            F.when(F.col("reclaimable"), F.col("size_bytes")).otherwise(
+                F.lit(0)
+            )
+        )
+        .over(wp)
+        .alias("part_reclaim_bytes"),
+        F.sum(F.when(F.col("reclaimable"), 1).otherwise(0))
+        .over(wp)
+        .cast("int")
+        .alias("part_reclaim_versions"),
+    ).orderBy("part_key", "version")
+
+
+VACUUM_PLAN_SQL = f"""
+WITH inv AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS part_key,
+           (l_orderkey % 6)::INT AS version,
+           count(DISTINCT l_suppkey % 8)::INT AS n_files,
+           {_FILE_ROW_BYTES} * count(*) AS size_bytes
+    FROM lineitem
+    GROUP BY 1, 2
+), flagged AS (
+    SELECT part_key, version, n_files, size_bytes,
+           version <= max(version) OVER (PARTITION BY part_key)
+                       - {_VACUUM_RETAIN} AS reclaimable
+    FROM inv
+)
+SELECT part_key, version, n_files, size_bytes, reclaimable,
+       sum(CASE WHEN reclaimable THEN size_bytes ELSE 0 END)
+           OVER (PARTITION BY part_key)::BIGINT AS part_reclaim_bytes,
+       sum(CASE WHEN reclaimable THEN 1 ELSE 0 END)
+           OVER (PARTITION BY part_key)::INT AS part_reclaim_versions
+FROM flagged
+ORDER BY part_key, version
+"""
+
+QUERIES["vacuum_retention_plan"] = vacuum_retention_plan
+ORACLES["vacuum_retention_plan"] = VACUUM_PLAN_SQL
+
+
 _ZONE_LO, _ZONE_HI = 30000, 35000  # ~5%-selective price band probe
 
 
