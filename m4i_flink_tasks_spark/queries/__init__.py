@@ -177,43 +177,27 @@ _MODULES = (
 # (lm_head_sample, jl_random_projection, hard_negative_mining,
 # sequence_packing, stream_windowed_distinct).
 #
-# ROTATION PLAN (round 7): the remaining never-attested rows — the
-# relational/window tail (q8_market_share, q13_customer_distribution,
-# q15_top_supplier, q22_idle_customers, grouping_sets_revenue,
-# revenue_pivot_by_year, rolling_30d_customer_revenue,
+# ROTATION PLAN (round 8): the 36 never-attested rows after the r7
+# tranche lands — the 24 carried tail rows (relational/window:
 # customer_revenue_deciles, group_quantiles, price_histogram,
 # price_tier_revenue, nation_revenue_distribution,
 # nation_volume_shipping, profit_by_nation_year,
 # promo_revenue_by_month, discounted_part_revenue,
 # large_volume_customers, returned_items_top_customers,
-# ship_latency_histogram, daily_activity_gap_fill), doc-lifecycle
-# (breadcrumb_prefix_delete, derived_field_inherit,
-# derived_field_uninherit, descendant_prefix_insert), graph/IR tail
-# (common_neighbor_topk, pagerank_step, degree_distribution if
-# deferred, supplier_cooccurrence_rules, event_transition_matrix),
-# corpus tail (benchmark_decontamination, corpus_build_manifest,
-# domain_mixture_weights, sampled_token_frequency,
-# stratified_fixed_k_sample, temperature_mixture_sample,
-# weighted_corpus_sample, dedup_minhash_signatures,
-# image_perceptual_neardup, embedding_centroids, kmeans_refine,
+# ship_latency_histogram; graph/sampling/corpus:
+# pagerank_step, sampled_token_frequency, stratified_fixed_k_sample,
+# temperature_mixture_sample, weighted_corpus_sample,
+# supplier_cooccurrence_rules, embedding_centroids, kmeans_refine,
 # sq8_reconstruction_error, multimodal_metadata_pruning,
-# pareto_frontier_parts, zorder_mapping), and the remaining streaming
-# rows (stream_audio_ingest, stream_corpus_ingest,
-# stream_dead_letter_box, stream_determine_change,
-# stream_synchronize_docstore, stream_windowed_aggregation, and the
-# late-r6 stream_warc_text_pipeline capstone twin and the
-# crawl_release_manifest, warc_ingest_quarantine, and
-# stream_warc_quarantine, orc_interchange_read, and
-# url_frontier_curation, stream_pq_index, stream_pq_adc_topk, and
-# stream_ivfpq_probe additions, plus the post-rotation r6 wave:
-# bpe_corpus_encode, embedding_pca_power, pca_projection_scores,
-# cross_split_leakage, stream_embedding_pca, zipf_fit,
-# leakage_safe_splits, stream_zipf_fit, mad_outlier_report,
-# heldout_perplexity_eval, dedup_threshold_curve,
-# selection_ablation_report, dedup_execution_manifest,
-# classifier_calibration_report, bootstrap_ci_revenue, and
-# kaplan_meier_return_time) —
-# retires all but a one-digit tail, which rides the r8 surface.
+# pareto_frontier_parts, zorder_mapping) plus the 12 in-round r7
+# additions (prototypicality_pruning, hdr_histogram_quantiles,
+# stream_hdr_quantiles, tokenizer_fertility_by_language,
+# epoch_budget_plan, mmr_diverse_topk, stream_mmr_serving,
+# l_diversity_audit, watermark_delay_recommendation,
+# lsh_parameter_planner, classifier_auc_report,
+# vacuum_retention_plan), all of which arrived oracle-green at three
+# SFs and sf1-measured — one more 50-row rotation retires the debt
+# entirely, with headroom for r8 additions.
 DRIVER_QUERIES: tuple[str, ...] = (
     # ROTATION (round 7): CORRECTNESS_r06 recorded all 50 declared rows
     # green, so the r6 surface rotates OUT (each row keeps its r6
