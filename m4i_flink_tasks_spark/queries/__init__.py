@@ -189,13 +189,13 @@ _MODULES = (
 # temperature_mixture_sample, weighted_corpus_sample,
 # supplier_cooccurrence_rules, embedding_centroids, kmeans_refine,
 # sq8_reconstruction_error, multimodal_metadata_pruning,
-# pareto_frontier_parts, zorder_mapping) plus the 12 in-round r7
+# pareto_frontier_parts, zorder_mapping) plus the 13 in-round r7
 # additions (prototypicality_pruning, hdr_histogram_quantiles,
 # stream_hdr_quantiles, tokenizer_fertility_by_language,
 # epoch_budget_plan, mmr_diverse_topk, stream_mmr_serving,
 # l_diversity_audit, watermark_delay_recommendation,
 # lsh_parameter_planner, classifier_auc_report,
-# vacuum_retention_plan), all of which arrived oracle-green at three
+# vacuum_retention_plan, markov_attribution), all of which arrived oracle-green at three
 # SFs and sf1-measured — one more 50-row rotation retires the debt
 # entirely, with headroom for r8 additions.
 DRIVER_QUERIES: tuple[str, ...] = (

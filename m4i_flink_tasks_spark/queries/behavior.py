@@ -1338,3 +1338,242 @@ ORDER BY c.event_type
 
 QUERIES["watermark_delay_recommendation"] = watermark_delay_recommendation
 ORACLES["watermark_delay_recommendation"] = WATERMARK_DELAY_SQL
+
+
+# --------------------------------------------------------------------------
+# Markov (removal-effect) attribution — the data-driven counterpart to
+# attribution_report's last/first/linear rules (Anderl et al.,
+# "Mapping the customer journey", 2014; the standard "Markov chain
+# attribution" of marketing analytics): build the first-order journey
+# chain (start -> touches -> conversion/null), compute the absorption
+# probability of converting, then re-compute it with each channel
+# REMOVED (its inbound edges redirected to null); a channel's credit
+# is its normalized removal effect.
+#
+# Determinism: the absorption solve is 60 Jacobi iterations in
+# FIXED-POINT INTEGER micro-units — x'[s] = (sum_t n(s,t)·x[t]) DIV
+# out(s) — so every iterate is exact integer arithmetic, identical in
+# driver Python and the DuckDB recursive CTE (float Jacobi would hinge
+# on summation order). Scale shape: the only corpus-sized work is the
+# per-user lag/lead window (the shared keyed shuffle of every sequence
+# feature); the chain itself is |states|^2 counts — collected
+# driver-side (dimension-bounded, like the BPE argmax) and solved in
+# microseconds for any corpus size.
+# --------------------------------------------------------------------------
+
+_MK_ITERS = 60
+_MK_MICRO = 1_000_000
+
+
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_u = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ev = ev.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_u),
+            F.lit(0),
+        ),
+    )
+    w_j = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    state = F.when(F.col("event_type") == "purchase", "conv").otherwise(
+        F.col("event_type")
+    )
+    ev2 = ev.select(
+        state.alias("st"),
+        F.lag(state).over(w_j).alias("prev"),
+        F.lead(state).over(w_j).alias("nxt"),
+    )
+    t1 = ev2.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("s"), F.col("st").alias("t")
+    )
+    t2 = ev2.filter(F.col("prev").isNull()).select(
+        F.lit("start").alias("s"), F.col("st").alias("t")
+    )
+    t3 = ev2.filter(
+        F.col("nxt").isNull() & (F.col("st") != "conv")
+    ).select(F.col("st").alias("s"), F.lit("null").alias("t"))
+    return (
+        t1.unionAll(t2)
+        .unionAll(t3)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _absorb_micro(counts: dict, states: set) -> int:
+    """Integer fixed-point absorption probability (micro-units) of
+    reaching 'conv' from 'start' under 60 Jacobi iterations."""
+    out = {}
+    for (s, _t), n in counts.items():
+        out[s] = out.get(s, 0) + n
+    x = {s: (_MK_MICRO if s == "conv" else 0) for s in states}
+    for _ in range(_MK_ITERS):
+        nxt = {}
+        for s in states:
+            if s == "conv":
+                nxt[s] = _MK_MICRO
+            elif s == "null" or out.get(s, 0) == 0:
+                nxt[s] = 0
+            else:
+                nxt[s] = (
+                    sum(
+                        counts.get((s, t), 0) * x[t]
+                        for t in states
+                    )
+                    // out[s]
+                )
+        x = nxt
+    return x.get("start", 0)
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trans = {
+        (r["s"], r["t"]): r["n"]
+        for r in _markov_transitions(spark, sf_dir).collect()
+    }
+    states = {s for s, _ in trans} | {t for _, t in trans}
+    channels = sorted(states - {"start", "conv", "null"})
+    base = _absorb_micro(trans, states)
+    rows = []
+    effects = {}
+    for c in channels:
+        mod = {}
+        for (s, t), n in trans.items():
+            if s == c:
+                continue
+            key = (s, "null") if t == c else (s, t)
+            mod[key] = mod.get(key, 0) + n
+        removed = _absorb_micro(mod, states)
+        effects[c] = max(base - removed, 0)
+    total_eff = sum(effects.values())
+    for c in channels:
+        rows.append(
+            (
+                c,
+                base,
+                base - effects[c],
+                round(effects[c] / base, 6) if base else 0.0,
+                round(effects[c] / total_eff, 6) if total_eff else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_micro long, removed_conv_micro long, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")
+
+
+def _markov_sql() -> str:
+    m = _MK_MICRO
+    return f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS st,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS jid
+    FROM events
+), seq AS (
+    SELECT st,
+           lag(st) OVER (PARTITION BY user_id, jid
+                         ORDER BY ts, event_id) AS prev,
+           lead(st) OVER (PARTITION BY user_id, jid
+                          ORDER BY ts, event_id) AS nxt
+    FROM ev
+), trans AS (
+    SELECT s, t, count(*) AS n FROM (
+        SELECT prev AS s, st AS t FROM seq WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT 'start' AS s, st AS t FROM seq WHERE prev IS NULL
+        UNION ALL
+        SELECT st AS s, 'null' AS t FROM seq
+        WHERE nxt IS NULL AND st != 'conv'
+    ) GROUP BY s, t
+), chan AS (
+    SELECT DISTINCT s AS c FROM trans
+    WHERE s NOT IN ('start', 'conv', 'null')
+), scen AS (
+    SELECT 'base' AS scenario UNION ALL SELECT c FROM chan
+), mod_trans AS (
+    SELECT sc.scenario, tr.s,
+           CASE WHEN tr.t = sc.scenario THEN 'null' ELSE tr.t END AS t,
+           sum(tr.n) AS n
+    FROM scen sc, trans tr
+    WHERE tr.s != sc.scenario
+    GROUP BY 1, 2, 3
+), totals AS (
+    SELECT scenario, s, sum(n) AS total
+    FROM mod_trans GROUP BY scenario, s
+), st_rel AS (
+    SELECT DISTINCT scenario, state FROM (
+        SELECT scenario, s AS state FROM mod_trans
+        UNION ALL
+        SELECT scenario, t AS state FROM mod_trans
+        UNION ALL
+        SELECT scenario, 'conv' FROM scen
+        UNION ALL
+        SELECT scenario, 'null' FROM scen
+    )
+), steps(it, scenario, state, x) AS (
+    SELECT 0, scenario, state,
+           CASE WHEN state = 'conv' THEN {m}::BIGINT
+                ELSE 0::BIGINT END
+    FROM st_rel
+    UNION ALL
+    SELECT f.it, f.scenario, f.state, f.x FROM (
+        SELECT p.it + 1 AS it, p.scenario, p.state,
+               CASE WHEN p.state = 'conv' THEN {m}::BIGINT
+                    ELSE 0::BIGINT END AS x
+        FROM steps p
+        WHERE p.it < {_MK_ITERS} AND p.state IN ('conv', 'null')
+        UNION ALL
+        SELECT p.it + 1 AS it, mt.scenario, mt.s AS state,
+               (sum(mt.n * p.x) // greatest(t.total, 1))::BIGINT AS x
+        FROM steps p
+        JOIN mod_trans mt
+          ON mt.scenario = p.scenario AND mt.t = p.state
+        JOIN totals t
+          ON t.scenario = mt.scenario AND t.s = mt.s
+        WHERE p.it < {_MK_ITERS}
+        GROUP BY p.it, mt.scenario, mt.s, t.total
+    ) f
+), finals AS (
+    SELECT scenario, x FROM steps
+    WHERE it = {_MK_ITERS} AND state = 'start'
+), base AS (
+    SELECT x AS base_x FROM finals WHERE scenario = 'base'
+), eff AS (
+    SELECT f.scenario AS channel,
+           b.base_x,
+           f.x AS removed_raw,
+           greatest(b.base_x - f.x, 0) AS effect
+    FROM finals f, base b
+    WHERE f.scenario != 'base'
+)
+SELECT channel,
+       base_x::BIGINT AS base_conv_micro,
+       (base_x - effect)::BIGINT AS removed_conv_micro,
+       round(effect::DOUBLE / base_x, 6) AS removal_effect,
+       round(effect::DOUBLE / (SELECT sum(effect) FROM eff), 6)
+           AS attribution_share
+FROM eff
+ORDER BY channel
+"""
+
+
+QUERIES["markov_attribution"] = markov_attribution
+ORACLES["markov_attribution"] = _markov_sql()
