@@ -177,97 +177,78 @@ _MODULES = (
 # (lm_head_sample, jl_random_projection, hard_negative_mining,
 # sequence_packing, stream_windowed_distinct).
 #
-# ROTATION PLAN (round 8): the 36 never-attested rows after the r7
-# tranche lands — the 24 carried tail rows (relational/window:
-# customer_revenue_deciles, group_quantiles, price_histogram,
-# price_tier_revenue, nation_revenue_distribution,
-# nation_volume_shipping, profit_by_nation_year,
-# promo_revenue_by_month, discounted_part_revenue,
-# large_volume_customers, returned_items_top_customers,
-# ship_latency_histogram; graph/sampling/corpus:
-# pagerank_step, sampled_token_frequency, stratified_fixed_k_sample,
-# temperature_mixture_sample, weighted_corpus_sample,
-# supplier_cooccurrence_rules, embedding_centroids, kmeans_refine,
-# sq8_reconstruction_error, multimodal_metadata_pruning,
-# pareto_frontier_parts, zorder_mapping) plus the 13 in-round r7
-# additions (prototypicality_pruning, hdr_histogram_quantiles,
-# stream_hdr_quantiles, tokenizer_fertility_by_language,
-# epoch_budget_plan, mmr_diverse_topk, stream_mmr_serving,
-# l_diversity_audit, watermark_delay_recommendation,
-# lsh_parameter_planner, classifier_auc_report,
-# vacuum_retention_plan, markov_attribution), all of which arrived oracle-green at three
-# SFs and sf1-measured — one more 50-row rotation retires the debt
-# entirely, with headroom for r8 additions.
+# ROTATION (round 8 — this round): CORRECTNESS_r07 recorded all 50
+# declared rows green (the third consecutive 100%-first-time surface),
+# so the r7 surface rotates OUT with fresh attestations and this round
+# declares EVERY remaining never-attested row — the full debt-retiring
+# tranche named in COVERAGE.md's machine-checked ledger (the exact
+# membership and counts are derived live by
+# tests/test_coverage_doc.py::test_attestation_debt_arithmetic, which
+# is authoritative; this comment deliberately repeats no numbers).
+# The spare slots are filled with the strongest previously-green §2
+# proofs so the reference-parity surface (diff kernels, as-of, state
+# store, hierarchy closure, synchronize cascades, publish/dead-letter
+# streaming) re-attests concurrently, per the r7 verdict's item 1.
+# When CORRECTNESS_r08 comes back green the attestation debt is zero;
+# the post-debt STABLE surface policy is declared in COVERAGE.md.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # ROTATION (round 7): CORRECTNESS_r06 recorded all 50 declared rows
-    # green, so the r6 surface rotates OUT (each row keeps its r6
-    # attestation + the every-round pytest parity pin) and all 50 slots
-    # go to never-attested rows, leading with the late-r6 waves the r6
-    # verdict sequenced, then the last four §2-critical streaming
-    # proofs, then the relational/corpus tail. 20 never-attested rows
-    # remain for r8 (see COVERAGE.md rotation log).
-    #
-    # late-r6 embedding-PCA / distribution-fit / leakage waves
-    "embedding_pca_power",
-    "pca_projection_scores",
-    "stream_embedding_pca",
-    "zipf_fit",
-    "stream_zipf_fit",
-    "cross_split_leakage",
-    "leakage_safe_splits",
-    # dedup operating-point artifacts + model-quality reports
-    "dedup_threshold_curve",
-    "dedup_execution_manifest",
-    "classifier_calibration_report",
-    "bootstrap_ci_revenue",
-    "kaplan_meier_return_time",
-    "heldout_perplexity_eval",
-    "selection_ablation_report",
-    "mad_outlier_report",
-    # WARC crawl-release capstone + quarantine + interchange + frontier
-    "crawl_release_manifest",
-    "warc_ingest_quarantine",
-    "stream_warc_quarantine",
-    "orc_interchange_read",
-    "url_frontier_curation",
-    # streaming PQ / IVF-PQ serving index (FAISS train/add/search split)
-    "stream_pq_index",
-    "stream_pq_adc_topk",
-    "stream_ivfpq_probe",
-    "stream_warc_text_pipeline",
-    # last §2-critical streaming proofs without a recent driver row
-    "stream_dead_letter_box",
-    "stream_windowed_aggregation",
-    "stream_determine_change",
-    "stream_synchronize_docstore",
-    "stream_audio_ingest",
-    "stream_corpus_ingest",
-    # relational / window tail
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q22_idle_customers",
-    "grouping_sets_revenue",
-    "revenue_pivot_by_year",
-    "rolling_30d_customer_revenue",
-    "daily_activity_gap_fill",
-    # doc-lifecycle standalone proofs (errored in the r1 harness on
-    # array-typed output columns; serialized via array_join since r2 —
-    # the local parity pin has hashed them green every round since)
-    "breadcrumb_prefix_delete",
-    "derived_field_inherit",
-    "derived_field_uninherit",
-    "descendant_prefix_insert",
-    # graph / IR tail
-    "common_neighbor_topk",
-    "event_transition_matrix",
-    # corpus-curation tail
-    "benchmark_decontamination",
-    "corpus_build_manifest",
-    "domain_mixture_weights",
-    "dedup_minhash_signatures",
-    "image_perceptual_neardup",
-    "bpe_corpus_encode",
+    # --- the debt-retiring tranche: every never-attested row ---
+    # in-round r7 additions (each arrived oracle-green at three SFs)
+    "prototypicality_pruning",
+    "hdr_histogram_quantiles",
+    "stream_hdr_quantiles",
+    "tokenizer_fertility_by_language",
+    "epoch_budget_plan",
+    "mmr_diverse_topk",
+    "stream_mmr_serving",
+    "l_diversity_audit",
+    "watermark_delay_recommendation",
+    "lsh_parameter_planner",
+    "classifier_auc_report",
+    "vacuum_retention_plan",
+    "markov_attribution",
+    # carried relational / window tail
+    "customer_revenue_deciles",
+    "group_quantiles",
+    "price_histogram",
+    "price_tier_revenue",
+    "nation_revenue_distribution",
+    "nation_volume_shipping",
+    "profit_by_nation_year",
+    "promo_revenue_by_month",
+    "discounted_part_revenue",
+    "large_volume_customers",
+    "returned_items_top_customers",
+    "ship_latency_histogram",
+    # carried graph / sampling / corpus tail
+    "pagerank_step",
+    "sampled_token_frequency",
+    "stratified_fixed_k_sample",
+    "temperature_mixture_sample",
+    "weighted_corpus_sample",
+    "supplier_cooccurrence_rules",
+    "embedding_centroids",
+    "kmeans_refine",
+    "sq8_reconstruction_error",
+    "multimodal_metadata_pruning",
+    "pareto_frontier_parts",
+    "zorder_mapping",
+    # --- spare slots: strongest §2 re-attestations (all previously
+    # green; chosen to span diff kernels, as-of, state store, hierarchy,
+    # synchronize cascades, and the publish/dead-letter streaming path) ---
+    "attribute_diff",
+    "diff_event_materialization",
+    "asof_previous_version",
+    "state_store_lookups",
+    "store_filter_scan",
+    "dead_letter_split",
+    "supertype_closure",
+    "relationship_classification",
+    "breadcrumb_materialization",
+    "synchronize_rel_cascades",
+    "stream_publish_state",
+    "stream_get_entity_enrichment",
+    "stream_determine_change_entities",
 )
 
 
