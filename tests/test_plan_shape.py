@@ -909,3 +909,50 @@ def test_hdr_quantiles_validation_avoids_global_sort(plans):
     plan = plans["hdr_histogram_quantiles"]
     assert "Window" not in plan, plan
     assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
+
+
+def test_classifier_auc_rank_window_is_score_domain_bounded(plans, spark, sf_dir):
+    """classifier_auc_report's cumulative rank window is unpartitioned,
+    which is safe ONLY because its input is the per-score grouped
+    relation: scores are sigmoids rounded to 6 decimals, so the window
+    sees a value-domain-bounded relation (<= 1e6 + 1 rows) regardless
+    of corpus size — never the raw per-document rows (r7 verdict
+    performance note (a)). Two pins:
+
+    1. plan shape — the Window's child chain is Sort -> Exchange ->
+       HashAggregate keyed by score (the per_score aggregate), so the
+       single-task sort ranks score groups, not documents;
+    2. value property — every distinct score is exactly a 6-dp value in
+       [0, 1], so the group-key domain is capped by construction.
+    """
+    import re
+
+    plan = plans["classifier_auc_report"]
+    tree = plan.split("\n\n")[0]
+    lines = tree.split("\n")
+    win = next(i for i, l in enumerate(lines) if "Window (" in l)
+    below = "\n".join(lines[win + 1 : win + 4])
+    assert "Sort (" in below and "HashAggregate (" in below, tree
+    # the aggregate feeding the window groups by score (details section)
+    assert re.search(r"Keys \[1\]: \[score#\d+", plan), plan
+
+    from m4i_flink_tasks_spark.queries.quality_classifier import (
+        quality_classifier_scores,
+    )
+
+    import pyspark.sql.functions as F
+
+    bad = (
+        quality_classifier_scores(spark, sf_dir)
+        .select("score")
+        .where(
+            (F.col("score") < 0)
+            | (F.col("score") > 1)
+            # 6-dp rounding must be idempotent on every score (the
+            # group-key domain is the 6-dp grid, <= 1e6 + 1 values)
+            | (F.round(F.col("score"), 6) != F.col("score"))
+        )
+        .limit(1)
+        .collect()
+    )
+    assert not bad, f"score outside the 6-dp [0,1] domain: {bad}"
