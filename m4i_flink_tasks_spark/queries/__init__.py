@@ -237,7 +237,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # green; chosen to span diff kernels, as-of, state store, hierarchy,
     # synchronize cascades, and the publish/dead-letter streaming path) ---
     "attribute_diff",
-    "diff_event_materialization",
     "asof_previous_version",
     "state_store_lookups",
     "store_filter_scan",
@@ -249,6 +248,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "stream_publish_state",
     "stream_get_entity_enrichment",
     "stream_determine_change_entities",
+    # in-round r8 newcomer (arrived oracle-green at three SFs), declared
+    # immediately so the debt-zero milestone includes it; D7's spare slot
+    # yielded (diff_event_materialization — D7 holds a fresh r7 streaming
+    # attestation via stream_determine_change)
+    "stream_vacuum_plan",
 )
 
 

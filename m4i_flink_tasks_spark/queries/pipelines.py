@@ -1796,6 +1796,55 @@ ORDER BY q
 """
 
 
+def stream_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum/retention plan over the LIVE BucketedParquetUpsertStore
+    version log (streaming/vacuum_state.py): one upsert merge per order
+    year, then the plan is read from the store's real committed
+    snapshots via time travel, the real ``vacuum()`` runs, and the rows
+    record which snapshots actually survived. Last-writer-wins upsert
+    makes every column a pure SQL restatement over ``orders``; money
+    sums ride the exact integer-cents monoid."""
+    from ..streaming.vacuum_state import run_stream_vacuum_plan
+
+    return run_stream_vacuum_plan(spark, sf_dir, _workdir("vacuum_plan"))
+
+
+def _stream_vacuum_sql() -> str:
+    from .warehouse import _VACUUM_RETAIN
+
+    return f"""
+WITH ep AS (
+    SELECT year(o_orderdate)
+               - (SELECT min(year(o_orderdate)) FROM orders) AS epoch,
+           o_custkey,
+           count(*) AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT) AS cents
+    FROM orders GROUP BY 1, 2
+), versions AS (
+    SELECT DISTINCT epoch AS version FROM ep
+), latest AS (
+    SELECT v.version, e.o_custkey, e.n_orders, e.cents,
+           row_number() OVER (PARTITION BY v.version, e.o_custkey
+                              ORDER BY e.epoch DESC) AS rn
+    FROM versions v JOIN ep e ON e.epoch <= v.version
+), agg AS (
+    SELECT version,
+           count(*) AS n_keys,
+           sum(n_orders)::BIGINT AS total_orders,
+           sum(cents)::BIGINT AS total_cents
+    FROM latest WHERE rn = 1 GROUP BY version
+), m AS (SELECT max(version) AS mv FROM versions)
+SELECT version::INT AS version,
+       version::INT AS batch_id,
+       n_keys, total_orders, total_cents,
+       version <= mv - {_VACUUM_RETAIN} AS expired,
+       version > mv - {_VACUUM_RETAIN} AS retained,
+       mv::INT AS current_version
+FROM agg, m
+ORDER BY version
+"""
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1843,6 +1892,7 @@ QUERIES = {
     "stream_ivfpq_probe": stream_ivfpq_probe,
     "stream_hdr_quantiles": stream_hdr_quantiles,
     "stream_mmr_serving": stream_mmr_serving,
+    "stream_vacuum_plan": stream_vacuum_plan,
 }
 
 ORACLES = {
@@ -1892,4 +1942,5 @@ ORACLES = {
     "stream_ivfpq_probe": _stream_ivfpq_sql(),
     "stream_hdr_quantiles": _stream_hdr_sql(),
     "stream_mmr_serving": _stream_mmr_sql(),
+    "stream_vacuum_plan": _stream_vacuum_sql(),
 }
