@@ -1442,6 +1442,17 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["s"], r["t"]): r["n"]
         for r in _markov_transitions(spark, sf_dir).collect()
     }
+    return attribution_from_transitions(spark, trans)
+
+
+def attribution_from_transitions(
+    spark: SparkSession, trans: dict
+) -> DataFrame:
+    """Removal-effect solve + report over a collected transition-count
+    dict — shared by the batch query above and the streaming
+    maintained-state twin (``stream_markov_attribution``), whose state
+    equals the batch transitions for any batch split (additive counts +
+    per-user last-touch closure at readout)."""
     states = {s for s, _ in trans} | {t for _, t in trans}
     channels = sorted(states - {"start", "conv", "null"})
     base = _absorb_micro(trans, states)

@@ -1845,6 +1845,27 @@ ORDER BY version
 """
 
 
+def stream_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov removal-effect attribution
+    (streaming/markov_state.py): the |states|^2 transition counts are
+    an addition monoid maintained per batch, the per-user last touch is
+    keyed CDC state seeding each batch's lag window, and the open-
+    journey tail edges close at readout — so the maintained matrix
+    equals the batch _markov_transitions for any time-ordered split and
+    the batch integer-Jacobi oracle oracles the stream."""
+    from ..streaming.markov_state import run_stream_markov_attribution
+
+    return run_stream_markov_attribution(
+        spark, sf_dir, _workdir("markov_attribution")
+    )
+
+
+def _stream_markov_sql() -> str:
+    from .behavior import ORACLES as BEHAVIOR_ORACLES
+
+    return BEHAVIOR_ORACLES["markov_attribution"]
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1893,6 +1914,7 @@ QUERIES = {
     "stream_hdr_quantiles": stream_hdr_quantiles,
     "stream_mmr_serving": stream_mmr_serving,
     "stream_vacuum_plan": stream_vacuum_plan,
+    "stream_markov_attribution": stream_markov_attribution,
 }
 
 ORACLES = {
@@ -1943,4 +1965,5 @@ ORACLES = {
     "stream_hdr_quantiles": _stream_hdr_sql(),
     "stream_mmr_serving": _stream_mmr_sql(),
     "stream_vacuum_plan": _stream_vacuum_sql(),
+    "stream_markov_attribution": _stream_markov_sql(),
 }

@@ -506,6 +506,126 @@ QUERIES["l_diversity_audit"] = l_diversity_audit
 ORACLES["l_diversity_audit"] = L_DIVERSITY_SQL
 
 
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
+    Privacy Beyond k-Anonymity and l-Diversity", ICDE 2007) — the third
+    gate of the privacy triad: a class can be k-anonymous AND l-diverse
+    yet still leak if its sensitive-value DISTRIBUTION is skewed vs the
+    table's. For the categorical sensitive attribute the distance is
+    total variation (equal-ground EMD): tvd = ½·Σ_v |p_class(v) −
+    p_global(v)|.
+
+    Same conventions as its siblings: QI class = (nation,
+    balance-thousand-bucket), sensitive = market segment. ALL
+    comparisons are exact integers: with class size cs, table size N,
+    per-(class,v) count cnt_v and global count g_v,
+    num = Σ_{v in class}(|cnt_v·N − g_v·cs| − g_v·cs) + N·cs equals
+    Σ_{all v} |cnt_v·N − g_v·cs| without materializing absent values
+    (Σ_all g_v = N), tvd = num / (2·cs·N) as ONE final division, and
+    the t = 0.1 / 0.2 band thresholds compare 10·num / 5·num against
+    2·cs·N — integer-exact, so no float-summation-order drift can flip
+    a band. Scale shape: two map-side-combinable aggregates (cells,
+    then classes) + one broadcast of the |segments|-row global
+    distribution; output is band-bounded at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_nationkey",
+        (
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            / F.lit(100_000)
+        )
+        .cast("long")
+        .alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    glob = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    cells = base.groupBy(
+        "c_nationkey", "bal_bucket", "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("c_nationkey", "bal_bucket")
+    cells = (
+        cells.withColumn("cs", F.sum("cnt").over(wc))
+        .join(F.broadcast(glob), "c_mktsegment")
+        .crossJoin(F.broadcast(total))
+    )
+    classes = cells.groupBy("c_nationkey", "bal_bucket").agg(
+        F.max("cs").alias("cs"),
+        F.max("n_total").alias("n_total"),
+        F.sum(
+            F.abs(F.col("cnt") * F.col("n_total") - F.col("g") * F.col("cs"))
+            - F.col("g") * F.col("cs")
+        ).alias("num_partial"),
+    )
+    num = F.col("num_partial") + F.col("n_total") * F.col("cs")
+    den = F.lit(2) * F.col("cs") * F.col("n_total")
+    scored = classes.select(
+        "cs",
+        (num / den.cast("double")).alias("tvd"),
+        F.when(F.lit(10) * num <= den, "1 t-close (<=0.1)")
+        .when(F.lit(5) * num <= den, "2 near (<=0.2)")
+        .otherwise("3 violating (>0.2)")
+        .alias("band"),
+    )
+    return (
+        scored.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("cs").alias("n_rows"),
+            F.round(F.min("tvd"), 6).alias("min_tvd"),
+            F.round(F.max("tvd"), 6).alias("max_tvd"),
+        )
+        .orderBy("band")
+    )
+
+
+T_CLOSENESS_SQL = """
+WITH base AS (
+    SELECT c_nationkey,
+           round(c_acctbal * 100)::BIGINT // 100000 AS bal_bucket,
+           c_mktsegment
+    FROM customer
+), gdist AS (
+    SELECT c_mktsegment, count(*) AS g FROM base GROUP BY 1
+), total AS (SELECT count(*) AS n_total FROM base),
+cells AS (
+    SELECT c_nationkey, bal_bucket, c_mktsegment, count(*) AS cnt
+    FROM base GROUP BY 1, 2, 3
+), withcs AS (
+    SELECT c.*, sum(cnt) OVER (PARTITION BY c_nationkey, bal_bucket) AS cs,
+           g.g, t.n_total
+    FROM cells c JOIN gdist g USING (c_mktsegment) CROSS JOIN total t
+), classes AS (
+    SELECT c_nationkey, bal_bucket, max(cs) AS cs, max(n_total) AS n_total,
+           sum(abs(cnt * n_total - g * cs) - g * cs) AS num_partial
+    FROM withcs GROUP BY 1, 2
+), scored AS (
+    SELECT cs,
+           (num_partial + n_total * cs)
+               / (2.0 * cs * n_total) AS tvd,
+           CASE WHEN 10 * (num_partial + n_total * cs)
+                     <= 2 * cs * n_total THEN '1 t-close (<=0.1)'
+                WHEN 5 * (num_partial + n_total * cs)
+                     <= 2 * cs * n_total THEN '2 near (<=0.2)'
+                ELSE '3 violating (>0.2)' END AS band
+    FROM classes
+)
+SELECT band,
+       count(*) AS n_classes,
+       sum(cs)::BIGINT AS n_rows,
+       round(min(tvd), 6) AS min_tvd,
+       round(max(tvd), 6) AS max_tvd
+FROM scored
+GROUP BY band
+ORDER BY band
+"""
+
+QUERIES["t_closeness_audit"] = t_closeness_audit
+ORACLES["t_closeness_audit"] = T_CLOSENESS_SQL
+
+
 def numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation across lineitem's numeric columns —
     the feature-selection read a modeling pipeline takes before
