@@ -8,6 +8,8 @@ the defensive round(6).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1416,6 +1418,116 @@ QUERIES["ann_multiprobe_topk"] = ann_multiprobe_topk
 ORACLES["semantic_dedup"] = SEMANTIC_DEDUP_SQL
 ORACLES["ann_recall_at_k"] = ANN_RECALL_SQL
 ORACLES["ann_multiprobe_topk"] = ANN_MULTIPROBE_SQL
+
+
+# Rank discounts 1/log2(rank+1) precomputed as PYTHON LITERALS and
+# embedded verbatim in both engines, so no libm log2 ulp difference can
+# exist; the only remaining float op is a 10-term product-sum of
+# identical doubles. IDCG (ideal = exact top-k order, graded gains
+# 2^rel - 1 with rel = k..1) is likewise one shared literal.
+_NDCG_DISC = {i: 1.0 / math.log2(i + 1) for i in range(1, _TOPK + 1)}
+_NDCG_IDCG = sum(
+    (2 ** (_TOPK - i + 1) - 1) * _NDCG_DISC[i] for i in range(1, _TOPK + 1)
+)
+
+
+def ann_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality report for the LSH-bucketed ANN vs the exact
+    scan — NDCG@k and MRR beside ann_recall_at_k's set overlap
+    (Järvelin & Kekäläinen, TOIS 2002; the standard offline eval of an
+    approximate retriever before it replaces brute force). Graded
+    relevance of an approx hit = k − exact_rank + 1 (0 if outside the
+    exact top-k); MRR is the reciprocal rank of the first relevant
+    approx hit.
+
+    Cost shape = recall@k's: one exact scan + one bucket probe; every
+    rank window runs on a ≤ k-row relation. Output: one row."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w_rank = Window.orderBy(F.desc("cosine_sim"), "vec_id")
+    exact = (
+        S.brute_force_topk(emb, _QUERY_VEC_ID, _TOPK)
+        .select("vec_id", "cosine_sim")
+        .withColumn("rank_e", F.row_number().over(w_rank))
+        .drop("cosine_sim")
+    )
+    approx = (
+        S.lsh_bucketed_topk(emb, _QUERY_VEC_ID, _TOPK, bits=_GATE_LSH_BITS)
+        .select("vec_id", "cosine_sim")
+        .withColumn("rank_a", F.row_number().over(w_rank))
+        .drop("cosine_sim")
+    )
+    disc = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for i in range(1, _TOPK + 1)
+                for x in (i, _NDCG_DISC[i])
+            ]
+        ),
+        F.col("rank_a"),
+    )
+    rel = F.coalesce(F.lit(_TOPK) + 1 - F.col("rank_e"), F.lit(0))
+    scored = approx.join(exact, "vec_id", "left").select(
+        rel.alias("rel"), disc.alias("disc"), "rank_a"
+    )
+    report = scored.agg(
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_hits"),
+        F.sum((F.pow(F.lit(2.0), F.col("rel")) - 1) * F.col("disc")).alias(
+            "dcg"
+        ),
+        F.min(F.when(F.col("rel") > 0, F.col("rank_a"))).alias(
+            "first_hit"
+        ),
+    )
+    return report.select(
+        F.lit(_TOPK).alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(_TOPK), 6).alias("recall"),
+        F.round(F.col("dcg") / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )
+
+
+_NDCG_DISC_CASE = " ".join(
+    f"WHEN {i} THEN {_NDCG_DISC[i]!r}" for i in range(1, _TOPK + 1)
+)
+
+ANN_NDCG_SQL = f"""
+WITH exact_topk AS ({ANN_BRUTE_SQL.strip()}),
+approx_topk AS ({ANN_LSH_SQL.strip()}),
+exact_r AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank_e
+    FROM exact_topk
+), approx_r AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank_a
+    FROM approx_topk
+), scored AS (
+    SELECT coalesce({_TOPK} + 1 - e.rank_e, 0) AS rel,
+           CASE a.rank_a {_NDCG_DISC_CASE} END AS disc,
+           a.rank_a
+    FROM approx_r a LEFT JOIN exact_r e USING (vec_id)
+), agg AS (
+    SELECT sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           sum((pow(2.0, rel) - 1) * disc) AS dcg,
+           min(CASE WHEN rel > 0 THEN rank_a END) AS first_hit
+    FROM scored
+)
+SELECT {_TOPK} AS k,
+       n_hits,
+       round(n_hits / {_TOPK}.0, 6) AS recall,
+       round(dcg / {_NDCG_IDCG!r}, 6) AS ndcg,
+       round(coalesce(1.0 / first_hit, 0.0), 6) AS mrr
+FROM agg
+"""
+
+QUERIES["ann_ndcg_mrr_report"] = ann_ndcg_mrr_report
+ORACLES["ann_ndcg_mrr_report"] = ANN_NDCG_SQL
 
 
 def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:

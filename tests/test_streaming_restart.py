@@ -559,3 +559,47 @@ def test_rate_anomalies_mid_stream_restart(spark, sf_dir):
         map(tuple, event_rate_anomalies(spark, sf_dir).collect())
     )
     assert final == exp
+
+
+def test_markov_attribution_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming attribution maintenance mid-stream and
+    restart: transition-count monoid, per-user last-touch state and
+    checkpointed offsets must reproduce the one-shot report — including
+    cross-batch edges whose first half (the user's last touch) was seen
+    before the crash and journey tails that re-open after it."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.markov_state import (
+        run_stream_markov_attribution,
+        stage_event_topic,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_mk_ref_")
+    expected = sorted(
+        map(
+            tuple,
+            run_stream_markov_attribution(spark, sf_dir, wd_ref).collect(),
+        )
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_mk_restart_")
+    staging = stage_event_topic(
+        spark, sf_dir, os.path.join(wd, "staging_events"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_mk_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_markov_attribution(spark, sf_dir, wd)
+    assert first.count() > 0  # partial-stream report still well-formed
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_markov_attribution(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
