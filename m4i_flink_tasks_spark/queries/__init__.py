@@ -239,20 +239,27 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "attribute_diff",
     "asof_previous_version",
     "state_store_lookups",
-    "store_filter_scan",
-    "dead_letter_split",
     "supertype_closure",
-    "relationship_classification",
-    "breadcrumb_materialization",
     "synchronize_rel_cascades",
     "stream_publish_state",
     "stream_get_entity_enrichment",
     "stream_determine_change_entities",
-    # in-round r8 newcomer (arrived oracle-green at three SFs), declared
-    # immediately so the debt-zero milestone includes it; D7's spare slot
-    # yielded (diff_event_materialization — D7 holds a fresh r7 streaming
-    # attestation via stream_determine_change)
+    # in-round r8 newcomers (each arrived oracle-green at three SFs),
+    # declared immediately so the debt-zero milestone includes them.
+    # Five spare slots yielded, each to keep a family's MOST redundant
+    # proof out rather than a unique one: diff_event_materialization
+    # (D7 holds a fresh r7 streaming row via stream_determine_change),
+    # store_filter_scan (S8/Q3 keep state_store_lookups declared),
+    # dead_letter_split (S3 holds stream_dead_letter_box r7 + the
+    # declared stream_publish_state dead-letter channel),
+    # relationship_classification and breadcrumb_materialization
+    # (G5-G10 r4-pinned and re-exercised end-to-end by the r7
+    # stream_synchronize_docstore row).
     "stream_vacuum_plan",
+    "t_closeness_audit",
+    "stream_markov_attribution",
+    "ann_ndcg_mrr_report",
+    "kneser_ney_perplexity",
 )
 
 
