@@ -237,16 +237,13 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # green; chosen to span diff kernels, as-of, state store, hierarchy,
     # synchronize cascades, and the publish/dead-letter streaming path) ---
     "attribute_diff",
-    "asof_previous_version",
     "state_store_lookups",
-    "supertype_closure",
     "synchronize_rel_cascades",
     "stream_publish_state",
-    "stream_get_entity_enrichment",
     "stream_determine_change_entities",
     # in-round r8 newcomers (each arrived oracle-green at three SFs),
     # declared immediately so the debt-zero milestone includes them.
-    # Five spare slots yielded, each to keep a family's MOST redundant
+    # Eight spare slots yielded, each to keep a family's MOST redundant
     # proof out rather than a unique one: diff_event_materialization
     # (D7 holds a fresh r7 streaming row via stream_determine_change),
     # store_filter_scan (S8/Q3 keep state_store_lookups declared),
@@ -254,12 +251,19 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # declared stream_publish_state dead-letter channel),
     # relationship_classification and breadcrumb_materialization
     # (G5-G10 r4-pinned and re-exercised end-to-end by the r7
-    # stream_synchronize_docstore row).
+    # stream_synchronize_docstore row), asof_previous_version (D8's
+    # streaming proof stream_determine_change_entities stays declared),
+    # supertype_closure (G1 r4-pinned, exercised inside the declared
+    # synchronize cascade), stream_get_entity_enrichment (S12/P1
+    # r4-pinned).
     "stream_vacuum_plan",
     "t_closeness_audit",
+    "stream_t_closeness",
     "stream_markov_attribution",
     "ann_ndcg_mrr_report",
     "kneser_ney_perplexity",
+    "adamic_adar_topk",
+    "sequential_ab_msprt",
 )
 
 

@@ -1588,3 +1588,179 @@ ORDER BY channel
 
 QUERIES["markov_attribution"] = markov_attribution
 ORACLES["markov_attribution"] = _markov_sql()
+
+
+# --------------------------------------------------------------------------
+# Always-valid sequential A/B monitoring — mixture SPRT (Robbins 1970;
+# Johari, Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD 2017).
+# ab_test_report's fixed-horizon z-test is only valid at ONE
+# pre-committed look; a dashboard that peeks daily inflates its false
+# positive rate. The mSPRT statistic is a martingale under H0, so
+# p_n = min(1, min_{m<=n} 1/Lambda_m) is a valid p-value at EVERY look.
+#
+# Lambda_n = sqrt(V/(V+tau)) * exp(tau * d^2 / (2 V (V+tau)))
+# with d = difference of conversion rates, V = pooled Bernoulli
+# variance of d, tau = the mixture variance over effect sizes.
+#
+# Determinism: the sequential inputs are CUMULATIVE INTEGER counts
+# (running-sum windows in day order — exact), each day's statistic is
+# an independent float expression on those integers (no float
+# accumulation), and the running min over 1/Lambda is order-exact.
+# The verdict cliff compares the ROUNDED p (6 dp) against alpha, the
+# ab_test_report convention.
+# --------------------------------------------------------------------------
+
+_MSPRT_TAU = 0.001
+_MSPRT_ALPHA = 0.05
+
+
+def sequential_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.select("user_id", "event_type", "value", "ts")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("day"),
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= _AB_CONV_VALUE)
+                ).cast("int")
+            ).alias("converted"),
+        )
+        .withColumn(
+            "is_b",
+            (
+                T.scrambled_hash(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).cast("int"),
+        )
+    )
+    daily = users.groupBy("day").agg(
+        F.sum(1 - F.col("is_b")).alias("na_d"),
+        F.sum((1 - F.col("is_b")) * F.col("converted")).alias("xa_d"),
+        F.sum("is_b").alias("nb_d"),
+        F.sum(F.col("is_b") * F.col("converted")).alias("xb_d"),
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum("na_d").over(w_cum).alias("n_a"),
+        F.sum("xa_d").over(w_cum).alias("x_a"),
+        F.sum("nb_d").over(w_cum).alias("n_b"),
+        F.sum("xb_d").over(w_cum).alias("x_b"),
+    )
+    p_pool = (F.col("x_a") + F.col("x_b")) / (F.col("n_a") + F.col("n_b"))
+    v = (
+        p_pool
+        * (1 - p_pool)
+        * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    d = F.col("x_a") / F.col("n_a") - F.col("x_b") / F.col("n_b")
+    tau = F.lit(_MSPRT_TAU)
+    lam = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (v > 0),
+        F.sqrt(v / (v + tau))
+        * F.exp(tau * d * d / (2 * v * (v + tau))),
+    ).otherwise(F.lit(1.0))
+    w_min = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored = cum.select(
+        "day",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        lam.alias("lam_raw"),
+    ).select(
+        "day",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round("lam_raw", 4).alias("msprt_lambda"),
+        F.round(
+            F.least(F.lit(1.0), F.min(1 / F.col("lam_raw")).over(w_min)),
+            6,
+        ).alias("p_always_valid"),
+    )
+    return scored.select(
+        "*",
+        (F.col("p_always_valid") <= _MSPRT_ALPHA).alias("reject_h0"),
+    ).orderBy("day")
+
+
+def _msprt_sql() -> str:
+    from .sketches import _scrambled_hash_sql
+
+    h = _scrambled_hash_sql("'ab:' || user_id::VARCHAR")
+    t = _MSPRT_TAU
+    return f"""
+WITH users AS (
+    SELECT user_id,
+           min(ts::DATE) AS day,
+           max(CASE WHEN event_type = 'purchase'
+                     AND value >= {_AB_CONV_VALUE} THEN 1 ELSE 0 END)
+               AS converted,
+           CASE WHEN ({h}) % 2 = 0 THEN 0 ELSE 1 END AS is_b
+    FROM events
+    GROUP BY user_id
+), daily AS (
+    SELECT day,
+           sum(1 - is_b) AS na_d,
+           sum((1 - is_b) * converted) AS xa_d,
+           sum(is_b) AS nb_d,
+           sum(is_b * converted) AS xb_d
+    FROM users GROUP BY day
+), cum AS (
+    SELECT day,
+           (sum(na_d) OVER w)::BIGINT AS n_a,
+           (sum(xa_d) OVER w)::BIGINT AS x_a,
+           (sum(nb_d) OVER w)::BIGINT AS n_b,
+           (sum(xb_d) OVER w)::BIGINT AS x_b
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), lam AS (
+    SELECT day, n_a, x_a, n_b, x_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND
+                     ((x_a + x_b)::DOUBLE / (n_a + n_b))
+                     * (1 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b) > 0
+                THEN sqrt(
+                        (((x_a + x_b)::DOUBLE / (n_a + n_b))
+                         * (1 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+                        / (((x_a + x_b)::DOUBLE / (n_a + n_b))
+                           * (1 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b) + {t}))
+                     * exp({t}
+                           * (x_a::DOUBLE / n_a - x_b::DOUBLE / n_b)
+                           * (x_a::DOUBLE / n_a - x_b::DOUBLE / n_b)
+                           / (2 * (((x_a + x_b)::DOUBLE / (n_a + n_b))
+                                   * (1 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                                   * (1.0 / n_a + 1.0 / n_b))
+                              * (((x_a + x_b)::DOUBLE / (n_a + n_b))
+                                 * (1 - (x_a + x_b)::DOUBLE / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b) + {t})))
+                ELSE 1.0 END AS lam_raw
+    FROM cum
+)
+SELECT day, n_a, x_a, n_b, x_b,
+       round(lam_raw, 4) AS msprt_lambda,
+       round(least(1.0, min(1 / lam_raw) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           AS p_always_valid,
+       round(least(1.0, min(1 / lam_raw) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           <= {_MSPRT_ALPHA} AS reject_h0
+FROM lam
+ORDER BY day
+"""
+
+
+QUERIES["sequential_ab_msprt"] = sequential_ab_msprt
+ORACLES["sequential_ab_msprt"] = _msprt_sql()

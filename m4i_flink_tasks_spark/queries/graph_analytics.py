@@ -304,16 +304,107 @@ LIMIT 10
 """
 
 
+def adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar, "Friends and
+    neighbors on the Web", Social Networks 2003) beside the raw
+    common-neighbor count: each shared neighbor z contributes
+    1/ln(deg(z)), so hub co-neighbors count less. Every wedge center
+    has degree >= 2 by construction (it connects u and w), so the
+    discount is always finite.
+
+    Determinism: each wedge term is snapped to INTEGER micro-units
+    (round(1e6/ln(deg))) before the per-pair sum, so the score is an
+    order-free integer monoid and the ranking can never move on float
+    summation order (the repo's integer-Jacobi convention); the float
+    score column is one final division. Same wedge-join skeleton and
+    TakeOrdered top-k as common_neighbor_topk."""
+    edges = _supplier_edges(spark, sf_dir)
+    sym = edges.select("s1", "s2").unionAll(
+        edges.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    deg = sym.groupBy("s1").agg(F.count(F.lit(1)).alias("deg"))
+    p1 = sym.alias("p1")
+    p2 = sym.alias("p2")
+    wedges = p1.join(
+        p2,
+        (F.col("p1.s2") == F.col("p2.s1"))
+        & (F.col("p1.s1") < F.col("p2.s2")),
+    ).select(
+        F.col("p1.s1").alias("u"),
+        F.col("p1.s2").alias("z"),
+        F.col("p2.s2").alias("w"),
+    )
+    scored = (
+        wedges.join(
+            F.broadcast(deg.withColumnRenamed("s1", "z")), "z"
+        )
+        .select(
+            "u",
+            "w",
+            F.round(F.lit(1_000_000) / F.log(F.col("deg")))
+            .cast("long")
+            .alias("term"),
+        )
+        .groupBy("u", "w")
+        .agg(F.sum("term").alias("aa_micro"))
+    )
+    existing = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("w")
+    )
+    return (
+        scored.join(existing, ["u", "w"], "left_anti")
+        .orderBy(F.desc("aa_micro"), "u", "w")
+        .limit(10)
+        .select(
+            F.col("u").alias("suppkey_a"),
+            F.col("w").alias("suppkey_b"),
+            "aa_micro",
+            F.round(F.col("aa_micro") / 1e6, 6).alias("aa_score"),
+        )
+    )
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH {_EDGES_SQL},
+sym AS (
+    SELECT s1, s2 FROM edges
+    UNION ALL
+    SELECT s2 AS s1, s1 AS s2 FROM edges
+),
+deg AS (SELECT s1 AS z, count(*) AS deg FROM sym GROUP BY 1),
+wedges AS (
+    SELECT p1.s1 AS u, p1.s2 AS z, p2.s2 AS w
+    FROM sym p1
+    JOIN sym p2 ON p1.s2 = p2.s1 AND p1.s1 < p2.s2
+),
+scored AS (
+    SELECT u, w,
+           sum(round(1000000 / ln(deg))::BIGINT)::BIGINT AS aa_micro
+    FROM wedges JOIN deg USING (z)
+    GROUP BY u, w
+)
+SELECT u AS suppkey_a, w AS suppkey_b, aa_micro,
+       round(aa_micro / 1e6, 6) AS aa_score
+FROM scored
+WHERE NOT EXISTS (SELECT 1 FROM edges
+                  WHERE edges.s1 = scored.u AND edges.s2 = scored.w)
+ORDER BY aa_micro DESC, u, w
+LIMIT 10
+"""
+
+
 QUERIES = {
     "degree_distribution": degree_distribution,
     "triangle_count": triangle_count,
     "common_neighbor_topk": common_neighbor_topk,
+    "adamic_adar_topk": adamic_adar_topk,
 }
 
 ORACLES = {
     "degree_distribution": DEGREE_DISTRIBUTION_SQL,
     "triangle_count": TRIANGLE_COUNT_SQL,
     "common_neighbor_topk": COMMON_NEIGHBOR_SQL,
+    "adamic_adar_topk": ADAMIC_ADAR_SQL,
 }
 
 

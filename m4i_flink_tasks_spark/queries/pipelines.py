@@ -1866,6 +1866,23 @@ def _stream_markov_sql() -> str:
     return BEHAVIOR_ORACLES["markov_attribution"]
 
 
+def stream_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-closeness maintenance (streaming/privacy_state.py):
+    the (QI class, sensitive value) cell counts are an addition monoid
+    kept as keyed state, the global distribution re-derives from the
+    cells at readout, and the shared exact-integer banding makes the
+    batch T_CLOSENESS_SQL the stream's oracle for any batch split."""
+    from ..streaming.privacy_state import run_stream_t_closeness
+
+    return run_stream_t_closeness(spark, sf_dir, _workdir("t_closeness"))
+
+
+def _stream_t_closeness_sql() -> str:
+    from .profiling import T_CLOSENESS_SQL
+
+    return T_CLOSENESS_SQL
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1915,6 +1932,7 @@ QUERIES = {
     "stream_mmr_serving": stream_mmr_serving,
     "stream_vacuum_plan": stream_vacuum_plan,
     "stream_markov_attribution": stream_markov_attribution,
+    "stream_t_closeness": stream_t_closeness,
 }
 
 ORACLES = {
@@ -1966,4 +1984,5 @@ ORACLES = {
     "stream_mmr_serving": _stream_mmr_sql(),
     "stream_vacuum_plan": _stream_vacuum_sql(),
     "stream_markov_attribution": _stream_markov_sql(),
+    "stream_t_closeness": _stream_t_closeness_sql(),
 }

@@ -538,13 +538,22 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_bucket"),
         "c_mktsegment",
     )
-    glob = base.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("g")
-    )
-    total = base.agg(F.count(F.lit(1)).alias("n_total"))
     cells = base.groupBy(
         "c_nationkey", "bal_bucket", "c_mktsegment"
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return t_closeness_from_cells(cells)
+
+
+def t_closeness_from_cells(cells: DataFrame) -> DataFrame:
+    """The banding readout over any (c_nationkey, bal_bucket,
+    c_mktsegment) -> cnt cell relation — shared by the batch audit
+    above and the streaming maintained-cells twin
+    (``stream_t_closeness``), whose additive keyed state equals the
+    batch cells for any batch split. The global distribution and table
+    total re-derive FROM the cells (sum over classes), so the audit is
+    self-contained on its state."""
+    glob = cells.groupBy("c_mktsegment").agg(F.sum("cnt").alias("g"))
+    total = cells.agg(F.sum("cnt").alias("n_total"))
     wc = Window.partitionBy("c_nationkey", "bal_bucket")
     cells = (
         cells.withColumn("cs", F.sum("cnt").over(wc))
