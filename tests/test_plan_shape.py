@@ -956,3 +956,98 @@ def test_classifier_auc_rank_window_is_score_domain_bounded(plans, spark, sf_dir
         .collect()
     )
     assert not bad, f"score outside the 6-dp [0,1] domain: {bad}"
+
+
+# Queries whose plan legitimately contains a Window over an
+# Exchange(SinglePartition) — every one ranks a relation that is
+# ALREADY REDUCED far below corpus size, so the single-task sort is
+# bounded no matter how large the input tables grow. The bound, per
+# query:
+#   classifier_auc_report      score-distinct grid (<= 1e6 + 1 rows)
+#   zipf_fit                   vocabulary (Heaps-law sublinear)
+#   tokenizer_fertility_by_language   language-count relation
+#   selection_ablation_report  one row per ablation arm
+#   sequential_ab_msprt        one row per calendar day
+#   daily_anomaly_zscores      one row per calendar day
+#   watermark_delay_recommendation    event_id/1024 bucket maxima +
+#                              per-type rank relations (documented
+#                              two-level prefix decomposition)
+#   corpus_build_manifest      one row per pipeline stage
+#   kaplan_meier_return_time   distinct return-delay days
+#   nation_revenue_distribution / q11_important_parts /
+#   pareto_frontier_parts      nation- / part-count dimensions
+#   customer_revenue_deciles / rfm_segments   per-customer aggregate
+#                              (the dimension a CRM ranks; at larger
+#                              scale the same decile thresholds come
+#                              from the bounded two-pass selection)
+#   ngram_lm_perplexity / kneser_ney_perplexity / lm_head_sample /
+#   curriculum_shards / temperature_mixture_sample   per-document
+#                              score relation (ntile bucketing of the
+#                              corpus catalog, not of token-level data)
+_GLOBAL_RANK_BOUNDED = {
+    "classifier_auc_report",
+    "corpus_build_manifest",
+    "curriculum_shards",
+    "customer_revenue_deciles",
+    "daily_anomaly_zscores",
+    "kaplan_meier_return_time",
+    "kneser_ney_perplexity",
+    "lm_head_sample",
+    "nation_revenue_distribution",
+    "ngram_lm_perplexity",
+    "pareto_frontier_parts",
+    "q11_important_parts",
+    "rfm_segments",
+    "selection_ablation_report",
+    "sequential_ab_msprt",
+    "temperature_mixture_sample",
+    "tokenizer_fertility_by_language",
+    "watermark_delay_recommendation",
+    "zipf_fit",
+}
+
+
+def _single_partition_window_count(plan: str) -> int:
+    import re
+
+    tree = plan.split("\n\n")[0]
+    lines = tree.split("\n")
+    flagged = 0
+    for i, line in enumerate(lines):
+        if re.search(r"Window(?:GroupLimit)? \(\d+\)", line):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                m = re.search(r"Exchange \((\d+)\)", lines[j])
+                if m:
+                    nid = m.group(1)
+                    dm = re.search(
+                        rf"\({nid}\) Exchange\n(?:.*\n)*?Arguments: (\w+)",
+                        plan,
+                    )
+                    if dm and dm.group(1) == "SinglePartition":
+                        flagged += 1
+                    break
+    return flagged
+
+
+def test_single_partition_windows_stay_on_the_bounded_allowlist(plans):
+    """Structural guard on the one plan shape that silently stops
+    scaling: a Window whose input is Exchange(SinglePartition) is a
+    one-task global sort, acceptable ONLY over a relation bounded far
+    below corpus size. Every such window in the registry must belong
+    to the audited allowlist above (each entry's bound is documented
+    there); a new query that global-sorts raw rows fails here instead
+    of surviving to a scale rehearsal."""
+    flagged = {
+        name for name, plan in plans.items()
+        if _single_partition_window_count(plan) > 0
+    }
+    unexplained = flagged - _GLOBAL_RANK_BOUNDED
+    assert not unexplained, (
+        "new single-partition global-rank windows need a documented "
+        f"bound: {sorted(unexplained)}"
+    )
+    stale = _GLOBAL_RANK_BOUNDED - flagged
+    assert not stale, (
+        "allowlist entries no longer have the plan shape (prune them): "
+        f"{sorted(stale)}"
+    )
