@@ -87,3 +87,29 @@ def test_time_travel_post_vacuum_matches_the_plan(
     oldest_retained = min(r["version"] for r in plan if r["retained"])
     row = next(r for r in plan if r["version"] == oldest_retained)
     assert store.read_version(oldest_retained).count() == row["n_keys"]
+
+
+def test_rerun_against_checkpoint_leaves_the_store_untouched(
+    plan_and_workdir, spark, sf_dir
+):
+    """Restarting the drained pipeline against its checkpoint must not
+    write a single new version or snapshot (the file source finds no
+    new files; the batch-id fences are never even consulted), and the
+    re-read plan over the post-vacuum store covers exactly the
+    retained versions."""
+    plan, workdir = plan_and_workdir
+    root = os.path.join(workdir, "order_state")
+    before = sorted(os.listdir(root))
+    from m4i_flink_tasks_spark.streaming.vacuum_state import (
+        run_stream_vacuum_plan,
+    )
+
+    replan = run_stream_vacuum_plan(spark, sf_dir, workdir).collect()
+    assert sorted(os.listdir(root)) == before
+    survivors = sorted(r["version"] for r in plan if r["retained"])
+    assert sorted(r["version"] for r in replan) == survivors
+    # per-version facts unchanged for the surviving versions
+    by_v = {r["version"]: r for r in plan}
+    for r in replan:
+        assert r["n_keys"] == by_v[r["version"]]["n_keys"]
+        assert r["total_cents"] == by_v[r["version"]]["total_cents"]
