@@ -1051,3 +1051,14 @@ def test_single_partition_windows_stay_on_the_bounded_allowlist(plans):
         "allowlist entries no longer have the plan shape (prune them): "
         f"{sorted(stale)}"
     )
+
+
+def test_no_cartesian_product_anywhere(plans):
+    """A CartesianProduct node is a shuffled |L| x |R| blow-up with no
+    broadcast side — never acceptable at any scale. The registry's only
+    sanctioned cross joins are BroadcastNestedLoopJoins whose build
+    side is a one-row scalar or dimension-sized frame (the
+    crossJoin(broadcast(...)) idiom); this pins the stronger shape out
+    entirely."""
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian product in: {offenders}"
