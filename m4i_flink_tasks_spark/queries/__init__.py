@@ -238,7 +238,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # synchronize cascades, and the publish/dead-letter streaming path) ---
     "attribute_diff",
     "state_store_lookups",
-    "synchronize_rel_cascades",
     "stream_publish_state",
     "stream_determine_change_entities",
     # in-round r8 newcomers (each arrived oracle-green at three SFs),
@@ -264,6 +263,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "kneser_ney_perplexity",
     "adamic_adar_topk",
     "sequential_ab_msprt",
+    # a ninth r8 newcomer: the mSPRT monitor's streaming twin (per-user
+    # idempotent-monoid state + the shared readout); its slot came from
+    # synchronize_rel_cascades, whose G26/G27 semantics hold a fresh r7
+    # driver row via stream_synchronize_docstore
+    "stream_sequential_ab",
 )
 
 

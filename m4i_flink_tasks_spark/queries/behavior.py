@@ -1615,8 +1615,6 @@ _MSPRT_ALPHA = 0.05
 
 
 def sequential_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     events = load_table(spark, sf_dir, "events")
     users = (
         events.select("user_id", "event_type", "value", "ts")
@@ -1630,15 +1628,28 @@ def sequential_ab_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("int")
             ).alias("converted"),
         )
-        .withColumn(
-            "is_b",
-            (
-                T.scrambled_hash(
-                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
-                )
-                % 2
-            ).cast("int"),
-        )
+    )
+    return msprt_from_users(users)
+
+
+def msprt_from_users(users: DataFrame) -> DataFrame:
+    """The sequential-monitoring readout over any (user_id, day,
+    converted) relation — shared by the batch query above and the
+    streaming maintained-state twin (``stream_sequential_ab``), whose
+    per-user keyed state (min first-day, max converted — both
+    idempotent monoids) equals the batch user reduction for any batch
+    split. Variant assignment happens here (deterministic hash), so
+    state never stores it."""
+    from pyspark.sql.window import Window as W
+
+    users = users.withColumn(
+        "is_b",
+        (
+            T.scrambled_hash(
+                F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+            )
+            % 2
+        ).cast("int"),
     )
     daily = users.groupBy("day").agg(
         F.sum(1 - F.col("is_b")).alias("na_d"),

@@ -1883,6 +1883,23 @@ def _stream_t_closeness_sql() -> str:
     return T_CLOSENESS_SQL
 
 
+def stream_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming always-valid A/B monitoring (streaming/ab_state.py):
+    per-user (min first-day, max converted) keyed state — idempotent
+    monoids, so the maintained relation equals the batch user reduction
+    for any split — then the shared mSPRT readout; the batch oracle
+    oracles the stream."""
+    from ..streaming.ab_state import run_stream_sequential_ab
+
+    return run_stream_sequential_ab(spark, sf_dir, _workdir("seq_ab"))
+
+
+def _stream_seq_ab_sql() -> str:
+    from .behavior import ORACLES as BEHAVIOR_ORACLES
+
+    return BEHAVIOR_ORACLES["sequential_ab_msprt"]
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
@@ -1933,6 +1950,7 @@ QUERIES = {
     "stream_vacuum_plan": stream_vacuum_plan,
     "stream_markov_attribution": stream_markov_attribution,
     "stream_t_closeness": stream_t_closeness,
+    "stream_sequential_ab": stream_sequential_ab,
 }
 
 ORACLES = {
@@ -1985,4 +2003,5 @@ ORACLES = {
     "stream_vacuum_plan": _stream_vacuum_sql(),
     "stream_markov_attribution": _stream_markov_sql(),
     "stream_t_closeness": _stream_t_closeness_sql(),
+    "stream_sequential_ab": _stream_seq_ab_sql(),
 }

@@ -603,3 +603,85 @@ def test_markov_attribution_mid_stream_restart(spark, sf_dir):
         os.utime(p, (mtimes[p], mtimes[p]))
     second = run_stream_markov_attribution(spark, sf_dir, wd)
     assert sorted(map(tuple, second.collect())) == expected
+
+
+def test_t_closeness_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming privacy monitor mid-stream and restart: the
+    additive cell-count state plus checkpointed offsets must reproduce
+    the one-shot audit."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.privacy_state import (
+        run_stream_t_closeness,
+        stage_customer_rows,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_tc_ref_")
+    expected = sorted(
+        map(tuple, run_stream_t_closeness(spark, sf_dir, wd_ref).collect())
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_tc_restart_")
+    staging = stage_customer_rows(
+        spark, sf_dir, os.path.join(wd, "staging_customers"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_tc_hidden_")
+    later = parts[2:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_t_closeness(spark, sf_dir, wd)
+    assert first.count() > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_t_closeness(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
+
+
+def test_sequential_ab_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming A/B monitor mid-stream and restart: the
+    per-user idempotent-monoid state must reproduce the one-shot
+    report — including users whose first exposure and conversion
+    straddle the crash."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.ab_state import (
+        run_stream_sequential_ab,
+        stage_ab_events,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_ab_ref_")
+    expected = sorted(
+        map(
+            tuple,
+            run_stream_sequential_ab(spark, sf_dir, wd_ref).collect(),
+        )
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_ab_restart_")
+    staging = stage_ab_events(
+        spark, sf_dir, os.path.join(wd, "staging_ab"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_ab_hidden_")
+    later = parts[2:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    first = run_stream_sequential_ab(spark, sf_dir, wd)
+    assert first.count() > 0
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_sequential_ab(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
