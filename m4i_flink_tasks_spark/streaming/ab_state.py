@@ -89,12 +89,12 @@ def _fold_users(cur: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 def run_stream_sequential_ab(
-    spark: SparkSession, sf_dir: str, workdir: str
+    spark: SparkSession, sf_dir: str, workdir: str, n_files: int = 4
 ) -> DataFrame:
     from ..queries.behavior import msprt_from_users
 
     staging = stage_ab_events(
-        spark, sf_dir, os.path.join(workdir, "staging_ab")
+        spark, sf_dir, os.path.join(workdir, "staging_ab"), n_files
     )
     store = BucketedParquetUpsertStore(
         spark,

@@ -80,12 +80,12 @@ def stage_event_topic(
 
 
 def run_stream_markov_attribution(
-    spark: SparkSession, sf_dir: str, workdir: str
+    spark: SparkSession, sf_dir: str, workdir: str, n_files: int = 4
 ) -> DataFrame:
     from ..queries.behavior import attribution_from_transitions
 
     staging = stage_event_topic(
-        spark, sf_dir, os.path.join(workdir, "staging_events")
+        spark, sf_dir, os.path.join(workdir, "staging_events"), n_files
     )
     counts_store = BucketedParquetUpsertStore(
         spark,

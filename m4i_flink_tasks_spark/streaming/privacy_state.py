@@ -69,12 +69,12 @@ def _add_cells(cur: DataFrame, batch: DataFrame) -> DataFrame:
 
 
 def run_stream_t_closeness(
-    spark: SparkSession, sf_dir: str, workdir: str
+    spark: SparkSession, sf_dir: str, workdir: str, n_files: int = 4
 ) -> DataFrame:
     from ..queries.profiling import t_closeness_from_cells
 
     staging = stage_customer_rows(
-        spark, sf_dir, os.path.join(workdir, "staging_customers")
+        spark, sf_dir, os.path.join(workdir, "staging_customers"), n_files
     )
     store = BucketedParquetUpsertStore(
         spark,

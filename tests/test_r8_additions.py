@@ -154,3 +154,83 @@ def test_adamic_adar_degree_join_broadcasts(spark, sf_dir, queries):
     df = queries["adamic_adar_topk"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("n_files", [1, 6])
+def test_markov_stream_is_split_invariant(spark, sf_dir, n_files):
+    """The maintained transition matrix must equal the batch one for
+    ANY time-ordered batch split — one giant batch and six small ones
+    both reproduce the batch removal-effect report exactly."""
+    import tempfile
+
+    from m4i_flink_tasks_spark.streaming.markov_state import (
+        run_stream_markov_attribution,
+    )
+
+    batch = sorted(
+        map(
+            tuple,
+            _merged_queries()["markov_attribution"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    wd = tempfile.mkdtemp(prefix=f"m4i_mk_split{n_files}_")
+    streamed = sorted(
+        map(
+            tuple,
+            run_stream_markov_attribution(
+                spark, sf_dir, wd, n_files=n_files
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+
+
+@pytest.mark.parametrize("n_files", [1, 6])
+def test_ab_and_privacy_streams_are_split_invariant(
+    spark, sf_dir, n_files
+):
+    """Idempotent/additive monoid state: any split reproduces the
+    batch audit and the batch monitoring report."""
+    import tempfile
+
+    from m4i_flink_tasks_spark.streaming.ab_state import (
+        run_stream_sequential_ab,
+    )
+    from m4i_flink_tasks_spark.streaming.privacy_state import (
+        run_stream_t_closeness,
+    )
+
+    qs = _merged_queries()
+    batch_ab = sorted(
+        map(tuple, qs["sequential_ab_msprt"](spark, sf_dir).collect())
+    )
+    wd = tempfile.mkdtemp(prefix=f"m4i_ab_split{n_files}_")
+    assert (
+        sorted(
+            map(
+                tuple,
+                run_stream_sequential_ab(
+                    spark, sf_dir, wd, n_files=n_files
+                ).collect(),
+            )
+        )
+        == batch_ab
+    )
+
+    batch_tc = sorted(
+        map(tuple, qs["t_closeness_audit"](spark, sf_dir).collect())
+    )
+    wd = tempfile.mkdtemp(prefix=f"m4i_tc_split{n_files}_")
+    assert (
+        sorted(
+            map(
+                tuple,
+                run_stream_t_closeness(
+                    spark, sf_dir, wd, n_files=n_files
+                ).collect(),
+            )
+        )
+        == batch_tc
+    )
