@@ -236,7 +236,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # --- spare slots: strongest §2 re-attestations (all previously
     # green; chosen to span diff kernels, as-of, state store, hierarchy,
     # synchronize cascades, and the publish/dead-letter streaming path) ---
-    "attribute_diff",
     "state_store_lookups",
     "stream_publish_state",
     "stream_determine_change_entities",
@@ -268,6 +267,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # synchronize_rel_cascades, whose G26/G27 semantics hold a fresh r7
     # driver row via stream_synchronize_docstore
     "stream_sequential_ab",
+    # a tenth: the published Gopher word-level quality rule set; its
+    # slot came from attribute_diff, the registry's most redundantly
+    # attested row (green r1-r4; D1-D4 also run inside the declared
+    # stream_determine_change_entities path every round)
+    "gopher_quality_rules",
 )
 
 

@@ -786,3 +786,101 @@ FROM agg
 
 QUERIES["zipf_fit"] = zipf_fit
 ORACLES["zipf_fit"] = ZIPF_FIT_SQL
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al., "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher", 2021 — Appendix A quality
+# filtering) — the published rule set real corpus builds start from,
+# beside corpus_filter_audit's repo-specific gates. Adapted to the
+# synthetic corpus: the line-structure rules (bullet/ellipsis line
+# ratios) are omitted because the documents carry no newlines; the
+# word-level rules are implemented verbatim. Every measure is integer
+# arithmetic or a single final division, so the verdict cliffs are
+# engine-identical.
+# --------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule report: word-count bounds, mean word
+    length band, #/ellipsis symbol ratio, alphabetic-word ratio, and
+    the >= 2-stopword requirement, plus the conjunctive ``kept`` gate.
+
+    Plan: one tokenize pass, all measures as higher-order-function
+    folds over the token array (JVM codegen, no shuffle at all —
+    map-only at any scale; the report is the per-document grain a
+    curation run persists)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    sw = F.array(*[F.lit(w) for w in T.DEFAULT_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    scored = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, 4).alias("mean_word_len"),
+        F.round((n_hash + n_ell) / n_words, 4).alias("symbol_ratio"),
+        F.round(n_alpha / n_words, 4).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    kept = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            _GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN
+        )
+        & (F.col("symbol_ratio") <= _GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("n_stopwords") >= _GOPHER_MIN_STOPWORDS)
+    )
+    return scored.select("*", kept.alias("kept")).orderBy("doc_id")
+
+
+GOPHER_RULES_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           len(t) AS n_words,
+           round(list_sum(list_transform(t, x -> len(x)))::DOUBLE
+                 / len(t), 4) AS mean_word_len,
+           round(((len(text) - len(replace(text, '#', '')))
+                  + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                 / len(t), 4) AS symbol_ratio,
+           round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                 / len(t), 4) AS alpha_word_ratio,
+           len(list_filter(t, x -> list_contains({_ALL_STOPWORDS_SQL}, x)))
+               AS n_stopwords
+    FROM toks
+)
+SELECT *,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN}
+        AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_ratio >= {_GOPHER_MIN_ALPHA_RATIO}
+        AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}) AS kept
+FROM scored
+ORDER BY doc_id
+"""
+
+QUERIES["gopher_quality_rules"] = gopher_quality_rules
+ORACLES["gopher_quality_rules"] = GOPHER_RULES_SQL
