@@ -236,7 +236,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # --- spare slots: strongest §2 re-attestations (all previously
     # green; chosen to span diff kernels, as-of, state store, hierarchy,
     # synchronize cascades, and the publish/dead-letter streaming path) ---
-    "state_store_lookups",
     "stream_publish_state",
     "stream_determine_change_entities",
     # in-round r8 newcomers (each arrived oracle-green at three SFs),
@@ -272,6 +271,12 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # attested row (green r1-r4; D1-D4 also run inside the declared
     # stream_determine_change_entities path every round)
     "gopher_quality_rules",
+    # an eleventh: C4-style intra-document span dedup with an
+    # oracle-verified cleaned-content fingerprint; its slot came from
+    # state_store_lookups (Q1/Q5 green r2-r4, and the store's
+    # point/multiget paths run inside every declared stream_* row's
+    # upsert store)
+    "intra_doc_span_dedup",
 )
 
 

@@ -884,3 +884,82 @@ ORDER BY doc_id
 
 QUERIES["gopher_quality_rules"] = gopher_quality_rules
 ORACLES["gopher_quality_rules"] = GOPHER_RULES_SQL
+
+
+def intra_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style intra-document repetition removal (Raffel et al.,
+    "Exploring the Limits of Transfer Learning with a Unified
+    Text-to-Text Transformer", JMLR 2020 — the within-page dedup step
+    every curation recipe applies before cross-document dedup): split
+    each document into '. '-delimited spans, keep only each span's
+    FIRST occurrence, rebuild the document in original order, and
+    report the per-document repetition profile plus the cleaned text's
+    deterministic fingerprint (the shared poly-hash kernel, so the
+    cleaned CONTENT — not just its length — is oracle-verified).
+
+    Plan: one shuffle on (doc_id, span) for the first-occurrence
+    reduce, one on doc_id for the ordered rebuild — both keyed by
+    document, so the operator is embarrassingly parallel at any corpus
+    size (no cross-document state)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "span"),
+    )
+    firsts = spans.groupBy("doc_id", "span").agg(
+        F.min("pos").alias("p"),
+        F.count(F.lit(1)).alias("occurrences"),
+    )
+    rebuilt = firsts.groupBy("doc_id").agg(
+        F.sum("occurrences").alias("n_spans"),
+        F.count(F.lit(1)).alias("n_unique_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("span")))
+                ),
+                lambda x: x["span"],
+            ),
+            ". ",
+        ).alias("cleaned"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_spans",
+        "n_unique_spans",
+        F.round(
+            1 - F.col("n_unique_spans") / F.col("n_spans"), 6
+        ).alias("repetition_ratio"),
+        T.poly_hash(F.col("cleaned")).alias("cleaned_fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _intra_doc_dedup_sql() -> str:
+    from .sketches import _poly_hash_sql
+
+    return rf"""
+WITH spans AS (
+    SELECT doc_id, string_split(text, '. ')[i] AS span, i AS pos
+    FROM documents,
+         unnest(range(1, len(string_split(text, '. ')) + 1)) AS u(i)
+), firsts AS (
+    SELECT doc_id, span, min(pos) AS p, count(*) AS occurrences
+    FROM spans GROUP BY doc_id, span
+), rebuilt AS (
+    SELECT doc_id,
+           sum(occurrences)::BIGINT AS n_spans,
+           count(*) AS n_unique_spans,
+           array_to_string(list(span ORDER BY p), '. ') AS cleaned
+    FROM firsts GROUP BY doc_id
+)
+SELECT doc_id, n_spans, n_unique_spans,
+       round(1 - n_unique_spans::DOUBLE / n_spans, 6)
+           AS repetition_ratio,
+       {_poly_hash_sql('cleaned')} AS cleaned_fingerprint
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
+QUERIES["intra_doc_span_dedup"] = intra_doc_span_dedup
+ORACLES["intra_doc_span_dedup"] = _intra_doc_dedup_sql()
