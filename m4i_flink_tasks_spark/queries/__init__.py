@@ -191,92 +191,82 @@ _MODULES = (
 # streaming) re-attests concurrently, per the r7 verdict's item 1.
 # When CORRECTNESS_r08 comes back green the attestation debt is zero;
 # the post-debt STABLE surface policy is declared in COVERAGE.md.
+#
+# STABLE SURFACE (round 9 — this round): CORRECTNESS_r08 came back
+# 50/50 green and retired the attestation debt, so the surface
+# switches from rotation to the policy's STABLE selection
+# (COVERAGE.md "Post-debt stable-surface policy"; the policy is data
+# in queries/surface_policy.py, evaluated by
+# tools/attestation_report.py and pinned by tests/test_coverage_doc.py).
+# Rule citations per block are inline below; the per-row map is in
+# COVERAGE.md's r9 surface log. Summary: rule 1 declares the five
+# §2-critical streaming proofs and one row per heavy LLM family;
+# rule 3 FIRES at r9 for all five §2 families (their newest driver
+# rows date to r2-r4, older than the 4-round threshold), so the
+# strongest row of every §2 sub-family re-enters; rule 2 gives each
+# r9 newcomer a slot by displacing the most redundantly attested
+# non-protected row (the tool's --candidates order).
 DRIVER_QUERIES: tuple[str, ...] = (
-    # --- the debt-retiring tranche: every never-attested row ---
-    # in-round r7 additions (each arrived oracle-green at three SFs)
-    "prototypicality_pruning",
-    "hdr_histogram_quantiles",
-    "stream_hdr_quantiles",
-    "tokenizer_fertility_by_language",
-    "epoch_budget_plan",
-    "mmr_diverse_topk",
-    "stream_mmr_serving",
-    "l_diversity_audit",
-    "watermark_delay_recommendation",
-    "lsh_parameter_planner",
-    "classifier_auc_report",
-    "vacuum_retention_plan",
-    "markov_attribution",
-    # carried relational / window tail
-    "customer_revenue_deciles",
-    "group_quantiles",
-    "price_histogram",
-    "price_tier_revenue",
-    "nation_revenue_distribution",
-    "nation_volume_shipping",
-    "profit_by_nation_year",
-    "promo_revenue_by_month",
-    "discounted_part_revenue",
-    "large_volume_customers",
-    "returned_items_top_customers",
-    "ship_latency_histogram",
-    # carried graph / sampling / corpus tail
-    "pagerank_step",
-    "sampled_token_frequency",
-    "stratified_fixed_k_sample",
-    "temperature_mixture_sample",
-    "weighted_corpus_sample",
-    "supplier_cooccurrence_rules",
-    "embedding_centroids",
-    "kmeans_refine",
-    "sq8_reconstruction_error",
-    "multimodal_metadata_pruning",
-    "pareto_frontier_parts",
-    "zorder_mapping",
-    # --- spare slots: strongest §2 re-attestations (all previously
-    # green; chosen to span diff kernels, as-of, state store, hierarchy,
-    # synchronize cascades, and the publish/dead-letter streaming path) ---
+    # --- rule 1: the five §2-critical streaming proofs, always declared ---
+    "stream_determine_change",
+    "stream_synchronize_docstore",
     "stream_publish_state",
+    "stream_dead_letter_box",
     "stream_determine_change_entities",
-    # in-round r8 newcomers (each arrived oracle-green at three SFs),
-    # declared immediately so the debt-zero milestone includes them.
-    # Eight spare slots yielded, each to keep a family's MOST redundant
-    # proof out rather than a unique one: diff_event_materialization
-    # (D7 holds a fresh r7 streaming row via stream_determine_change),
-    # store_filter_scan (S8/Q3 keep state_store_lookups declared),
-    # dead_letter_split (S3 holds stream_dead_letter_box r7 + the
-    # declared stream_publish_state dead-letter channel),
-    # relationship_classification and breadcrumb_materialization
-    # (G5-G10 r4-pinned and re-exercised end-to-end by the r7
-    # stream_synchronize_docstore row), asof_previous_version (D8's
-    # streaming proof stream_determine_change_entities stays declared),
-    # supertype_closure (G1 r4-pinned, exercised inside the declared
-    # synchronize cascade), stream_get_entity_enrichment (S12/P1
-    # r4-pinned).
-    "stream_vacuum_plan",
-    "t_closeness_audit",
-    "stream_t_closeness",
-    "stream_markov_attribution",
-    "ann_ndcg_mrr_report",
-    "kneser_ney_perplexity",
-    "adamic_adar_topk",
-    "sequential_ab_msprt",
-    # a ninth r8 newcomer: the mSPRT monitor's streaming twin (per-user
-    # idempotent-monoid state + the shared readout); its slot came from
-    # synchronize_rel_cascades, whose G26/G27 semantics hold a fresh r7
-    # driver row via stream_synchronize_docstore
-    "stream_sequential_ab",
-    # a tenth: the published Gopher word-level quality rule set; its
-    # slot came from attribute_diff, the registry's most redundantly
-    # attested row (green r1-r4; D1-D4 also run inside the declared
-    # stream_determine_change_entities path every round)
-    "gopher_quality_rules",
-    # an eleventh: C4-style intra-document span dedup with an
-    # oracle-verified cleaned-content fingerprint; its slot came from
-    # state_store_lookups (Q1/Q5 green r2-r4, and the store's
-    # point/multiget paths run inside every declared stream_* row's
-    # upsert store)
-    "intra_doc_span_dedup",
+    # --- rule 3 (staleness backstop, fires for every §2 family at r9) ---
+    # S sources/sinks
+    "state_store_lookups",
+    "store_filter_scan",
+    "stream_get_entity_enrichment",
+    "direct_change_classifier",
+    "type_hierarchy_ops",
+    # P row transforms
+    "row_transform_suite",
+    "attribute_flattening",
+    # D diff kernels
+    "attribute_diff",
+    "diff_event_materialization",
+    "asof_previous_version",
+    "doc_update_collapse",
+    # Q state-store queries
+    "point_lookup",
+    "array_membership",
+    "multi_field_or",
+    "batched_multiget",
+    "schema_introspection",
+    "delete_by_id",
+    # G graph/hierarchy maintenance
+    "supertype_closure",
+    "source_type_classification",
+    "parent_type_lookup",
+    "relationship_classification",
+    "breadcrumb_materialization",
+    "breadcrumb_prefix_ops",
+    "derived_field_lifecycle",
+    "governance_role_update",
+    "attribute_field_linkage",
+    "rename_propagation",
+    "parent_guid_extraction",
+    "doc_creation",
+    "attribute_update_application",
+    "synchronize_rel_cascades",
+    "stream_synchronize_appsearch_docs",
+    # --- rule 1: one row per heavy LLM-pipeline family ---
+    "neardup_components",
+    "ivfpq_adc_topk",
+    "quality_classifier_scores",
+    "dsir_importance_resampling",
+    "warc_text_pipeline",
+    "embedding_pca_power",
+    "hdr_histogram_quantiles",
+    # --- spare slots: strongest stale rows; each is the row rule 2
+    # displaces FIRST (tool --candidates order) as r9 newcomers land ---
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "session_windows",
+    "stream_dedup_within_watermark",
+    "dedup_exact",
+    "embedding_neardup_pairs",
 )
 
 

@@ -1639,7 +1639,18 @@ def msprt_from_users(users: DataFrame) -> DataFrame:
     per-user keyed state (min first-day, max converted — both
     idempotent monoids) equals the batch user reduction for any batch
     split. Variant assignment happens here (deterministic hash), so
-    state never stores it."""
+    state never stores it.
+
+    Scope of the per-day rows: this is a HINDSIGHT RECONSTRUCTION, not
+    a replay of what a live dashboard would have shown. ``converted``
+    is each user's eventual outcome (max over ALL their events), folded
+    back to their first-exposure cohort day — so the day-d cumulative
+    counts include conversions whose events happened after day d. The
+    mSPRT p-value sequence is therefore the always-valid statistic of
+    the FINAL cohort table evaluated at every cohort cutoff (the usual
+    offline audit of a finished experiment), anticipatory relative to a
+    live look-by-look monitor, which would additionally gate each
+    user's conversion on conversion-event date <= d."""
     from pyspark.sql.window import Window as W
 
     users = users.withColumn(

@@ -1472,11 +1472,19 @@ def ann_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = approx.join(exact, "vec_id", "left").select(
         rel.alias("rel"), disc.alias("disc"), "rank_a"
     )
+    # coalesce(.., 0): if the LSH probe returns ZERO candidates the sums
+    # run over an empty relation — the report must read recall/ndcg = 0,
+    # not NULL (mrr already falls out of the coalesced 1/first_hit).
     report = scored.agg(
-        F.sum((F.col("rel") > 0).cast("long")).alias("n_hits"),
-        F.sum((F.pow(F.lit(2.0), F.col("rel")) - 1) * F.col("disc")).alias(
-            "dcg"
-        ),
+        F.coalesce(
+            F.sum((F.col("rel") > 0).cast("long")), F.lit(0).cast("long")
+        ).alias("n_hits"),
+        F.coalesce(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1) * F.col("disc")
+            ),
+            F.lit(0.0),
+        ).alias("dcg"),
         F.min(F.when(F.col("rel") > 0, F.col("rank_a"))).alias(
             "first_hit"
         ),
@@ -1513,8 +1521,9 @@ exact_r AS (
            a.rank_a
     FROM approx_r a LEFT JOIN exact_r e USING (vec_id)
 ), agg AS (
-    SELECT sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
-           sum((pow(2.0, rel) - 1) * disc) AS dcg,
+    SELECT coalesce(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_hits,
+           coalesce(sum((pow(2.0, rel) - 1) * disc), 0.0) AS dcg,
            min(CASE WHEN rel > 0 THEN rank_a END) AS first_hit
     FROM scored
 )

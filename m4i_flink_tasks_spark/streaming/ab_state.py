@@ -12,6 +12,12 @@ maintained user relation equals the batch user reduction for ANY
 batch split, and the shared readout (``msprt_from_users`` — variant
 hash, cumulative integer counts, per-day independent statistic,
 order-exact running-min p) makes the batch oracle the stream's.
+The shared readout's per-day rows are a hindsight reconstruction of
+the final cohort table (see ``msprt_from_users``'s docstring): each
+user's eventual conversion is folded to their first-exposure day, so
+historical rows are anticipatory relative to a live look-by-look
+monitor; the LATEST row (the only one a live dashboard acts on) is
+identical under both framings once the stream has drained.
 
 Replay safety: a single batch-id-fenced upsert per micro-batch; the
 combine is idempotent anyway (min/max), so even an unfenced replay

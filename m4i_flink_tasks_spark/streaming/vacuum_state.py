@@ -132,6 +132,16 @@ def run_stream_vacuum_plan(
             # One staged file per trigger => exactly one epoch per batch.
             eps = [r[0] for r in rows.select("epoch").distinct().collect()]
             assert len(eps) == 1, f"batch {batch_id} mixed epochs {eps}"
+            # The oracle's whole premise is the IDENTITY micro-batch id
+            # == store version == epoch VALUE — a gapped epoch sequence
+            # (an epoch with zero orders) would silently desynchronize
+            # store versions from epoch values and surface only as a
+            # confusing oracle hash mismatch. Fail loudly in-process.
+            assert eps[0] == batch_id, (
+                f"batch {batch_id} carries epoch {eps[0]}: the epoch "
+                "sequence has a gap, store versions no longer equal "
+                "epoch values"
+            )
             # Every batch must touch all buckets (hundreds of customer
             # keys vs 4 xxhash64 buckets) — this is what makes the
             # post-vacuum DIRECTORY layout deterministic (each retained
