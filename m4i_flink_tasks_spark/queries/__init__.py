@@ -248,7 +248,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "rename_propagation",
     "parent_guid_extraction",
     "doc_creation",
-    "attribute_update_application",
     "synchronize_rel_cascades",
     "stream_synchronize_appsearch_docs",
     # --- rule 1: one row per heavy LLM-pipeline family ---
@@ -259,6 +258,16 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "warc_text_pipeline",
     "embedding_pca_power",
     "hdr_histogram_quantiles",
+    # --- rule 2: in-round r9 newcomers (each oracle-green at three SFs
+    # on arrival), each displacing the head of the tool's --candidates
+    # order at the time it landed ---
+    # the chained four-job topology (get_entity -> publish_state /
+    # determine_change -> synchronize over one accepted-event 'topic'),
+    # surfaced as a six-surface invariant report whose oracle composes
+    # the four jobs' batch oracles around the accepted-feed CTE; its
+    # slot came from attribute_update_application (G24/G25 keep their
+    # r1-r4 rows + the G-family floor stays 14-deep)
+    "stream_chained_topology",
     # --- spare slots: strongest stale rows; each is the row rule 2
     # displaces FIRST (tool --candidates order) as r9 newcomers land ---
     "q1_pricing_summary",

@@ -1900,8 +1900,470 @@ def _stream_seq_ab_sql() -> str:
     return BEHAVIOR_ORACLES["sequential_ab_msprt"]
 
 
+def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four reference jobs chained as ONE topology
+    (``streaming/chained.py``): get_entity's accepted-event set becomes
+    the downstream 'topic' feeding publish_state, determine_change and
+    synchronize — the reference's Kafka wiring
+    (get_entity_job.py:86-126 → publish_state_job.py:107-141 /
+    determine_change_job.py:457-464 → synchronize_elastic_job.py:167-175)
+    reproduced end-to-end with real streaming machinery in every job.
+
+    The readout is one row per terminal surface with its row count, an
+    order-independent content checksum (sum of the shared cross-engine
+    ``scrambled_hash`` over a canonical row string — exact BIGINT
+    arithmetic on both engines, safe to ~9e9 rows) and a closure
+    violation count:
+
+    - ``enriched``: |accepted ∩ dead-letter| (job 1's channels must
+      partition its input),
+    - ``dead_get_entity``: op-type-accepted raw events in NEITHER
+      channel (coverage gap),
+    - ``entity_state`` / ``dead_publish_state`` / ``determined_changes``:
+      rows whose event is OUTSIDE job 1's accepted set (downstream
+      closure — a leak here means a job read past its topic),
+    - ``docstore``: entity docs whose user never appeared in the feed.
+
+    The oracle recomputes all six surfaces from raw ``events`` ×
+    ``customer`` in one SQL statement by wrapping each job's existing
+    batch oracle around the accepted-feed CTE, so a hash match proves
+    the chained composition converges to the batch answer of the
+    composed relational program AND satisfies every closure invariant
+    (the violation columns are identically zero relationally; the
+    Spark side computes them from the materialized stores). The float
+    ``value`` column is deliberately absent from the state checksum —
+    the winning ``event_id`` pins row identity, and cross-engine float
+    rendering has no place in a string hash (value equality is already
+    attested by ``stream_publish_state``)."""
+    from ..operators import text as T
+    from ..sources import load_table
+    from ..streaming.chained import run_chained_pipeline
+
+    out = run_chained_pipeline(spark, sf_dir, _workdir("chained"))
+
+    acc = out["enriched"].select("event_id", F.lit(1).alias("_acc"))
+    dead1 = out["dead_get_entity"]
+
+    def report(surface: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(surface).alias("surface"),
+            "n_rows",
+            "content_checksum",
+            "n_violations",
+        )
+
+    enriched = out["enriched"].join(
+        dead1.select("event_id", F.lit(1).alias("_d")), "event_id", "left"
+    )
+    r_enriched = report(
+        "enriched",
+        enriched.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                T.scrambled_hash(
+                    F.concat_ws(
+                        "|",
+                        F.lit("ge:"),
+                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                        "envelope",
+                    )
+                )
+            ).alias("content_checksum"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        ),
+    )
+
+    raw_op = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select("event_id")
+        .join(acc, "event_id", "left")
+        .join(
+            dead1.select(
+                "event_id", "job", "description", F.lit(1).alias("_dd")
+            ),
+            "event_id",
+            "left",
+        )
+    )
+    r_dead1 = report(
+        "dead_get_entity",
+        raw_op.agg(
+            F.coalesce(F.sum("_dd"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_dd").isNotNull(),
+                        T.scrambled_hash(
+                            F.concat_ws(
+                                "|",
+                                F.lit("d1:"),
+                                F.col("event_id").cast("string"),
+                                "job",
+                                "description",
+                            )
+                        ),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("content_checksum"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_acc").isNull() & F.col("_dd").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        ),
+    )
+
+    state = out["entity_state"].join(acc, "event_id", "left")
+    r_state = report(
+        "entity_state",
+        state.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                T.scrambled_hash(
+                    F.concat_ws(
+                        "|",
+                        F.lit("ps:"),
+                        "doc_id",
+                        F.col("guid").cast("string"),
+                        F.col("update_time_ms").cast("string"),
+                        F.col("event_id").cast("string"),
+                        "event_type",
+                        "props",
+                    )
+                )
+            ).alias("content_checksum"),
+            F.coalesce(
+                F.sum(F.when(F.col("_acc").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        ),
+    )
+
+    dead2 = out["dead_publish_state"].join(acc, "event_id", "left")
+    r_dead2 = report(
+        "dead_publish_state",
+        dead2.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    T.scrambled_hash(
+                        F.concat_ws(
+                            "|",
+                            F.lit("d2:"),
+                            F.col("event_id").cast("string"),
+                            F.col("timestamp_ms").cast("string"),
+                            "original_notification",
+                            "job",
+                            "description",
+                        )
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("content_checksum"),
+            F.coalesce(
+                F.sum(F.when(F.col("_acc").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        ),
+    )
+
+    diffs = out["diffs"].join(acc, "event_id", "left")
+    r_diffs = report(
+        "determined_changes",
+        diffs.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                T.scrambled_hash(
+                    F.concat_ws(
+                        "|",
+                        F.lit("dc:"),
+                        F.col("event_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                        "change_kind",
+                        "inserted_attrs",
+                        "changed_attrs",
+                        "deleted_attrs",
+                        "added_rels",
+                        "deleted_rels",
+                    )
+                )
+            ).alias("content_checksum"),
+            F.coalesce(
+                F.sum(F.when(F.col("_acc").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        ),
+    )
+
+    feed_users = (
+        out["enriched"]
+        .select("user_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("E"), F.col("user_id")).alias("_eguid"),
+            F.lit(1).alias("_fu"),
+        )
+    )
+    docs = (
+        out["docs"]
+        .select(
+            "guid",
+            "typename",
+            "name",
+            "referenceablequalifiedname",
+            "sourcetype",
+            F.coalesce(F.array_join("m4isourcetype", "|"), F.lit("")).alias(
+                "m4ist"
+            ),
+            F.coalesce(F.array_join("supertypenames", "|"), F.lit("")).alias(
+                "supers"
+            ),
+            F.coalesce("definition", F.lit("")).alias("defn"),
+            F.coalesce("email", F.lit("")).alias("eml"),
+            F.coalesce("parentguid", F.lit("")).alias("pg"),
+            F.coalesce(F.array_join("breadcrumbguid", "|"), F.lit("")).alias(
+                "bg"
+            ),
+            F.coalesce(F.array_join("breadcrumbname", "|"), F.lit("")).alias(
+                "bn"
+            ),
+            F.coalesce(F.array_join("breadcrumbtype", "|"), F.lit("")).alias(
+                "bt"
+            ),
+            F.coalesce("deriveddataownerguid", F.lit("")).alias("ddo"),
+            F.coalesce("deriveddomainleadguid", F.lit("")).alias("ddl"),
+        )
+        .join(feed_users, F.col("guid") == F.col("_eguid"), "left")
+    )
+    r_docs = report(
+        "docstore",
+        docs.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                T.scrambled_hash(
+                    F.concat_ws(
+                        "|",
+                        F.lit("sy:"),
+                        "guid",
+                        "typename",
+                        "name",
+                        "referenceablequalifiedname",
+                        "sourcetype",
+                        "m4ist",
+                        "supers",
+                        "defn",
+                        "eml",
+                        "pg",
+                        "bg",
+                        "bn",
+                        "bt",
+                        "ddo",
+                        "ddl",
+                    )
+                )
+            ).alias("content_checksum"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("guid").startswith("E")
+                        & F.col("_fu").isNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        ),
+    )
+
+    return (
+        r_enriched.unionByName(r_dead1)
+        .unionByName(r_state)
+        .unionByName(r_dead2)
+        .unionByName(r_diffs)
+        .unionByName(r_docs)
+        .orderBy("surface")
+    )
+
+
+def _chained_sql() -> str:
+    """Compose the chained-topology oracle from the four jobs' existing
+    batch oracles, each re-rooted on the accepted-feed CTE (string
+    substitution with occurrence-count asserts so drift in a base
+    oracle fails loudly here, not as a silent hash mismatch)."""
+    from .sketches import _scrambled_hash_sql
+
+    def subst(sql: str, old: str, new: str, n: int) -> str:
+        assert sql.count(old) == n, (
+            f"oracle drift: expected {n}x {old!r} in base SQL"
+        )
+        return sql.replace(old, new)
+
+    state_sql = subst(PUBLISH_STATE_SQL, "FROM events", "FROM feed", 1)
+    dead2_sql = subst(DEAD_LETTER_BOX_SQL, "FROM events", "FROM feed", 1)
+    diffs_sql = subst(
+        DETERMINE_CHANGE_ENTITIES_SQL, "FROM events", "FROM feed", 1
+    )
+    docs_sql = subst(
+        SYNCHRONIZE_APPSEARCH_SQL, "FROM events", "FROM feed", 1
+    )
+    # The chained synchronize job still seeds entity docs for EVERY raw
+    # user with a payload (seed_entity_docs reads the table, not the
+    # topic), while mutations arrive only for accepted events — so the
+    # user universe stays raw, seeds survive when a user has no
+    # accepted events (la_id IS NULL), and the branch-0 create shape
+    # applies only when an accepted last event exists.
+    docs_sql = subst(
+        docs_sql,
+        "FROM (SELECT DISTINCT user_id FROM ev) u",
+        "FROM (SELECT DISTINCT user_id FROM events "
+        "WHERE props IS NOT NULL) u",
+        1,
+    )
+    docs_sql = subst(
+        docs_sql,
+        "WHERE branch <> 0 OR la_type <> 'error'",
+        "WHERE branch <> 0 OR la_type IS NULL OR la_type <> 'error'",
+        1,
+    )
+    docs_sql = subst(
+        docs_sql,
+        "CASE WHEN branch = 0 THEN 'U' || user_id || '~' || la_id",
+        "CASE WHEN branch = 0 AND la_id IS NOT NULL "
+        "THEN 'U' || user_id || '~' || la_id",
+        1,
+    )
+    docs_sql = subst(
+        docs_sql,
+        "CASE WHEN branch = 0 OR (branch = 1 AND ne_id IS NOT NULL)",
+        "CASE WHEN (branch = 0 AND la_id IS NOT NULL) "
+        "OR (branch = 1 AND ne_id IS NOT NULL)",
+        1,
+    )
+    docs_sql = subst(
+        docs_sql,
+        "CASE WHEN branch = 0 OR (branch = 2 AND ne_id IS NOT NULL)",
+        "CASE WHEN (branch = 0 AND la_id IS NOT NULL) "
+        "OR (branch = 2 AND ne_id IS NOT NULL)",
+        5,
+    )
+
+    def h(expr: str) -> str:
+        return _scrambled_hash_sql(expr)
+
+    return f"""
+WITH feed AS (
+    SELECT e.*
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type IN ('signup', 'purchase', 'error')
+), dead1 AS (
+    SELECT e.event_id,
+           'get_entity' AS job,
+           'entity not found' AS description
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type IN ('signup', 'purchase', 'error')
+      AND c.c_custkey IS NULL
+), enriched AS (
+    SELECT f.event_id, f.user_id,
+           '{{"kafka_notification":{{"event_id":' || f.event_id
+               || ',"user_id":' || f.user_id
+               || ',"event_type":"' || f.event_type
+               || '"}},"atlas_entity":{{"entity_name":"' || c.c_name
+               || '","entity_nation":' || c.c_nationkey || '}}}}' AS envelope
+    FROM feed f JOIN customer c ON f.user_id = c.c_custkey
+), state AS (
+{state_sql}
+), dead2 AS (
+{dead2_sql}
+), diffs AS (
+{diffs_sql}
+), docs AS (
+{docs_sql}
+), r_enriched AS (
+    SELECT 'enriched' AS surface,
+           count(*)::BIGINT AS n_rows,
+           sum({h("'ge:|' || event_id || '|' || user_id || '|' || envelope")}
+               )::BIGINT AS content_checksum,
+           sum(CASE WHEN d.event_id IS NOT NULL THEN 1 ELSE 0 END
+               )::BIGINT AS n_violations
+    FROM enriched LEFT JOIN dead1 d USING (event_id)
+), r_dead1 AS (
+    SELECT 'dead_get_entity' AS surface,
+           count(d.event_id)::BIGINT AS n_rows,
+           coalesce(sum(CASE WHEN d.event_id IS NOT NULL THEN
+               {h("'d1:|' || d.event_id || '|' || d.job || '|' || d.description")}
+               END), 0)::BIGINT AS content_checksum,
+           sum(CASE WHEN f.event_id IS NULL AND d.event_id IS NULL
+               THEN 1 ELSE 0 END)::BIGINT AS n_violations
+    FROM (SELECT event_id FROM events
+          WHERE event_type IN ('signup', 'purchase', 'error')) o
+    LEFT JOIN dead1 d USING (event_id)
+    LEFT JOIN (SELECT event_id FROM feed) f USING (event_id)
+), r_state AS (
+    SELECT 'entity_state' AS surface,
+           count(*)::BIGINT AS n_rows,
+           sum({h(
+               "'ps:|' || doc_id || '|' || guid || '|' || update_time_ms"
+               " || '|' || event_id || '|' || event_type || '|' || props"
+           )})::BIGINT AS content_checksum,
+           0::BIGINT AS n_violations
+    FROM state
+), r_dead2 AS (
+    SELECT 'dead_publish_state' AS surface,
+           count(*)::BIGINT AS n_rows,
+           coalesce(sum({h(
+               "'d2:|' || event_id || '|' || timestamp_ms || '|' ||"
+               " original_notification || '|' || job || '|' || description"
+           )}), 0)::BIGINT AS content_checksum,
+           0::BIGINT AS n_violations
+    FROM dead2
+), r_diffs AS (
+    SELECT 'determined_changes' AS surface,
+           count(*)::BIGINT AS n_rows,
+           sum({h(
+               "'dc:|' || event_id || '|' || user_id || '|' || change_kind"
+               " || '|' || inserted_attrs || '|' || changed_attrs || '|' ||"
+               " deleted_attrs || '|' || added_rels || '|' || deleted_rels"
+           )})::BIGINT AS content_checksum,
+           0::BIGINT AS n_violations
+    FROM diffs
+), r_docs AS (
+    SELECT 'docstore' AS surface,
+           count(*)::BIGINT AS n_rows,
+           sum({h(
+               "'sy:|' || guid || '|' || typename || '|' || name || '|' ||"
+               " referenceablequalifiedname || '|' || sourcetype || '|' ||"
+               " m4isourcetype || '|' || supertypenames || '|' ||"
+               " coalesce(definition, '') || '|' || coalesce(email, '')"
+               " || '|' || coalesce(parentguid, '') || '|' || breadcrumbguid"
+               " || '|' || breadcrumbname || '|' || breadcrumbtype || '|' ||"
+               " coalesce(deriveddataownerguid, '') || '|' ||"
+               " coalesce(deriveddomainleadguid, '')"
+           )})::BIGINT AS content_checksum,
+           0::BIGINT AS n_violations
+    FROM docs
+)
+SELECT * FROM r_enriched
+UNION ALL SELECT * FROM r_dead1
+UNION ALL SELECT * FROM r_state
+UNION ALL SELECT * FROM r_dead2
+UNION ALL SELECT * FROM r_diffs
+UNION ALL SELECT * FROM r_docs
+ORDER BY surface
+"""
+
+
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
+    "stream_chained_topology": stream_chained_topology,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2004,4 +2466,5 @@ ORACLES = {
     "stream_markov_attribution": _stream_markov_sql(),
     "stream_t_closeness": _stream_t_closeness_sql(),
     "stream_sequential_ab": _stream_seq_ab_sql(),
+    "stream_chained_topology": _chained_sql(),
 }

@@ -177,11 +177,18 @@ def stale_families(
     return out
 
 
-def protected_rows(declared: tuple[str, ...]) -> set[str]:
+def protected_rows(
+    declared: tuple[str, ...],
+    green: dict[str, list[int]] | None = None,
+    current_round: int | None = None,
+) -> set[str]:
     """Declared rows rule 2 may NOT displace: the streaming-critical
-    set plus any declared row that is a family's ONLY declared
-    member (displacing it would break rule 1's one-per-family
-    floor)."""
+    set, any declared row that is a family's ONLY declared member
+    (displacing it would break rule 1's one-per-family floor), and —
+    when the attestation ledger is supplied — the declared members of
+    any §2 family whose staleness backstop is live (rule 3 says those
+    rows re-enter "ahead of rule-2 displacement order", so they cannot
+    be displaced in the same round they re-enter)."""
     out = set(STREAMING_CRITICAL)
     declared_set = set(declared)
     for members in (
@@ -191,4 +198,7 @@ def protected_rows(declared: tuple[str, ...]) -> set[str]:
         on_surface = [m for m in members if m in declared_set]
         if len(on_surface) == 1:
             out.add(on_surface[0])
+    if green is not None and current_round is not None:
+        for fam in stale_families(green, current_round):
+            out.update(set(SECTION2_FAMILIES[fam]) & declared_set)
     return out & declared_set

@@ -82,7 +82,7 @@ def main() -> None:
             mark = "DECLARED" if n in declared_set else "  (waits for next surface)"
             print(f"  {n}  {mark}")
 
-    protected = protected_rows(declared)
+    protected = protected_rows(declared, rounds, next_round)
     print(f"\nprotected (rule 1 — never displaced): {len(protected)}")
     for n in sorted(protected):
         rs = sorted(set(rounds.get(n, [])))
