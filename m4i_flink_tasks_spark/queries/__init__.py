@@ -268,10 +268,16 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # slot came from attribute_update_application (G24/G25 keep their
     # r1-r4 rows + the G-family floor stays 14-deep)
     "stream_chained_topology",
+    # streaming twins of the r8 text gates (the r8 verdict's item 7):
+    # the shared per-document kernels folded into the corpus-ingest
+    # stream with doc-keyed exactly-once state; the batch oracles
+    # oracle the streams. Slots came from q1_pricing_summary and
+    # q5_region_revenue (next in the tool's displacement order; both
+    # keep r1-r4 rows and stay pytest- and bench-pinned).
+    "stream_gopher_quality",
+    "stream_intra_doc_dedup",
     # --- spare slots: strongest stale rows; each is the row rule 2
     # displaces FIRST (tool --candidates order) as r9 newcomers land ---
-    "q1_pricing_summary",
-    "q5_region_revenue",
     "session_windows",
     "stream_dedup_within_watermark",
     "dedup_exact",

@@ -809,16 +809,12 @@ _GOPHER_MIN_ALPHA_RATIO = 0.8
 _GOPHER_MIN_STOPWORDS = 2
 
 
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document Gopher rule report: word-count bounds, mean word
-    length band, #/ellipsis symbol ratio, alphabetic-word ratio, and
-    the >= 2-stopword requirement, plus the conjunctive ``kept`` gate.
-
-    Plan: one tokenize pass, all measures as higher-order-function
-    folds over the token array (JVM codegen, no shuffle at all —
-    map-only at any scale; the report is the per-document grain a
-    curation run persists)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def gopher_report(docs: DataFrame) -> DataFrame:
+    """The per-document Gopher rule report over any (doc_id, text)
+    relation — shared by the batch query below and the streaming twin
+    (``stream_gopher_quality``): the measures are pure per-document
+    expressions, so the per-batch fold trivially equals the batch scan
+    for any batch split."""
     t = F.split(F.trim(F.lower("text")), r"\s+")
     n_words = F.size(t)
     sum_len = F.aggregate(
@@ -850,7 +846,20 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_word_ratio") >= _GOPHER_MIN_ALPHA_RATIO)
         & (F.col("n_stopwords") >= _GOPHER_MIN_STOPWORDS)
     )
-    return scored.select("*", kept.alias("kept")).orderBy("doc_id")
+    return scored.select("*", kept.alias("kept"))
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule report: word-count bounds, mean word
+    length band, #/ellipsis symbol ratio, alphabetic-word ratio, and
+    the >= 2-stopword requirement, plus the conjunctive ``kept`` gate.
+
+    Plan: one tokenize pass, all measures as higher-order-function
+    folds over the token array (JVM codegen, no shuffle at all —
+    map-only at any scale; the report is the per-document grain a
+    curation run persists)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_report(docs).orderBy("doc_id")
 
 
 GOPHER_RULES_SQL = rf"""
@@ -902,6 +911,15 @@ def intra_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, so the operator is embarrassingly parallel at any corpus
     size (no cross-document state)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dedup_report(docs).orderBy("doc_id")
+
+
+def span_dedup_report(docs: DataFrame) -> DataFrame:
+    """The C4 span-dedup report over any (doc_id, text) relation —
+    shared by the batch query above and the streaming twin
+    (``stream_intra_doc_dedup``): every shuffle is doc-keyed, so the
+    per-batch fold equals the batch answer for any batching of whole
+    documents."""
     spans = docs.select(
         "doc_id",
         F.posexplode(F.split("text", r"\. ")).alias("pos", "span"),

@@ -1900,6 +1900,37 @@ def _stream_seq_ab_sql() -> str:
     return BEHAVIOR_ORACLES["sequential_ab_msprt"]
 
 
+def stream_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``gopher_quality_rules``: the Gopher word-level
+    gate scored per micro-batch with the shared kernel and folded into
+    a doc-keyed report store — exactly-once per document across
+    restarts, O(batch) sink cost. The batch oracle oracles the stream
+    (``streaming/text_gates.py``)."""
+    from ..streaming.text_gates import run_stream_gopher_rules
+
+    return run_stream_gopher_rules(
+        spark, sf_dir, _workdir("gopher_stream")
+    ).orderBy("doc_id")
+
+
+def stream_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``intra_doc_span_dedup``: the C4 span-dedup
+    report computed per micro-batch (all shuffles doc-keyed, so the
+    per-batch fold IS the batch answer per document) and folded into a
+    doc-keyed store (``streaming/text_gates.py``)."""
+    from ..streaming.text_gates import run_stream_intra_doc_dedup
+
+    return run_stream_intra_doc_dedup(
+        spark, sf_dir, _workdir("span_dedup_stream")
+    ).orderBy("doc_id")
+
+
+def _stream_text_gate_sql(name: str) -> str:
+    from .llm_text import ORACLES as TEXT_ORACLES
+
+    return TEXT_ORACLES[name]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2364,6 +2395,8 @@ ORDER BY surface
 QUERIES = {
     "synchronize_rel_cascades": synchronize_rel_cascades,
     "stream_chained_topology": stream_chained_topology,
+    "stream_gopher_quality": stream_gopher_quality,
+    "stream_intra_doc_dedup": stream_intra_doc_dedup,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2467,4 +2500,6 @@ ORACLES = {
     "stream_t_closeness": _stream_t_closeness_sql(),
     "stream_sequential_ab": _stream_seq_ab_sql(),
     "stream_chained_topology": _chained_sql(),
+    "stream_gopher_quality": _stream_text_gate_sql("gopher_quality_rules"),
+    "stream_intra_doc_dedup": _stream_text_gate_sql("intra_doc_span_dedup"),
 }

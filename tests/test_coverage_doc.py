@@ -110,6 +110,8 @@ def test_documented_query_names_exist():
             "noise_ratio",
             "noise_normalized_value",
             "signature_frame",
+            "gopher_report",
+            "span_dedup_report",
         }
     }
     assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"
