@@ -239,7 +239,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "supertype_closure",
     "source_type_classification",
     "parent_type_lookup",
-    "relationship_classification",
     "breadcrumb_materialization",
     "breadcrumb_prefix_ops",
     "derived_field_lifecycle",
@@ -276,9 +275,20 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # keep r1-r4 rows and stay pytest- and bench-pinned).
     "stream_gopher_quality",
     "stream_intra_doc_dedup",
+    # the differential-privacy release pair: the two-sided-geometric
+    # (discrete Laplace) mechanism over the (event_type, month)
+    # histogram with integer-exact threshold-table noise, batch
+    # (queries/profiling.py) and as additive maintained cells
+    # (streaming/dp_state.py) — the fourth privacy gate beside the
+    # k-anon/l-div/t-closeness audit triad. Slots came from
+    # relationship_classification and session_windows (next in the
+    # tool's displacement order; G5-G8 keep their r1-r4 rows and run
+    # inside the declared stream_synchronize_appsearch_docs dispatch
+    # every round, sessionization keeps stream_session_windows' r6 row).
+    "dp_noisy_histogram",
+    "stream_dp_release",
     # --- spare slots: strongest stale rows; each is the row rule 2
     # displaces FIRST (tool --candidates order) as r9 newcomers land ---
-    "session_windows",
     "stream_dedup_within_watermark",
     "dedup_exact",
     "embedding_neardup_pairs",

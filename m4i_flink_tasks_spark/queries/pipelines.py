@@ -1931,6 +1931,22 @@ def _stream_text_gate_sql(name: str) -> str:
     return TEXT_ORACLES[name]
 
 
+def stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dp_noisy_histogram``: the (event_type,
+    month) cells as additive keyed state, released through the shared
+    keyed-noise readout — the batch oracle oracles the stream
+    (``streaming/dp_state.py``)."""
+    from ..streaming.dp_state import run_stream_dp_release
+
+    return run_stream_dp_release(spark, sf_dir, _workdir("dp_release"))
+
+
+def _stream_dp_sql() -> str:
+    from .profiling import ORACLES as PROFILING_ORACLES
+
+    return PROFILING_ORACLES["dp_noisy_histogram"]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2397,6 +2413,7 @@ QUERIES = {
     "stream_chained_topology": stream_chained_topology,
     "stream_gopher_quality": stream_gopher_quality,
     "stream_intra_doc_dedup": stream_intra_doc_dedup,
+    "stream_dp_release": stream_dp_release,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2502,4 +2519,5 @@ ORACLES = {
     "stream_chained_topology": _chained_sql(),
     "stream_gopher_quality": _stream_text_gate_sql("gopher_quality_rules"),
     "stream_intra_doc_dedup": _stream_text_gate_sql("intra_doc_span_dedup"),
+    "stream_dp_release": _stream_dp_sql(),
 }

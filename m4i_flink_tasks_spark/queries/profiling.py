@@ -882,3 +882,136 @@ ORDER BY d.nationkey
 
 QUERIES["mad_outlier_report"] = mad_outlier_report
 ORACLES["mad_outlier_report"] = MAD_OUTLIER_SQL
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy release (Dwork, McSherry, Nissim & Smith,
+# "Calibrating Noise to Sensitivity in Private Data Analysis", TCC
+# 2006) — the FOURTH privacy gate beside the k-anonymity /
+# l-diversity / t-closeness audit triad: those three judge whether a
+# grouped VIEW is safe to publish as-is; this one PUBLISHES a
+# histogram under an epsilon budget by adding two-sided-geometric
+# noise (the discrete Laplace — Ghosh, Roughgarden & Sundararajan,
+# "Universally Utility-Maximizing Privacy Mechanisms", STOC 2009,
+# the optimal mechanism for sensitivity-1 integer counts).
+#
+# Engine determinism: the noise draw u for each cell is the shared
+# cross-engine scrambled hash of the cell key over a FIXED, PUBLISHED
+# seed string — which makes the mechanism reproducible and
+# oracle-checkable but NOT actually private (a published seed lets
+# anyone subtract the noise). This is the library/testing form; a
+# production release swaps the seed literal for a fresh secret drawn
+# per release, changing nothing else. The inverse-CDF mapping uses a
+# PRECOMPUTED INTEGER threshold table embedded as literals in both
+# engines (the _NDCG_DISC convention), so no libm exp/log runs at
+# query time and the noise is integer-exact on both sides.
+# --------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+_DP_K = 20  # clamp support to [-K, K]; tail mass ~ 2*alpha^(K+1)/(1+alpha) ~ 3e-5
+
+
+def _dp_thresholds() -> list[int]:
+    """Integer inverse-CDF thresholds for the two-sided geometric
+    distribution P(k) ∝ alpha^|k| with alpha = exp(-eps), over the
+    scrambled-hash domain [0, HASH_MOD): noise(u) = -K + |{t : t <= u}|.
+    Computed once in Python, embedded as literals in both engines."""
+    import math
+
+    from ..operators import text as T
+
+    alpha = math.exp(-_DP_EPS)
+    p0 = (1 - alpha) / (1 + alpha)
+    cdf, out = 0.0, []
+    for j in range(-_DP_K, _DP_K):
+        cdf += p0 * alpha ** abs(j)
+        out.append(int(cdf * T.HASH_MOD))
+    return out
+
+
+_DP_THRESH = _dp_thresholds()
+
+
+def dp_release_from_counts(counts: DataFrame) -> DataFrame:
+    """The release readout over any (event_type, ym) -> n cell
+    relation — shared by the batch query below and the streaming
+    maintained-counts twin (``stream_dp_release``), whose additive
+    keyed state equals the batch cells for any batch split. Noise is a
+    pure function of the CELL KEY (not the count), so the stream and
+    the batch release identical noise for identical keys."""
+    from ..operators import text as T
+
+    u = T.scrambled_hash(
+        F.concat(
+            F.lit("dp:"),
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("ym").cast("string"),
+        )
+    )
+    thresh = F.array(*[F.lit(t) for t in _DP_THRESH])
+    noise = (
+        F.size(F.filter(thresh, lambda t: t <= u)) - F.lit(_DP_K)
+    ).cast("long")
+    return counts.select(
+        "event_type",
+        "ym",
+        F.col("n").alias("true_count"),
+        noise.alias("noise"),
+        (F.col("n") + noise).alias("released_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("event_type", "ym")
+
+
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level eps-DP release of the (event_type, month) event
+    histogram: disjoint counting cells, sensitivity 1 (adding or
+    removing one event changes exactly one cell by 1), so one noisy
+    draw per cell exhausts the whole epsilon budget by parallel
+    composition. The report keeps ``true_count``/``noise`` beside the
+    release as the internal audit grain — the publishable artifact is
+    (event_type, ym, released_count, epsilon) only. Negative releases
+    are legitimate mechanism outputs (clamping is allowed
+    post-processing but loses the unbiasedness the audit checks).
+
+    Plan: one map-side-combinable count aggregate to the cell grain,
+    then pure per-row expressions — aggregate-sized at any corpus
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        (F.year("ts") * 100 + F.month("ts")).cast("long").alias("ym"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return dp_release_from_counts(counts)
+
+
+def _dp_sql() -> str:
+    from .sketches import _scrambled_hash_sql
+
+    thresh = ", ".join(str(t) for t in _DP_THRESH)
+    u = _scrambled_hash_sql("'dp:' || event_type || ':' || ym")
+    return f"""
+WITH cells AS (
+    SELECT event_type,
+           (year(ts) * 100 + month(ts))::BIGINT AS ym,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+), noised AS (
+    SELECT event_type, ym, n,
+           (len(list_filter([{thresh}], t -> t <= {u}))
+            - {_DP_K})::BIGINT AS noise
+    FROM cells
+)
+SELECT event_type, ym,
+       n AS true_count,
+       noise,
+       (n + noise)::BIGINT AS released_count,
+       {_DP_EPS} AS epsilon
+FROM noised
+ORDER BY event_type, ym
+"""
+
+
+QUERIES["dp_noisy_histogram"] = dp_noisy_histogram
+ORACLES["dp_noisy_histogram"] = _dp_sql()
