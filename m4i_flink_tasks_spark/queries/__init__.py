@@ -34,6 +34,7 @@ from . import (
     extended_relational,
     graph,
     graph_analytics,
+    hybrid_retrieval,
     llm_corpus,
     llm_decontam,
     llm_dedup,
@@ -64,6 +65,7 @@ _MODULES = (
     state_store,
     graph,
     graph_analytics,
+    hybrid_retrieval,
     doc_maintenance,
     doc_lifecycle,
     entity_resolution,

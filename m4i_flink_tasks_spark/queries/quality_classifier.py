@@ -513,3 +513,175 @@ FROM t
 
 QUERIES["classifier_auc_report"] = classifier_auc_report
 ORACLES["classifier_auc_report"] = _auc_sql()
+
+
+# --------------------------------------------------------------------------
+# Split-conformal calibration of the keep gate (Vovk, Gammerman &
+# Shafer, "Algorithmic Learning in a Random World", 2005; Angelopoulos
+# & Bates, "A Gentle Introduction to Conformal Prediction", 2023) —
+# the distribution-free companion to the calibration/AUC reports:
+# instead of trusting the sigmoid's 0.5 cutoff, pick the score
+# threshold so that a FRESH rule-kept document passes the gate with
+# probability >= 1 - alpha, guaranteed by exchangeability alone.
+# Nonconformity of a calibration positive = 1 - score; q_hat = the
+# ceil((n+1)(1-alpha))-th smallest; gate = score >= 1 - q_hat.
+#
+# Engine exactness: scores are already rounded to 6 dp, the quantile
+# RANK is pure integer arithmetic ((9(n+1)+9) div 10 — no float ceil
+# of 0.9(n+1), whose binary representation could straddle an integer),
+# and the k-th smallest is selected on the SCORE-DISTINCT relation
+# (<= 1e6 + 1 rows at any corpus size — the classifier_auc_report
+# argument), never by a corpus-sized global sort.
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1
+
+
+def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: the conformal score threshold calibrated on the
+    hash-split calibration half's rule-kept documents, plus held-out
+    test coverage (fraction of test positives passing — guaranteed
+    >= 1 - alpha in expectation) and the false-keep rate it buys."""
+    from pyspark.sql.window import Window
+
+    from .llm_text import corpus_filter_audit
+
+    scores = quality_classifier_scores(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = corpus_filter_audit(spark, sf_dir).select(
+        "doc_id", F.col("kept").cast("long").alias("y")
+    )
+    base = scores.join(labels, "doc_id").select(
+        "doc_id",
+        "score",
+        "y",
+        (
+            T.scrambled_hash(
+                F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))
+            )
+            % 2
+        ).alias("split"),
+    )
+    cal_pos = base.filter((F.col("split") == 0) & (F.col("y") == 1)).select(
+        F.round(1 - F.col("score"), 6).alias("nc")
+    )
+    n_k = cal_pos.agg(F.count(F.lit(1)).alias("n_cal")).select(
+        "n_cal",
+        F.least(
+            F.floor((F.lit(9) * (F.col("n_cal") + 1) + 9) / 10).cast(
+                "long"
+            ),
+            F.col("n_cal"),
+        ).alias("k_rank"),
+    )
+    dist = cal_pos.groupBy("nc").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("nc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.select("nc", F.sum("c").over(w).alias("cum")).crossJoin(
+        F.broadcast(n_k)
+    )
+    q = cum.filter(F.col("cum") >= F.col("k_rank")).agg(
+        F.coalesce(F.min("nc"), F.lit(1.0)).alias("qhat"),
+        F.max("n_cal").alias("n_cal"),
+        F.max("k_rank").alias("k_rank"),
+    )
+    thr = q.select(
+        "n_cal",
+        "k_rank",
+        "qhat",
+        F.round(1 - F.col("qhat"), 6).alias("thr"),
+    )
+    test = base.filter(F.col("split") == 1).crossJoin(F.broadcast(thr))
+    return test.agg(
+        F.lit(_CONF_ALPHA).alias("alpha"),
+        F.max("n_cal").alias("n_cal_pos"),
+        F.max("k_rank").alias("k_rank"),
+        F.round(F.max("qhat"), 6).alias("qhat"),
+        F.round(F.max("thr"), 6).alias("score_threshold"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("y") == 1) & (F.col("score") >= F.col("thr")), 1
+                ).otherwise(0)
+            )
+            / F.greatest(
+                F.sum(F.when(F.col("y") == 1, 1).otherwise(0)), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("test_coverage"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("y") == 0) & (F.col("score") >= F.col("thr")), 1
+                ).otherwise(0)
+            )
+            / F.greatest(
+                F.sum(F.when(F.col("y") == 0, 1).otherwise(0)), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("test_false_keep_rate"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_test_pos"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_test_neg"),
+    )
+
+
+def _conformal_sql() -> str:
+    from .llm_text import ORACLES as TEXT_ORACLES
+    from .sketches import _scrambled_hash_sql
+
+    audit = TEXT_ORACLES["corpus_filter_audit"].replace(
+        "ORDER BY doc_id", ""
+    )
+    clf = ORACLES["quality_classifier_scores"].replace(
+        "ORDER BY doc_id", ""
+    )
+    split = _scrambled_hash_sql("'conf:' || c.doc_id::VARCHAR")
+    return f"""
+WITH clf_out AS ({clf}),
+audit_out AS ({audit}),
+base AS (
+    SELECT c.doc_id, c.score,
+           CASE WHEN a.kept THEN 1 ELSE 0 END AS y,
+           ({split}) % 2 AS split
+    FROM clf_out c JOIN audit_out a ON a.doc_id = c.doc_id
+), cal_pos AS (
+    SELECT round(1 - score, 6) AS nc FROM base
+    WHERE split = 0 AND y = 1
+), n_k AS (
+    SELECT count(*) AS n_cal,
+           least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k_rank
+    FROM cal_pos
+), dist AS (
+    SELECT nc, count(*) AS c FROM cal_pos GROUP BY nc
+), cum AS (
+    SELECT nc, sum(c) OVER (ORDER BY nc) AS cum FROM dist
+), q AS (
+    SELECT coalesce(min(nc), 1.0) AS qhat,
+           max(n_cal) AS n_cal, max(k_rank) AS k_rank
+    FROM cum, n_k WHERE cum >= k_rank
+), thr AS (
+    SELECT n_cal, k_rank, qhat, round(1 - qhat, 6) AS thr FROM q
+), test AS (
+    SELECT score, y FROM base WHERE split = 1
+)
+SELECT {_CONF_ALPHA} AS alpha,
+       max(thr.n_cal)::BIGINT AS n_cal_pos,
+       max(thr.k_rank)::BIGINT AS k_rank,
+       round(max(thr.qhat), 6) AS qhat,
+       round(max(thr.thr), 6) AS score_threshold,
+       round(sum(CASE WHEN y = 1 AND score >= thr.thr THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 1)::DOUBLE,
+             6) AS test_coverage,
+       round(sum(CASE WHEN y = 0 AND score >= thr.thr THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1)::DOUBLE,
+             6) AS test_false_keep_rate,
+       sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_test_pos,
+       sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n_test_neg
+FROM test, thr
+"""
+
+
+QUERIES["conformal_keep_gate"] = conformal_keep_gate
+ORACLES["conformal_keep_gate"] = _conformal_sql()

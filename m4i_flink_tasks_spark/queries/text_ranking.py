@@ -135,15 +135,11 @@ ORDER BY doc_id, term_rank
 """
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval for a fixed three-term query; top-10 documents.
-
-    Okapi BM25 with k1=1.2, b=0.75 and the standard smoothed IDF
-    ln(1 + (N - df + 0.5)/(df + 0.5)). Only postings of the query
-    terms survive the first filter, so the score join touches a
-    |query|·|matching docs| sliver of the TF relation; doc lengths
-    ride the same TF aggregate (no second corpus scan).
-    """
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, bm25, n_query_terms_hit) scored relation for the
+    fixed query, PRE-limit — shared by ``bm25_search`` and the hybrid
+    RRF fusion (``queries/hybrid_retrieval.py``). Bounded by the query
+    terms' posting lists, never corpus-sized."""
     tf = _term_frequencies(spark, sf_dir)
     doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -174,6 +170,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(idf * tf_part), 6).alias("bm25"),
             F.count(F.lit(1)).alias("n_query_terms_hit"),
         )
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a fixed three-term query; top-10 documents.
+
+    Okapi BM25 with k1=1.2, b=0.75 and the standard smoothed IDF
+    ln(1 + (N - df + 0.5)/(df + 0.5)). Only postings of the query
+    terms survive the first filter, so the score join touches a
+    |query|·|matching docs| sliver of the TF relation; doc lengths
+    ride the same TF aggregate (no second corpus scan).
+    """
+    return (
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_BM25_TOP_DOCS)
     )

@@ -984,8 +984,13 @@ def test_classifier_auc_rank_window_is_score_domain_bounded(plans, spark, sf_dir
 #   curriculum_shards / temperature_mixture_sample   per-document
 #                              score relation (ntile bucketing of the
 #                              corpus catalog, not of token-level data)
+#   conformal_keep_gate        nonconformity-DISTINCT relation for the
+#                              quantile-rank cumsum (<= 1e6 + 1 rows at
+#                              any corpus size — scores are 6-dp-rounded
+#                              first, the classifier_auc_report argument)
 _GLOBAL_RANK_BOUNDED = {
     "classifier_auc_report",
+    "conformal_keep_gate",
     "corpus_build_manifest",
     "curriculum_shards",
     "customer_revenue_deciles",
