@@ -1947,6 +1947,26 @@ def _stream_dp_sql() -> str:
     return PROFILING_ORACLES["dp_noisy_histogram"]
 
 
+def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``conformal_keep_gate``: the two sufficient-
+    statistic count relations (calibration nonconformity counts,
+    held-out (score, label) counts — both addition monoids on a
+    value-domain-bounded grid) maintained as keyed state, read out
+    through the shared report — the batch oracle oracles the stream
+    (``streaming/conformal_state.py``)."""
+    from ..streaming.conformal_state import run_stream_conformal_gate
+
+    return run_stream_conformal_gate(
+        spark, sf_dir, _workdir("conformal_gate")
+    )
+
+
+def _stream_conformal_sql() -> str:
+    from .quality_classifier import ORACLES as QC_ORACLES
+
+    return QC_ORACLES["conformal_keep_gate"]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2414,6 +2434,7 @@ QUERIES = {
     "stream_gopher_quality": stream_gopher_quality,
     "stream_intra_doc_dedup": stream_intra_doc_dedup,
     "stream_dp_release": stream_dp_release,
+    "stream_conformal_gate": stream_conformal_gate,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2520,4 +2541,5 @@ ORACLES = {
     "stream_gopher_quality": _stream_text_gate_sql("gopher_quality_rules"),
     "stream_intra_doc_dedup": _stream_text_gate_sql("intra_doc_span_dedup"),
     "stream_dp_release": _stream_dp_sql(),
+    "stream_conformal_gate": _stream_conformal_sql(),
 }

@@ -95,12 +95,14 @@ def _features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
     )
 
 
-def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document classifier score + keep decision."""
-    docs = load_table(spark, sf_dir, "documents")
+def classifier_scores_from(docs: DataFrame) -> DataFrame:
+    """Per-document score + keep decision over any (doc_id, text)
+    relation — shared by the batch query below and the conformal
+    monitor pair (batch + streaming), which score each document with
+    exactly these expressions."""
     feats = _features(docs)
     scored = (
-        feats.join(F.broadcast(_weights_df(spark)), "bucket")
+        feats.join(F.broadcast(_weights_df(docs.sparkSession)), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
@@ -114,7 +116,13 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_features",
         "score",
         (F.col("score") >= _KEEP_THRESHOLD).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document classifier score + keep decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_scores_from(docs).orderBy("doc_id")
 
 
 def _features_sql(n_buckets: int) -> str:
@@ -521,7 +529,8 @@ ORACLES["classifier_auc_report"] = _auc_sql()
 # & Bates, "A Gentle Introduction to Conformal Prediction", 2023) —
 # the distribution-free companion to the calibration/AUC reports:
 # instead of trusting the sigmoid's 0.5 cutoff, pick the score
-# threshold so that a FRESH rule-kept document passes the gate with
+# threshold so that a FRESH gate-kept document (labels = the
+# per-document Gopher word-level gate) passes with
 # probability >= 1 - alpha, guaranteed by exchangeability alone.
 # Nonconformity of a calibration positive = 1 - score; q_hat = the
 # ceil((n+1)(1-alpha))-th smallest; gate = score >= 1 - q_hat.
@@ -537,22 +546,21 @@ ORACLES["classifier_auc_report"] = _auc_sql()
 _CONF_ALPHA = 0.1
 
 
-def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row report: the conformal score threshold calibrated on the
-    hash-split calibration half's rule-kept documents, plus held-out
-    test coverage (fraction of test positives passing — guaranteed
-    >= 1 - alpha in expectation) and the false-keep rate it buys."""
-    from pyspark.sql.window import Window
+def conformal_scored_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, score, y, split) over any (doc_id, text, ...) document
+    relation — the per-document projection both the batch gate and the
+    streaming monitor score each document with exactly once. Labels =
+    the published Gopher word-level gate (``gopher_report.kept``) —
+    chosen over ``corpus_filter_audit`` because it is PER-DOCUMENT
+    (the audit's near-dup flag needs cross-document LSH state, which
+    would make the label batch-dependent in the streaming twin)."""
+    from .llm_text import gopher_report
 
-    from .llm_text import corpus_filter_audit
-
-    scores = quality_classifier_scores(spark, sf_dir).select(
-        "doc_id", "score"
-    )
-    labels = corpus_filter_audit(spark, sf_dir).select(
+    scores = classifier_scores_from(docs).select("doc_id", "score")
+    labels = gopher_report(docs.select("doc_id", "text")).select(
         "doc_id", F.col("kept").cast("long").alias("y")
     )
-    base = scores.join(labels, "doc_id").select(
+    return scores.join(labels, "doc_id").select(
         "doc_id",
         "score",
         "y",
@@ -563,10 +571,23 @@ def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2
         ).alias("split"),
     )
-    cal_pos = base.filter((F.col("split") == 0) & (F.col("y") == 1)).select(
-        F.round(1 - F.col("score"), 6).alias("nc")
-    )
-    n_k = cal_pos.agg(F.count(F.lit(1)).alias("n_cal")).select(
+
+
+def conformal_report_from(
+    cal_counts: DataFrame, test_counts: DataFrame
+) -> DataFrame:
+    """The one-row conformal report from the two SUFFICIENT-STATISTIC
+    count relations — shared by the batch gate below and the streaming
+    maintained-state twin (``stream_conformal_gate``), whose additive
+    keyed counts equal the batch counts for any batch split:
+
+    - ``cal_counts``: (nc, c) — calibration positives per distinct
+      6-dp nonconformity value (<= 1e6 + 1 rows at any corpus size);
+    - ``test_counts``: (score, y, c) — held-out documents per distinct
+      (score, label) cell (<= 2(1e6 + 1) rows)."""
+    from pyspark.sql.window import Window
+
+    n_k = cal_counts.agg(F.sum("c").alias("n_cal")).select(
         "n_cal",
         F.least(
             F.floor((F.lit(9) * (F.col("n_cal") + 1) + 9) / 10).cast(
@@ -575,13 +596,12 @@ def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cal"),
         ).alias("k_rank"),
     )
-    dist = cal_pos.groupBy("nc").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("nc").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = dist.select("nc", F.sum("c").over(w).alias("cum")).crossJoin(
-        F.broadcast(n_k)
-    )
+    cum = cal_counts.select(
+        "nc", F.sum("c").over(w).alias("cum")
+    ).crossJoin(F.broadcast(n_k))
     q = cum.filter(F.col("cum") >= F.col("k_rank")).agg(
         F.coalesce(F.min("nc"), F.lit(1.0)).alias("qhat"),
         F.max("n_cal").alias("n_cal"),
@@ -593,7 +613,9 @@ def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qhat",
         F.round(1 - F.col("qhat"), 6).alias("thr"),
     )
-    test = base.filter(F.col("split") == 1).crossJoin(F.broadcast(thr))
+    test = test_counts.crossJoin(F.broadcast(thr))
+    pos = F.when(F.col("y") == 1, F.col("c")).otherwise(0)
+    neg = F.when(F.col("y") == 0, F.col("c")).otherwise(0)
     return test.agg(
         F.lit(_CONF_ALPHA).alias("alpha"),
         F.max("n_cal").alias("n_cal_pos"),
@@ -602,36 +624,47 @@ def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("thr"), 6).alias("score_threshold"),
         F.round(
             F.sum(
-                F.when(
-                    (F.col("y") == 1) & (F.col("score") >= F.col("thr")), 1
-                ).otherwise(0)
+                F.when(F.col("score") >= F.col("thr"), pos).otherwise(0)
             )
-            / F.greatest(
-                F.sum(F.when(F.col("y") == 1, 1).otherwise(0)), F.lit(1)
-            ).cast("double"),
+            / F.greatest(F.sum(pos), F.lit(1)).cast("double"),
             6,
         ).alias("test_coverage"),
         F.round(
             F.sum(
-                F.when(
-                    (F.col("y") == 0) & (F.col("score") >= F.col("thr")), 1
-                ).otherwise(0)
+                F.when(F.col("score") >= F.col("thr"), neg).otherwise(0)
             )
-            / F.greatest(
-                F.sum(F.when(F.col("y") == 0, 1).otherwise(0)), F.lit(1)
-            ).cast("double"),
+            / F.greatest(F.sum(neg), F.lit(1)).cast("double"),
             6,
         ).alias("test_false_keep_rate"),
-        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_test_pos"),
-        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n_test_neg"),
+        F.sum(pos).alias("n_test_pos"),
+        F.sum(neg).alias("n_test_neg"),
     )
+
+
+def conformal_keep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report: the conformal score threshold calibrated on the
+    hash-split calibration half's Gopher-kept documents, plus held-out
+    test coverage (fraction of test positives passing — guaranteed
+    >= 1 - alpha in expectation) and the false-keep rate it buys."""
+    base = conformal_scored_docs(load_table(spark, sf_dir, "documents"))
+    cal_counts = (
+        base.filter((F.col("split") == 0) & (F.col("y") == 1))
+        .groupBy(F.round(1 - F.col("score"), 6).alias("nc"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    test_counts = (
+        base.filter(F.col("split") == 1)
+        .groupBy("score", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return conformal_report_from(cal_counts, test_counts)
 
 
 def _conformal_sql() -> str:
     from .llm_text import ORACLES as TEXT_ORACLES
     from .sketches import _scrambled_hash_sql
 
-    audit = TEXT_ORACLES["corpus_filter_audit"].replace(
+    gate = TEXT_ORACLES["gopher_quality_rules"].replace(
         "ORDER BY doc_id", ""
     )
     clf = ORACLES["quality_classifier_scores"].replace(
@@ -640,7 +673,7 @@ def _conformal_sql() -> str:
     split = _scrambled_hash_sql("'conf:' || c.doc_id::VARCHAR")
     return f"""
 WITH clf_out AS ({clf}),
-audit_out AS ({audit}),
+audit_out AS ({gate}),
 base AS (
     SELECT c.doc_id, c.score,
            CASE WHEN a.kept THEN 1 ELSE 0 END AS y,
