@@ -47,8 +47,20 @@ _QUERY_VEC_ID = 0  # the semantic arm's query document (llm_similarity)
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 fused results: per-arm rank (NULL when an arm did not
     retrieve the document in its top-``_ARM_N``) and the RRF score."""
+    return rrf_fused(
+        bm25_scores(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def rrf_fused(lex_scores: DataFrame, emb: DataFrame) -> DataFrame:
+    """The fusion readout over any pre-limit (doc_id, bm25, ...) lexical
+    scoring and embedding table — shared by the batch query above and
+    the streaming inverted-index twin (``stream_hybrid_rrf``), whose
+    maintained postings/doclen state reproduces the same lexical
+    relation for any batch split."""
     lex = (
-        bm25_scores(spark, sf_dir)
+        lex_scores
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_ARM_N)
     )
@@ -58,7 +70,6 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_r = lex.select(
         "doc_id", F.row_number().over(w_lex).alias("rank_lex")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
     sem = S.brute_force_topk(emb, _QUERY_VEC_ID, _ARM_N)
     w_sem = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     sem_r = sem.select(

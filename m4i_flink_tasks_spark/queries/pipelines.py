@@ -1967,6 +1967,24 @@ def _stream_conformal_sql() -> str:
     return QC_ORACLES["conformal_keep_gate"]
 
 
+def stream_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``hybrid_rrf_retrieval``: the BM25 inverted
+    index (doclen catalog + query-term postings) maintained as
+    insert-only keyed state while documents stream in, scored by the
+    shared ``bm25_from_index`` kernel and fused with the stream-static
+    embedding arm by the shared RRF readout — the batch oracle oracles
+    the stream (``streaming/bm25_index.py``)."""
+    from ..streaming.bm25_index import run_stream_hybrid_rrf
+
+    return run_stream_hybrid_rrf(spark, sf_dir, _workdir("hybrid_rrf"))
+
+
+def _stream_hybrid_rrf_sql() -> str:
+    from .hybrid_retrieval import ORACLES as HYBRID_ORACLES
+
+    return HYBRID_ORACLES["hybrid_rrf_retrieval"]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2435,6 +2453,7 @@ QUERIES = {
     "stream_intra_doc_dedup": stream_intra_doc_dedup,
     "stream_dp_release": stream_dp_release,
     "stream_conformal_gate": stream_conformal_gate,
+    "stream_hybrid_rrf": stream_hybrid_rrf,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2542,4 +2561,5 @@ ORACLES = {
     "stream_intra_doc_dedup": _stream_text_gate_sql("intra_doc_span_dedup"),
     "stream_dp_release": _stream_dp_sql(),
     "stream_conformal_gate": _stream_conformal_sql(),
+    "stream_hybrid_rrf": _stream_hybrid_rrf_sql(),
 }

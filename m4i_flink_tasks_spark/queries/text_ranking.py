@@ -135,19 +135,23 @@ ORDER BY doc_id, term_rank
 """
 
 
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (doc_id, bm25, n_query_terms_hit) scored relation for the
-    fixed query, PRE-limit — shared by ``bm25_search`` and the hybrid
-    RRF fusion (``queries/hybrid_retrieval.py``). Bounded by the query
-    terms' posting lists, never corpus-sized."""
-    tf = _term_frequencies(spark, sf_dir)
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+def bm25_from_index(postings: DataFrame, doclen: DataFrame) -> DataFrame:
+    """BM25 scoring from an INDEX representation — shared by the batch
+    path (which derives both relations from one TF pass) and the
+    streaming inverted-index twin (``streaming/bm25_index.py``), whose
+    insert-only state holds exactly these two relations:
+
+    - ``postings``: (term, doc_id, tf) restricted to the query terms —
+      per-term df re-derives from it (a query term's df is the length
+      of its own posting list, so full-vocabulary df state is never
+      needed);
+    - ``doclen``: (doc_id, dl) — the catalog the corpus stats (n_docs,
+      avgdl) aggregate from."""
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    postings = tf.filter(F.col("term").isin(*_BM25_QUERY))
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -171,6 +175,17 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_query_terms_hit"),
         )
     )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, bm25, n_query_terms_hit) scored relation for the
+    fixed query, PRE-limit — shared by ``bm25_search`` and the hybrid
+    RRF fusion (``queries/hybrid_retrieval.py``). Bounded by the query
+    terms' posting lists, never corpus-sized."""
+    tf = _term_frequencies(spark, sf_dir)
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings = tf.filter(F.col("term").isin(*_BM25_QUERY))
+    return bm25_from_index(postings, doclen)
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,6 +112,7 @@ def test_documented_query_names_exist():
             "signature_frame",
             "gopher_report",
             "span_dedup_report",
+            "bm25_from_index",
         }
     }
     assert not stale, f"stale names in COVERAGE.md: {sorted(stale)}"
