@@ -84,7 +84,23 @@ def _shift_replica(table: pa.Table, shifts: dict[str, str],
         if name in shifts and r > 0:
             col = pa.compute.add(col, offs[shifts[name]] * r)
         cols.append(col)
-    return pa.table(cols, names=table.column_names)
+    out = pa.table(cols, names=table.column_names)
+    # TPC-H keeps c_name == "Customer#" + 9-digit key; the shifted
+    # replicas must re-derive it or every replica repeats the base
+    # names VERBATIM — which manufactures the same super-linear
+    # artifact the documents/embeddings synthesis avoids (measured:
+    # name-blocked linkage at sf10 saw 100-copy name blocks and a
+    # 182x pair blow-up from replication alone, not from the
+    # operator).
+    if "c_name" in out.column_names and r > 0:
+        keys = out.column("c_custkey").to_pylist()
+        names = pa.array(
+            [f"Customer#{key:09d}" for key in keys], pa.string()
+        )
+        out = out.set_column(
+            out.column_names.index("c_name"), "c_name", names
+        )
+    return out
 
 
 def _synth_documents(table: pa.Table, r: int, n_docs: int) -> pa.Table:
