@@ -225,10 +225,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # P row transforms
     "row_transform_suite",
     "attribute_flattening",
-    # D diff kernels
-    "attribute_diff",
+    # D diff kernels (attribute_diff / asof_previous_version rotated out
+    # at r10 by rule 2 — the tool's top displacement candidates, each
+    # green r1-r4 + r9; the family floor holds via the three rows below
+    # and test_stable_surface_policy re-checks it)
     "diff_event_materialization",
-    "asof_previous_version",
     "doc_update_collapse",
     # Q state-store queries
     "point_lookup",
@@ -237,15 +238,15 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "batched_multiget",
     "schema_introspection",
     "delete_by_id",
-    # G graph/hierarchy maintenance
+    # G graph/hierarchy maintenance (breadcrumb_materialization /
+    # breadcrumb_prefix_ops / attribute_field_linkage rotated out at
+    # r10 by rule 2 — candidates 3-5 in the tool's order, each green
+    # r2-r4 + r9; the G floor stays 11-deep)
     "supertype_closure",
     "source_type_classification",
     "parent_type_lookup",
-    "breadcrumb_materialization",
-    "breadcrumb_prefix_ops",
     "derived_field_lifecycle",
     "governance_role_update",
-    "attribute_field_linkage",
     "rename_propagation",
     "parent_guid_extraction",
     "doc_creation",
@@ -294,6 +295,20 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "dedup_exact",
     "embedding_neardup_pairs",
+    # --- rule 2: the r10 newcomer tranche — the five late-r9 additions
+    # ledgered as never-attested in the r9 verdict (each oracle-green
+    # at three SFs in pytest on arrival). Slots came from the tool's
+    # r10 --candidates order: attribute_diff, asof_previous_version,
+    # attribute_field_linkage, breadcrumb_materialization,
+    # breadcrumb_prefix_ops (each green r1-r4 + r9, most redundantly
+    # attested; D keeps a 3-row floor, G an 11-row floor —
+    # tests/test_coverage_doc.py::test_stable_surface_policy re-checks
+    # both post-rotation).
+    "hybrid_rrf_retrieval",
+    "stream_hybrid_rrf",
+    "conformal_keep_gate",
+    "stream_conformal_gate",
+    "fellegi_sunter_bands",
 )
 
 

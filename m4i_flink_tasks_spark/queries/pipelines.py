@@ -2009,6 +2009,12 @@ def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
       closure — a leak here means a job read past its topic),
     - ``docstore``: entity docs whose user never appeared in the feed.
 
+    (Surface names above are the REPORT's ``surface`` column values;
+    ``run_chained_pipeline`` returns them under dict keys ``enriched``
+    / ``dead_get_entity`` / ``entity_state`` / ``dead_publish_state``
+    / ``diffs`` / ``docs`` — ``determined_changes`` is the report name
+    for the ``diffs`` key and ``docstore`` for the ``docs`` key.)
+
     The oracle recomputes all six surfaces from raw ``events`` ×
     ``customer`` in one SQL statement by wrapping each job's existing
     batch oracle around the accepted-feed CTE, so a hash match proves
