@@ -100,6 +100,18 @@ def _shift_replica(table: pa.Table, shifts: dict[str, str],
         out = out.set_column(
             out.column_names.index("c_name"), "c_name", names
         )
+    # s_name follows the same per-row-unique "Supplier#" + 9-digit key
+    # convention, so it carries the same replication hazard (r10 audit:
+    # no recorded law keys on s_name content today — every use is a
+    # post-key-join projection — but re-deriving it closes the class).
+    if "s_name" in out.column_names and r > 0:
+        keys = out.column("s_suppkey").to_pylist()
+        names = pa.array(
+            [f"Supplier#{key:09d}" for key in keys], pa.string()
+        )
+        out = out.set_column(
+            out.column_names.index("s_name"), "s_name", names
+        )
     return out
 
 
