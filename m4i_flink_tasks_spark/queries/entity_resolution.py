@@ -396,3 +396,254 @@ ORDER BY band
 
 QUERIES["fellegi_sunter_bands"] = fellegi_sunter_bands
 ORACLES["fellegi_sunter_bands"] = _fs_sql()
+
+
+# --------------------------------------------------------------------------
+# EM parameter estimation for Fellegi-Sunter (the r9 verdict's "next"
+# #4): replace the fixed published m/u stand-ins above (the `_FS_MU`
+# literals) with the standard EM over agreement-vector counts (Winkler
+# 1988, "Using the EM algorithm for weight computation in the
+# Fellegi-Sunter model"; Jaro 1989). Under conditional independence
+# the whole E-step is a function of the 8 agreement PATTERNS, so the
+# only distributed work is ONE aggregate that counts pairs per
+# pattern; EM then iterates over those 8 cells in the driver — the
+# same big-data-once / tiny-fixpoint-after altitude as the G1
+# supertype closure.
+#
+# Engine-exactness: EM runs in INTEGER NANO-UNIT fixed point (1e9 =
+# probability 1) with floor division after every multiply, a fixed
+# iteration count, and clamping to [1, 1e9-1] — both engines execute
+# the identical integer recurrence (Python bigints here; a HUGEINT
+# scalar recursive CTE in the DuckDB oracle), so the resulting
+# parameters match bit-for-bit with no float anywhere. The fold order
+# is part of the spec: the match-side product starts from p and
+# multiplies the name, segment, balance terms in that order (the
+# non-match side starts from 1-p), flooring after each step.
+#
+# Estimation-population caveat (standard in blocked linkage): EM runs
+# over the BLOCKED candidate pairs, so u_f is P(agree | non-match)
+# within blocks — biased upward vs. random pairs for fields correlated
+# with the block key (name, here). That is the population the scorer
+# actually ranks, so the weights remain internally consistent; a
+# random-pair u estimate would need a sampling pass the fixed
+# literals above already stand in for.
+# --------------------------------------------------------------------------
+
+_FS_EM_ITERS = 12
+_FS_ONE = 1_000_000_000  # nano-unit fixed-point scale
+# field -> pattern-index bit, in the documented fold order
+_FS_FIELDS = (("name", 4), ("segment", 2), ("balance", 1))
+
+
+def _fs_em_init() -> tuple[int, dict[str, int], dict[str, int]]:
+    """Published starting point: p0 = 0.01, m/u from the `_FS_MU`
+    stand-ins (nano-units)."""
+    p0 = _FS_ONE // 100
+    m0 = {f: round(mu[0] * _FS_ONE) for f, mu in _FS_MU.items()}
+    u0 = {f: round(mu[1] * _FS_ONE) for f, mu in _FS_MU.items()}
+    return p0, m0, u0
+
+
+def _fs_em(counts: list[int]) -> tuple[int, dict[str, int], dict[str, int]]:
+    """`_FS_EM_ITERS` integer-exact EM iterations over the 8
+    agreement-pattern counts (pattern g = 4*name + 2*segment +
+    1*balance agreement bits)."""
+    one = _FS_ONE
+
+    def clamp(x: int) -> int:
+        return min(max(x, 1), one - 1)
+
+    p, m, u = _fs_em_init()
+    for _ in range(_FS_EM_ITERS):
+        s_tot = t_tot = 0
+        s_f = {f: 0 for f, _ in _FS_FIELDS}
+        t_f = {f: 0 for f, _ in _FS_FIELDS}
+        for g, n in enumerate(counts):
+            am, au = p, one - p
+            for f, b in _FS_FIELDS:
+                am = am * (m[f] if g & b else one - m[f]) // one
+                au = au * (u[f] if g & b else one - u[f]) // one
+            w = am * one // max(am + au, 1)
+            s_tot += n * w
+            t_tot += n * (one - w)
+            for f, b in _FS_FIELDS:
+                if g & b:
+                    s_f[f] += n * w
+                    t_f[f] += n * (one - w)
+        n_tot = sum(counts)
+        p = clamp(s_tot // max(n_tot, 1))
+        m = {f: clamp(s_f[f] * one // max(s_tot, 1)) for f, _ in _FS_FIELDS}
+        u = {f: clamp(t_f[f] * one // max(t_tot, 1)) for f, _ in _FS_FIELDS}
+    return p, m, u
+
+
+def fs_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-estimated Fellegi-Sunter m/u parameters over the blocked
+    candidate pairs (module-note above).
+
+    Plan: the same three 6-digit block-join passes as
+    `fellegi_sunter_bands`, one distinct, then ONE 8-cell aggregate
+    (the agreement-pattern histogram — the only data-sized stage);
+    the 8 counts come to the driver (a 1-row readout, pinned in
+    tests/test_driver_materialization.py) and the fixed-iteration
+    integer EM runs there. Output: one row per scored field with the
+    estimated m/u and the shared match proportion p, all in
+    nano-units."""
+    customer = load_table(spark, sf_dir, "customer")
+    passes = [
+        _fs_candidates(customer, _interleaved_key("c_name", pp))
+        for pp in _FS_PART_PAIRS
+    ]
+    pairs = passes[0].union(passes[1]).union(passes[2]).distinct()
+    pattern = (
+        F.col("ag_name").cast("int") * 4
+        + F.col("ag_segment").cast("int") * 2
+        + F.col("ag_balance").cast("int")
+    )
+    row = pairs.select(pattern.alias("g")).groupBy().agg(
+        *[
+            F.count(F.when(F.col("g") == g, F.lit(1))).alias(f"n{g}")
+            for g in range(8)
+        ]
+    ).collect()[0]
+    counts = [row[f"n{g}"] for g in range(8)]
+    p, m, u = _fs_em(counts)
+    n_pairs = sum(counts)
+    out = [
+        (f, m[f], u[f], p, n_pairs)
+        for f in sorted(f for f, _ in _FS_FIELDS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "field string, m_nano long, u_nano long, p_nano long, "
+        "n_pairs long",
+    ).orderBy("field")
+
+
+def _fs_em_sql() -> str:
+    """The identical fixed-iteration integer EM as a HUGEINT scalar
+    recursive CTE over the one-row pattern histogram."""
+    one = _FS_ONE
+    p0, m0, u0 = _fs_em_init()
+    prefix = {"name": "n", "segment": "s", "balance": "b"}
+
+    # per-pattern E-step expressions, mirroring _fs_em's fold order
+    def chain(start: str, g: int, par: dict[str, str]) -> str:
+        e = start
+        for f, b in _FS_FIELDS:
+            t = par[f] if g & b else f"({one} - {par[f]})"
+            e = f"(({e} * {t}) // {one})"
+        return e
+
+    w_cols, s_terms, t_terms = [], [], []
+    sf_terms = {f: [] for f, _ in _FS_FIELDS}
+    tf_terms = {f: [] for f, _ in _FS_FIELDS}
+    mpar = {f: f"m{prefix[f]}" for f, _ in _FS_FIELDS}
+    upar = {f: f"u{prefix[f]}" for f, _ in _FS_FIELDS}
+    for g in range(8):
+        am = chain("p", g, mpar)
+        au = chain(f"({one} - p)", g, upar)
+        w_cols.append(
+            f"(({am} * {one}) // greatest({am} + {au}, 1)) AS w{g}"
+        )
+        s_terms.append(f"n{g} * w{g}")
+        t_terms.append(f"n{g} * ({one} - w{g})")
+        for f, b in _FS_FIELDS:
+            if g & b:
+                sf_terms[f].append(f"n{g} * w{g}")
+                tf_terms[f].append(f"n{g} * ({one} - w{g})")
+
+    def clamp(x: str) -> str:
+        return f"least(greatest({x}, 1), {one - 1})"
+
+    m_updates = ", ".join(
+        clamp(f"(sf_{f} * {one}) // greatest(s_tot, 1)")
+        + f" AS {mpar[f]}"
+        for f, _ in _FS_FIELDS
+    )
+    u_updates = ", ".join(
+        clamp(f"(tf_{f} * {one}) // greatest(t_tot, 1)")
+        + f" AS {upar[f]}"
+        for f, _ in _FS_FIELDS
+    )
+    sf_cols = ", ".join(
+        f"{' + '.join(sf_terms[f])} AS sf_{f}" for f, _ in _FS_FIELDS
+    )
+    tf_cols = ", ".join(
+        f"{' + '.join(tf_terms[f])} AS tf_{f}" for f, _ in _FS_FIELDS
+    )
+    n_filters = ", ".join(
+        "count(*) FILTER (WHERE "
+        + " AND ".join(
+            (f"ag_{f}" if g & b else f"NOT ag_{f}")
+            for f, b in _FS_FIELDS
+        )
+        + f")::HUGEINT AS n{g}"
+        for g in range(8)
+    )
+    init_cols = (
+        f"0 AS it, {p0}::HUGEINT AS p, "
+        + ", ".join(f"{m0[f]}::HUGEINT AS {mpar[f]}" for f, _ in _FS_FIELDS)
+        + ", "
+        + ", ".join(f"{u0[f]}::HUGEINT AS {upar[f]}" for f, _ in _FS_FIELDS)
+    )
+    par_cols = "p, " + ", ".join(
+        f"{mpar[f]}, {upar[f]}" for f, _ in _FS_FIELDS
+    )
+    field_rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, {mpar[f]}::BIGINT AS m_nano, "
+        f"{upar[f]}::BIGINT AS u_nano, p::BIGINT AS p_nano, "
+        f"n_tot::BIGINT AS n_pairs FROM final"
+        for f in sorted(f for f, _ in _FS_FIELDS)
+    )
+    return f"""
+WITH RECURSIVE fs_cust AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           round(c_acctbal * 100)::BIGINT // 100000 AS bb
+    FROM customer
+),
+fs_pairs AS (
+{_fs_pass_sql(_FS_PART_PAIRS[0])}
+    UNION
+{_fs_pass_sql(_FS_PART_PAIRS[1])}
+    UNION
+{_fs_pass_sql(_FS_PART_PAIRS[2])}
+),
+pat AS (
+    SELECT {n_filters},
+           count(*)::HUGEINT AS n_tot
+    FROM fs_pairs
+),
+em AS (
+    SELECT {init_cols}
+    UNION ALL
+    SELECT it + 1,
+           {clamp("s_tot // greatest(n_tot, 1)")} AS p,
+           {m_updates},
+           {u_updates}
+    FROM (
+        SELECT it,
+               {' + '.join(s_terms)} AS s_tot,
+               {' + '.join(t_terms)} AS t_tot,
+               {sf_cols},
+               {tf_cols},
+               n_tot
+        FROM (
+            SELECT it, {par_cols},
+                   n0, n1, n2, n3, n4, n5, n6, n7, n_tot,
+                   {", ".join(w_cols)}
+            FROM em, pat
+            WHERE it < {_FS_EM_ITERS}
+        )
+    )
+),
+final AS (
+    SELECT * FROM em, pat WHERE it = {_FS_EM_ITERS}
+)
+{field_rows}
+ORDER BY field
+"""
+
+
+QUERIES["fs_em_parameters"] = fs_em_parameters
+ORACLES["fs_em_parameters"] = _fs_em_sql()

@@ -138,3 +138,85 @@ def test_fs_2of3_blocking_has_full_lev1_recall(spark, sf_dir):
     expected = {(r["src"], r["dst"]) for r in brute.collect()}
     assert expected, "brute force found no lev<=1 pairs - vacuous test"
     assert expected <= cands
+
+
+def test_fs_em_is_a_true_em_fixpoint_path():
+    """The integer EM must track a float EM reference: run both from
+    the same start on a synthetic pattern histogram and require the
+    nano-unit params to sit within 5e-6 of the float path (the
+    floor-per-multiply error is ~1 nano-unit, but on small
+    intermediate products — am ~ p*prod(m) can sit near 3e7 nano —
+    the RELATIVE error reaches ~3e-8 per step and compounds to the
+    low-micro range over 12 iterations; 5e-6 bounds that with slack
+    while still pinning the integer recurrence to the true EM
+    trajectory)."""
+    from m4i_flink_tasks_spark.queries.entity_resolution import (
+        _FS_EM_ITERS,
+        _FS_FIELDS,
+        _FS_ONE,
+        _fs_em,
+        _fs_em_init,
+    )
+
+    # two well-separated populations: matches (pattern 7, all agree)
+    # plus noise, and non-matches concentrated on low patterns
+    counts = [5000, 800, 700, 120, 400, 90, 80, 310]
+    p_i, m_i, u_i = _fs_em(counts)
+
+    p0, m0, u0 = _fs_em_init()
+    p = p0 / _FS_ONE
+    m = {f: m0[f] / _FS_ONE for f, _ in _FS_FIELDS}
+    u = {f: u0[f] / _FS_ONE for f, _ in _FS_FIELDS}
+    for _ in range(_FS_EM_ITERS):
+        s_tot = t_tot = 0.0
+        s_f = {f: 0.0 for f, _ in _FS_FIELDS}
+        t_f = {f: 0.0 for f, _ in _FS_FIELDS}
+        for g, n in enumerate(counts):
+            am, au = p, 1.0 - p
+            for f, b in _FS_FIELDS:
+                am *= m[f] if g & b else 1.0 - m[f]
+                au *= u[f] if g & b else 1.0 - u[f]
+            w = am / (am + au)
+            s_tot += n * w
+            t_tot += n * (1.0 - w)
+            for f, b in _FS_FIELDS:
+                if g & b:
+                    s_f[f] += n * w
+                    t_f[f] += n * (1.0 - w)
+        p = s_tot / sum(counts)
+        m = {f: s_f[f] / s_tot for f, _ in _FS_FIELDS}
+        u = {f: t_f[f] / t_tot for f, _ in _FS_FIELDS}
+
+    assert abs(p_i / _FS_ONE - p) < 5e-6
+    for f, _ in _FS_FIELDS:
+        assert abs(m_i[f] / _FS_ONE - m[f]) < 5e-6
+        assert abs(u_i[f] / _FS_ONE - u[f]) < 5e-6
+    # separation: every field must carry positive evidence (m > u)
+    for f, _ in _FS_FIELDS:
+        assert m_i[f] > u_i[f]
+
+
+def test_fs_em_parameters_query(spark, sf_dir):
+    """Driver-surface shape + semantics: 3 rows (one per scored
+    field), shared p and n_pairs, params in (0, 1) nano-range, and
+    m > u for the name field (names carry the match signal on this
+    data)."""
+    from m4i_flink_tasks_spark.queries.entity_resolution import (
+        _FS_ONE,
+        fs_em_parameters,
+    )
+
+    rows = {r["field"]: r for r in fs_em_parameters(spark, sf_dir).collect()}
+    assert set(rows) == {"name", "segment", "balance"}
+    ps = {r["p_nano"] for r in rows.values()}
+    ns = {r["n_pairs"] for r in rows.values()}
+    assert len(ps) == 1 and len(ns) == 1
+    assert next(iter(ns)) > 0
+    for r in rows.values():
+        assert 0 < r["m_nano"] < _FS_ONE
+        assert 0 < r["u_nano"] < _FS_ONE
+    # name carries the match signal; at the smoke SF the candidate set
+    # can be so name-pure that both params clamp to the ceiling, so
+    # require non-strict dominance (strict separation is pinned on the
+    # synthetic histogram in the fixpoint test above)
+    assert rows["name"]["m_nano"] >= rows["name"]["u_nano"]
