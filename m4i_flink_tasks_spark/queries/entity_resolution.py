@@ -295,23 +295,12 @@ def _fs_candidates(customer: DataFrame, block_col) -> DataFrame:
     )
 
 
-def fellegi_sunter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-band linkage report over every blocked candidate pair:
-    pair count, integer micro-unit score extremes, and how many pairs
-    in the band the deterministic lev<=1 rule would also have matched
-    (the agreement between the probabilistic and deterministic
-    pipelines, per band).
-
-    Plan: two half-key block joins (bounded blocks by the interleaved-
-    entropy argument above, further cut by the nation conjunct), one
-    distinct on the scored pair relation, one integer-sum projection,
-    one band aggregate — the output is three rows at any scale."""
-    customer = load_table(spark, sf_dir, "customer")
-    passes = [
-        _fs_candidates(customer, _interleaved_key("c_name", pp))
-        for pp in _FS_PART_PAIRS
-    ]
-    pairs = passes[0].union(passes[1]).union(passes[2]).distinct()
+def fs_band_report(pairs: DataFrame) -> DataFrame:
+    """The shared banding readout: integer micro-unit LLR score and
+    the three-band aggregate over a scored candidate-pair relation
+    (columns ``ag_name``/``ag_segment``/``ag_balance``). Used verbatim
+    by the batch query below and the streaming linkage twin
+    (``streaming/fs_linkage.py``), so both engines band identically."""
     score = sum(
         F.when(F.col(f"ag_{f}"), F.lit(wa)).otherwise(F.lit(wd))
         for f, (wa, wd) in sorted(_FS_W.items())
@@ -337,6 +326,26 @@ def fellegi_sunter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def fellegi_sunter_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band linkage report over every blocked candidate pair:
+    pair count, integer micro-unit score extremes, and how many pairs
+    in the band the deterministic lev<=1 rule would also have matched
+    (the agreement between the probabilistic and deterministic
+    pipelines, per band).
+
+    Plan: two half-key block joins (bounded blocks by the interleaved-
+    entropy argument above, further cut by the nation conjunct), one
+    distinct on the scored pair relation, one integer-sum projection,
+    one band aggregate — the output is three rows at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    passes = [
+        _fs_candidates(customer, _interleaved_key("c_name", pp))
+        for pp in _FS_PART_PAIRS
+    ]
+    pairs = passes[0].union(passes[1]).union(passes[2]).distinct()
+    return fs_band_report(pairs)
 
 
 def _fs_pass_sql(positions: tuple[int, ...]) -> str:

@@ -1985,6 +1985,25 @@ def _stream_hybrid_rrf_sql() -> str:
     return HYBRID_ORACLES["hybrid_rrf_retrieval"]
 
 
+def stream_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Fellegi-Sunter linkage serving: new customer records
+    probe a maintained block index (bucketed keyed state, the
+    near-dedup/BM25-index layout) for candidates, the agreement vector
+    is scored on arrival against bucket-pruned prior attributes, and
+    the scored pairs accumulate in an insert-only keyed store; the
+    readout is the shared ``fs_band_report`` kernel, so the batch
+    oracle oracles the stream (``streaming/fs_linkage.py``)."""
+    from ..streaming.fs_linkage import run_stream_fs_linkage
+
+    return run_stream_fs_linkage(spark, sf_dir, _workdir("fs_linkage"))
+
+
+def _stream_fs_linkage_sql() -> str:
+    from .entity_resolution import ORACLES as ER_ORACLES
+
+    return ER_ORACLES["fellegi_sunter_bands"]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2460,6 +2479,7 @@ QUERIES = {
     "stream_dp_release": stream_dp_release,
     "stream_conformal_gate": stream_conformal_gate,
     "stream_hybrid_rrf": stream_hybrid_rrf,
+    "stream_fs_linkage": stream_fs_linkage,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2568,4 +2588,5 @@ ORACLES = {
     "stream_dp_release": _stream_dp_sql(),
     "stream_conformal_gate": _stream_conformal_sql(),
     "stream_hybrid_rrf": _stream_hybrid_rrf_sql(),
+    "stream_fs_linkage": _stream_fs_linkage_sql(),
 }

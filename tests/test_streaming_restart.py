@@ -685,3 +685,75 @@ def test_sequential_ab_mid_stream_restart(spark, sf_dir):
         os.utime(p, (mtimes[p], mtimes[p]))
     second = run_stream_sequential_ab(spark, sf_dir, wd)
     assert sorted(map(tuple, second.collect())) == expected
+
+
+def test_fs_linkage_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming FS linkage mid-stream and restart: block
+    index, attribute and scored-pair stores plus checkpointed offsets
+    must reproduce the one-shot band report — including pairs whose
+    earlier record was seen before the crash."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.fs_linkage import (
+        run_stream_fs_linkage,
+        stage_customers,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_fs_ref_")
+    expected = sorted(
+        map(tuple, run_stream_fs_linkage(spark, sf_dir, wd_ref).collect())
+    )
+    assert expected, "no candidate pairs at this SF - vacuous test"
+
+    wd = tempfile.mkdtemp(prefix="m4i_fs_restart_")
+    staging = stage_customers(
+        spark, sf_dir, os.path.join(wd, "staging_cust"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_fs_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    run_stream_fs_linkage(spark, sf_dir, wd)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_fs_linkage(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
+
+
+def test_fs_linkage_matches_batch_at_any_split(spark, sf_dir):
+    """Batch-split invariance: 1-file and 4-file replays of the
+    customer stream must both band-report exactly the batch query's
+    answer (the pair-discovered-once argument in the module
+    docstring)."""
+    from m4i_flink_tasks_spark.queries.entity_resolution import (
+        fellegi_sunter_bands,
+    )
+    from m4i_flink_tasks_spark.streaming.fs_linkage import (
+        run_stream_fs_linkage,
+    )
+
+    batch = sorted(
+        map(tuple, fellegi_sunter_bands(spark, sf_dir).collect())
+    )
+    for n_files, per_trigger in ((1, None), (4, 1)):
+        wd = tempfile.mkdtemp(prefix=f"m4i_fs_split{n_files}_")
+        got = sorted(
+            map(
+                tuple,
+                run_stream_fs_linkage(
+                    spark,
+                    sf_dir,
+                    wd,
+                    n_files=n_files,
+                    max_files_per_trigger=per_trigger,
+                ).collect(),
+            )
+        )
+        assert got == batch, f"split {n_files}/{per_trigger} diverged"
