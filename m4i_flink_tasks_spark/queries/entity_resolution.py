@@ -486,6 +486,53 @@ def _fs_em(counts: list[int]) -> tuple[int, dict[str, int], dict[str, int]]:
     return p, m, u
 
 
+def _pattern_counts(pairs: DataFrame) -> list[int]:
+    """The 8-cell agreement-pattern histogram of a scored candidate
+    relation — the ONLY data-sized stage of the EM queries; the 8
+    counts come to the driver as a 1-row readout (pinned in
+    tests/test_driver_materialization.py)."""
+    pattern = (
+        F.col("ag_name").cast("int") * 4
+        + F.col("ag_segment").cast("int") * 2
+        + F.col("ag_balance").cast("int")
+    )
+    row = pairs.select(pattern.alias("g")).groupBy().agg(
+        *[
+            F.count(F.when(F.col("g") == g, F.lit(1))).alias(f"n{g}")
+            for g in range(8)
+        ]
+    ).collect()[0]
+    return [row[f"n{g}"] for g in range(8)]
+
+
+def _fs_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three 6-digit block-join passes + distinct — the shared
+    candidate relation of every FS query."""
+    customer = load_table(spark, sf_dir, "customer")
+    passes = [
+        _fs_candidates(customer, _interleaved_key("c_name", pp))
+        for pp in _FS_PART_PAIRS
+    ]
+    return passes[0].union(passes[1]).union(passes[2]).distinct()
+
+
+def fs_em_report(spark: SparkSession, counts: list[int]) -> DataFrame:
+    """Run the fixed-iteration integer EM on an 8-cell histogram and
+    shape the per-field parameter report (shared by the batch query
+    and the streaming twin in ``streaming/fs_linkage.py``)."""
+    p, m, u = _fs_em(counts)
+    n_pairs = sum(counts)
+    out = [
+        (f, m[f], u[f], p, n_pairs)
+        for f in sorted(f for f, _ in _FS_FIELDS)
+    ]
+    return spark.createDataFrame(
+        out,
+        "field string, m_nano long, u_nano long, p_nano long, "
+        "n_pairs long",
+    ).orderBy("field")
+
+
 def fs_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EM-estimated Fellegi-Sunter m/u parameters over the blocked
     candidate pairs (module-note above).
@@ -498,35 +545,9 @@ def fs_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer EM runs there. Output: one row per scored field with the
     estimated m/u and the shared match proportion p, all in
     nano-units."""
-    customer = load_table(spark, sf_dir, "customer")
-    passes = [
-        _fs_candidates(customer, _interleaved_key("c_name", pp))
-        for pp in _FS_PART_PAIRS
-    ]
-    pairs = passes[0].union(passes[1]).union(passes[2]).distinct()
-    pattern = (
-        F.col("ag_name").cast("int") * 4
-        + F.col("ag_segment").cast("int") * 2
-        + F.col("ag_balance").cast("int")
+    return fs_em_report(
+        spark, _pattern_counts(_fs_blocked_pairs(spark, sf_dir))
     )
-    row = pairs.select(pattern.alias("g")).groupBy().agg(
-        *[
-            F.count(F.when(F.col("g") == g, F.lit(1))).alias(f"n{g}")
-            for g in range(8)
-        ]
-    ).collect()[0]
-    counts = [row[f"n{g}"] for g in range(8)]
-    p, m, u = _fs_em(counts)
-    n_pairs = sum(counts)
-    out = [
-        (f, m[f], u[f], p, n_pairs)
-        for f in sorted(f for f, _ in _FS_FIELDS)
-    ]
-    return spark.createDataFrame(
-        out,
-        "field string, m_nano long, u_nano long, p_nano long, "
-        "n_pairs long",
-    ).orderBy("field")
 
 
 def _fs_em_sql() -> str:
@@ -656,3 +677,143 @@ ORDER BY field
 
 QUERIES["fs_em_parameters"] = fs_em_parameters
 ORACLES["fs_em_parameters"] = _fs_em_sql()
+
+
+# --------------------------------------------------------------------------
+# EM-weighted banding — the estimation pass actually USED: band every
+# candidate pair by its EM-estimated posterior match probability
+# P(match | agreement pattern) instead of the fixed-literal LLR score.
+#
+# Banding on the posterior rather than on ln(m/u) weight sums keeps
+# the whole pipeline integer-exact: the posterior for a pattern is the
+# E-step expression w_g the EM already evaluates in nano-unit fixed
+# point, so no logarithm (a float op whose last-ulp disagreement
+# across engines could flip a pair at a band cliff) ever enters. With
+# p fixed at its EM estimate the posterior is a strictly monotone
+# function of the LLR, so the banding semantics are Fellegi-Sunter's —
+# only the threshold parameterization changes (posterior cliffs at
+# 0.9 / 0.1 instead of ln-odds cliffs at 2 / -1).
+#
+# There are only 8 agreement patterns, so the plan is: the one 8-cell
+# pattern aggregate (the only data-sized stage, shared with
+# fs_em_parameters) -> EM + per-pattern posteriors in the driver ->
+# band the PATTERN HISTOGRAM, not the pairs: the per-band report is a
+# weighted rollup of at most 8 rows. Nothing after the aggregate
+# touches data.
+# --------------------------------------------------------------------------
+
+_FS_POST_LINK = 900_000_000  # posterior >= 0.9 -> link
+_FS_POST_POSSIBLE = 100_000_000  # posterior >= 0.1 -> possible
+
+
+def _fs_posteriors(
+    counts: list[int],
+) -> tuple[list[int], int, dict[str, int], dict[str, int]]:
+    """Per-pattern nano-unit posteriors under the EM-estimated
+    parameters (one extra E-step on the converged values — the same
+    integer expressions as inside `_fs_em`)."""
+    one = _FS_ONE
+    p, m, u = _fs_em(counts)
+    posts = []
+    for g in range(8):
+        am, au = p, one - p
+        for f, b in _FS_FIELDS:
+            am = am * (m[f] if g & b else one - m[f]) // one
+            au = au * (u[f] if g & b else one - u[f]) // one
+        posts.append(am * one // max(am + au, 1))
+    return posts, p, m, u
+
+
+def fs_em_posterior_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band the blocked candidate pairs by EM-estimated posterior
+    match probability (module-note above): per band, the pair count,
+    nano-unit posterior extremes, and how many pairs the deterministic
+    lev<=1 rule would also have matched."""
+    counts = _pattern_counts(_fs_blocked_pairs(spark, sf_dir))
+    posts, _p, _m, _u = _fs_posteriors(counts)
+
+    def band(g: int) -> str:
+        if posts[g] >= _FS_POST_LINK:
+            return "1 link"
+        if posts[g] >= _FS_POST_POSSIBLE:
+            return "2 possible"
+        return "3 non-link"
+
+    rollup: dict[str, list[int]] = {}
+    for g in range(8):
+        if counts[g] == 0:
+            continue
+        r = rollup.setdefault(band(g), [0, posts[g], posts[g], 0])
+        r[0] += counts[g]
+        r[1] = min(r[1], posts[g])
+        r[2] = max(r[2], posts[g])
+        if g & 4:  # name agreement = the deterministic lev<=1 rule
+            r[3] += counts[g]
+    out = [
+        (b, r[0], r[1], r[2], r[3]) for b, r in sorted(rollup.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        "band string, n_pairs long, min_posterior_nano long, "
+        "max_posterior_nano long, n_lev_matches long",
+    ).orderBy("band")
+
+
+def _fs_posterior_sql() -> str:
+    """The identical EM + posterior banding in SQL: reuse the EM
+    recursive CTE, add one more E-step on the converged row, band the
+    8-row pattern histogram."""
+    one = _FS_ONE
+    em_sql = _fs_em_sql()
+    # reuse everything up to (and including) the `final` CTE
+    head, _tail = em_sql.rsplit("\n)\n", 1)
+    prefix = {"name": "n", "segment": "s", "balance": "b"}
+    mpar = {f: f"m{prefix[f]}" for f, _ in _FS_FIELDS}
+    upar = {f: f"u{prefix[f]}" for f, _ in _FS_FIELDS}
+
+    def chain(start: str, g: int, par: dict[str, str]) -> str:
+        e = start
+        for f, b in _FS_FIELDS:
+            t = par[f] if g & b else f"({one} - {par[f]})"
+            e = f"(({e} * {t}) // {one})"
+        return e
+
+    pattern_rows = " UNION ALL ".join(
+        f"SELECT {g} AS g, n{g} AS n, "
+        + chain("p", g, mpar)
+        + " * "
+        + str(one)
+        + " // greatest("
+        + chain("p", g, mpar)
+        + " + "
+        + chain(f"({one} - p)", g, upar)
+        + ", 1) AS post FROM final"
+        for g in range(8)
+    )
+    return f"""{head}
+),
+pattern_posts AS (
+{pattern_rows}
+),
+pattern_bands AS (
+    SELECT CASE WHEN post >= {_FS_POST_LINK} THEN '1 link'
+                WHEN post >= {_FS_POST_POSSIBLE} THEN '2 possible'
+                ELSE '3 non-link' END AS band,
+           n, post,
+           CASE WHEN g >= 4 THEN n ELSE 0 END AS n_lev
+    FROM pattern_posts
+    WHERE n > 0
+)
+SELECT band,
+       sum(n)::BIGINT AS n_pairs,
+       min(post)::BIGINT AS min_posterior_nano,
+       max(post)::BIGINT AS max_posterior_nano,
+       sum(n_lev)::BIGINT AS n_lev_matches
+FROM pattern_bands
+GROUP BY band
+ORDER BY band
+"""
+
+
+QUERIES["fs_em_posterior_bands"] = fs_em_posterior_bands
+ORACLES["fs_em_posterior_bands"] = _fs_posterior_sql()

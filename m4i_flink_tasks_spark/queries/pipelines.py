@@ -2004,6 +2004,23 @@ def _stream_fs_linkage_sql() -> str:
     return ER_ORACLES["fellegi_sunter_bands"]
 
 
+def stream_fs_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EM refresh over the maintained linkage store: the
+    same three-store ingest as ``stream_fs_linkage``, read out through
+    the shared 8-cell pattern histogram + fixed-iteration integer EM —
+    the batch EM oracle oracles the stream
+    (``streaming/fs_linkage.py``)."""
+    from ..streaming.fs_linkage import run_stream_fs_em
+
+    return run_stream_fs_em(spark, sf_dir, _workdir("fs_em"))
+
+
+def _stream_fs_em_sql() -> str:
+    from .entity_resolution import ORACLES as ER_ORACLES
+
+    return ER_ORACLES["fs_em_parameters"]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2480,6 +2497,7 @@ QUERIES = {
     "stream_conformal_gate": stream_conformal_gate,
     "stream_hybrid_rrf": stream_hybrid_rrf,
     "stream_fs_linkage": stream_fs_linkage,
+    "stream_fs_em_parameters": stream_fs_em_parameters,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2589,4 +2607,5 @@ ORACLES = {
     "stream_conformal_gate": _stream_conformal_sql(),
     "stream_hybrid_rrf": _stream_hybrid_rrf_sql(),
     "stream_fs_linkage": _stream_fs_linkage_sql(),
+    "stream_fs_em_parameters": _stream_fs_em_sql(),
 }

@@ -214,17 +214,15 @@ def link_batch(
     attrs_store.merge(side, batch_id=batch_id, insert_only=True)
 
 
-def run_stream_fs_linkage(
+def _run_linkage_stream(
     spark: SparkSession,
     sf_dir: str,
     workdir: str,
-    n_files: int = 4,
-    max_files_per_trigger: int | None = 2,
+    n_files: int,
+    max_files_per_trigger: int | None,
 ) -> DataFrame:
-    """Replay the bounded customer stream; return the shared FS band
-    report over the maintained scored-pair store."""
-    from ..queries.entity_resolution import fs_band_report
-
+    """Replay the bounded customer stream through the three-store
+    linkage sink; return the maintained scored-pair relation."""
     staging = stage_customers(
         spark, sf_dir, os.path.join(workdir, "staging_cust"), n_files
     )
@@ -266,6 +264,43 @@ def run_stream_fs_linkage(
             "src long, dst long, ag_name boolean, ag_segment boolean, "
             "ag_balance boolean",
         )
+    return pairs.select("src", "dst", "ag_name", "ag_segment", "ag_balance")
+
+
+def run_stream_fs_linkage(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Replay the bounded customer stream; return the shared FS band
+    report over the maintained scored-pair store."""
+    from ..queries.entity_resolution import fs_band_report
+
     return fs_band_report(
-        pairs.select("src", "dst", "ag_name", "ag_segment", "ag_balance")
+        _run_linkage_stream(
+            spark, sf_dir, workdir, n_files, max_files_per_trigger
+        )
     )
+
+
+def run_stream_fs_em(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming EM refresh: the same maintained scored-pair store,
+    read out through the shared 8-cell histogram + fixed-iteration
+    integer EM (``queries/entity_resolution.fs_em_report``) — the
+    parameter-estimation loop an MDM deployment re-runs as records
+    accumulate. The pair relation equals the batch candidate set
+    (module docstring), so the batch EM oracle oracles the stream."""
+    from ..queries.entity_resolution import _pattern_counts, fs_em_report
+
+    pairs = _run_linkage_stream(
+        spark, sf_dir, workdir, n_files, max_files_per_trigger
+    )
+    return fs_em_report(spark, _pattern_counts(pairs))

@@ -30,8 +30,10 @@ Bounds, per (module, function):
   sketches.exact_median_twopass       value-domain bucket histogram
   sketches.hdr_histogram_quantiles    <= 90 buckets/decade sketch
   warehouse.rfm_segments              5^3 RFM segment cells
-  entity_resolution.fs_em_parameters  1 row (the 8 agreement-pattern
-                                      counts); EM iterates driver-side
+  entity_resolution._pattern_counts   1 row (the 8 agreement-pattern
+                                      counts) — the shared histogram
+                                      readout of the EM queries; EM
+                                      and banding then run driver-side
                                       on those 8 cells only
 """
 
@@ -64,7 +66,7 @@ _ALLOWED = {
     ("queries/sketches.py", "exact_median_twopass"),
     ("queries/sketches.py", "hdr_histogram_quantiles"),
     ("queries/warehouse.py", "rfm_segments"),
-    ("queries/entity_resolution.py", "fs_em_parameters"),
+    ("queries/entity_resolution.py", "_pattern_counts"),
 }
 
 

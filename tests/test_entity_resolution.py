@@ -220,3 +220,33 @@ def test_fs_em_parameters_query(spark, sf_dir):
     # require non-strict dominance (strict separation is pinned on the
     # synthetic histogram in the fixpoint test above)
     assert rows["name"]["m_nano"] >= rows["name"]["u_nano"]
+
+
+def test_fs_em_posterior_bands(spark, sf_dir):
+    """EM-weighted banding: bands partition the same candidate set the
+    fixed-literal banding sees, posterior extremes respect the band
+    cliffs, and name-agreement counts never exceed the band size."""
+    from m4i_flink_tasks_spark.queries.entity_resolution import (
+        _FS_POST_LINK,
+        _FS_POST_POSSIBLE,
+        fellegi_sunter_bands,
+        fs_em_posterior_bands,
+    )
+
+    rows = {r["band"]: r for r in fs_em_posterior_bands(spark, sf_dir).collect()}
+    assert set(rows) <= {"1 link", "2 possible", "3 non-link"}
+    n_total = sum(r["n_pairs"] for r in rows.values())
+    n_fixed = sum(
+        r["n_pairs"] for r in fellegi_sunter_bands(spark, sf_dir).collect()
+    )
+    assert n_total == n_fixed  # same blocked candidate relation
+    for r in rows.values():
+        assert 0 <= r["min_posterior_nano"] <= r["max_posterior_nano"]
+        assert 0 <= r["n_lev_matches"] <= r["n_pairs"]
+    if "1 link" in rows:
+        assert rows["1 link"]["min_posterior_nano"] >= _FS_POST_LINK
+    if "2 possible" in rows:
+        assert rows["2 possible"]["min_posterior_nano"] >= _FS_POST_POSSIBLE
+        assert rows["2 possible"]["max_posterior_nano"] < _FS_POST_LINK
+    if "3 non-link" in rows:
+        assert rows["3 non-link"]["max_posterior_nano"] < _FS_POST_POSSIBLE
