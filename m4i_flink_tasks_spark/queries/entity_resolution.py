@@ -103,22 +103,13 @@ def _candidate_pairs(customer: DataFrame, block_col) -> DataFrame:
     )
 
 
-def entity_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-entity clusters over customers (see module docstring).
-
-    Output: the ``_REPORT_CAP`` largest clusters — component id (min
-    member id), member count, and the first ``_MEMBER_CAP`` member ids.
-    """
-    customer = load_table(spark, sf_dir, "customer")
-    pairs = (
-        _candidate_pairs(customer, _interleaved_key("c_name", _ODD_POS))
-        .union(
-            _candidate_pairs(
-                customer, _interleaved_key("c_name", _EVEN_POS)
-            )
-        )
-        .distinct()
-    )
+def cluster_report(pairs: DataFrame) -> DataFrame:
+    """The shared clustering readout: connected components over a
+    match-pair relation, rolled up to the ``_REPORT_CAP`` largest
+    clusters — component id (min member id), member count, and the
+    first ``_MEMBER_CAP`` member ids. Used verbatim by the batch query
+    below and the streaming clusters twin
+    (``streaming/fs_linkage.py``)."""
     labels = connected_components(pairs)
     return (
         labels.groupBy("component_id")
@@ -136,6 +127,30 @@ def entity_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deterministic_pairs(customer: DataFrame) -> DataFrame:
+    """The deterministic-rule match graph (both halves passes +
+    distinct) — shared by the clusters report and survivorship."""
+    return (
+        _candidate_pairs(customer, _interleaved_key("c_name", _ODD_POS))
+        .union(
+            _candidate_pairs(
+                customer, _interleaved_key("c_name", _EVEN_POS)
+            )
+        )
+        .distinct()
+    )
+
+
+def entity_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-entity clusters over customers (see module docstring).
+
+    Output: the ``_REPORT_CAP`` largest clusters — component id (min
+    member id), member count, and the first ``_MEMBER_CAP`` member ids.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return cluster_report(_deterministic_pairs(customer))
+
+
 def _pass_sql(positions: tuple[int, ...]) -> str:
     ka = _interleaved_key_sql("a", positions)
     kb = _interleaved_key_sql("b", positions)
@@ -149,7 +164,7 @@ def _pass_sql(positions: tuple[int, ...]) -> str:
     WHERE levenshtein(a.c_name, b.c_name) <= {_LEV_MAX}"""
 
 
-ENTITY_CLUSTERS_SQL = f"""
+_LABELED_CTE_SQL = f"""
 WITH RECURSIVE cust AS (
     SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
 ),
@@ -172,7 +187,9 @@ labeled AS (
     SELECT a AS node, min(b) AS component_id
     FROM reach
     GROUP BY a
-)
+)"""
+
+ENTITY_CLUSTERS_SQL = f"""{_LABELED_CTE_SQL}
 SELECT component_id,
        count(*) AS n_members,
        array_to_string(
@@ -817,3 +834,135 @@ ORDER BY band
 
 QUERIES["fs_em_posterior_bands"] = fs_em_posterior_bands
 ORACLES["fs_em_posterior_bands"] = _fs_posterior_sql()
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship — the MDM terminal operation: after
+# clustering, each duplicate cluster collapses to ONE canonical
+# ("golden") record by field-wise survivorship rules (the
+# merge/survivorship stage every master-data pipeline ends with;
+# cf. the survivorship taxonomies in Talburt & Zhou, "Entity
+# Information Life Cycle for Big Data", 2015). Rules here, all
+# deterministic and engine-exact:
+#
+# - identity:   the component id (min member id);
+# - name:       the name of the member with the HIGHEST account
+#               balance (most-trusted-source stand-in), ties broken
+#               by lowest custkey — a row_number over a total order;
+# - segment:    the cluster MODE, ties broken lexicographically;
+# - nation:     inherited from the name survivor (all members share
+#               it anyway — nation is a blocking conjunct);
+# - balance:    the maximum across members (greatest-value rule).
+#
+# Plan: the shared match graph -> connected components (pair-graph
+# sized, never base-table sized) -> ONE join back to the customer
+# attributes -> two component-partitioned windows (cluster-sized
+# partitions) + one aggregate. Output bounded by _REPORT_CAP.
+# --------------------------------------------------------------------------
+
+
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical record per duplicate cluster (module-note above):
+    the ``_REPORT_CAP`` largest clusters with their survivor fields."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    labels = connected_components(_deterministic_pairs(customer))
+    members = labels.join(
+        customer, labels.node == customer.c_custkey
+    ).select(
+        "component_id",
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    w_name = Window.partitionBy("component_id").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    survivor = (
+        members.withColumn("rn", F.row_number().over(w_name))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("c_name").alias("golden_name"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    seg_counts = members.groupBy("component_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_seg = Window.partitionBy("component_id").orderBy(
+        F.desc("cnt"), F.asc("c_mktsegment")
+    )
+    seg_mode = (
+        seg_counts.withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("c_mktsegment").alias("golden_segment"),
+        )
+    )
+    agg = members.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+    return (
+        agg.join(survivor, "component_id")
+        .join(seg_mode, "component_id")
+        .select(
+            "component_id",
+            "n_members",
+            "golden_name",
+            "golden_segment",
+            "nationkey",
+            "max_acctbal",
+        )
+        .orderBy(F.desc("n_members"), "component_id")
+        .limit(_REPORT_CAP)
+    )
+
+
+GOLDEN_RECORD_SQL = f"""{_LABELED_CTE_SQL},
+members AS (
+    SELECT l.component_id, c.c_custkey, c.c_name, c.c_nationkey,
+           c.c_mktsegment, c.c_acctbal
+    FROM labeled l JOIN customer c ON l.node = c.c_custkey
+),
+named AS (
+    SELECT component_id, c_name, c_nationkey,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM members
+),
+segm AS (
+    SELECT component_id, c_mktsegment, count(*) AS cnt
+    FROM members GROUP BY 1, 2
+),
+segp AS (
+    SELECT component_id, c_mktsegment,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+    FROM segm
+),
+agg AS (
+    SELECT component_id, count(*) AS n_members,
+           round(max(c_acctbal), 2) AS max_acctbal
+    FROM members GROUP BY 1
+)
+SELECT a.component_id,
+       a.n_members,
+       n.c_name AS golden_name,
+       s.c_mktsegment AS golden_segment,
+       n.c_nationkey AS nationkey,
+       a.max_acctbal
+FROM agg a
+JOIN named n ON a.component_id = n.component_id AND n.rn = 1
+JOIN segp s ON a.component_id = s.component_id AND s.rn = 1
+ORDER BY a.n_members DESC, a.component_id
+LIMIT {_REPORT_CAP}
+"""
+
+QUERIES["golden_record_survivorship"] = golden_record_survivorship
+ORACLES["golden_record_survivorship"] = GOLDEN_RECORD_SQL

@@ -2021,6 +2021,26 @@ def _stream_fs_em_sql() -> str:
     return ER_ORACLES["fs_em_parameters"]
 
 
+def stream_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``entity_match_clusters``: verified lev<=1
+    match pairs maintained incrementally over a block index keyed by
+    the interleaved-halves scheme + nation/segment conjuncts, then
+    clustered at readout by the shared ``cluster_report`` kernel —
+    the batch oracle oracles the stream
+    (``streaming/fs_linkage.py``)."""
+    from ..streaming.fs_linkage import run_stream_entity_clusters
+
+    return run_stream_entity_clusters(
+        spark, sf_dir, _workdir("er_clusters")
+    )
+
+
+def _stream_entity_clusters_sql() -> str:
+    from .entity_resolution import ORACLES as ER_ORACLES
+
+    return ER_ORACLES["entity_match_clusters"]
+
+
 def stream_chained_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four reference jobs chained as ONE topology
     (``streaming/chained.py``): get_entity's accepted-event set becomes
@@ -2498,6 +2518,7 @@ QUERIES = {
     "stream_hybrid_rrf": stream_hybrid_rrf,
     "stream_fs_linkage": stream_fs_linkage,
     "stream_fs_em_parameters": stream_fs_em_parameters,
+    "stream_entity_clusters": stream_entity_clusters,
     "stream_get_entity_enrichment": stream_get_entity_enrichment,
     "stream_publish_state": stream_publish_state,
     "stream_dead_letter_box": stream_dead_letter_box,
@@ -2608,4 +2629,5 @@ ORACLES = {
     "stream_hybrid_rrf": _stream_hybrid_rrf_sql(),
     "stream_fs_linkage": _stream_fs_linkage_sql(),
     "stream_fs_em_parameters": _stream_fs_em_sql(),
+    "stream_entity_clusters": _stream_entity_clusters_sql(),
 }

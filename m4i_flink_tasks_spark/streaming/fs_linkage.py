@@ -73,29 +73,33 @@ def stage_customers(
     )
 
 
-def _union_custkeys(cur: DataFrame, batch: DataFrame) -> DataFrame:
-    """Aggregating combine for the block index: per block key, the
-    union of previously-seen and newly-arrived custkey lists."""
+def _union_custkeys(
+    key_cols: list[str],
+) -> "callable":
+    """Aggregating combine for a block index: per block key, the union
+    of previously-seen and newly-arrived custkey lists."""
     empty = F.array().cast("array<bigint>")
-    return (
-        cur.withColumnRenamed("custkeys", "_old")
-        .join(
-            batch.withColumnRenamed("custkeys", "_new"),
-            ["pass_idx", "blk", "c_nationkey"],
-            "full_outer",
+
+    def combine(cur: DataFrame, batch: DataFrame) -> DataFrame:
+        return (
+            cur.withColumnRenamed("custkeys", "_old")
+            .join(
+                batch.withColumnRenamed("custkeys", "_new"),
+                key_cols,
+                "full_outer",
+            )
+            .select(
+                *key_cols,
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("_old"), empty),
+                        F.coalesce(F.col("_new"), empty),
+                    )
+                ).alias("custkeys"),
+            )
         )
-        .select(
-            "pass_idx",
-            "blk",
-            "c_nationkey",
-            F.array_distinct(
-                F.concat(
-                    F.coalesce(F.col("_old"), empty),
-                    F.coalesce(F.col("_new"), empty),
-                )
-            ).alias("custkeys"),
-        )
-    )
+
+    return combine
 
 
 def _batch_side(batch: DataFrame) -> DataFrame:
@@ -210,7 +214,11 @@ def link_batch(
     block_agg = batch_keys.groupBy("pass_idx", "blk", "c_nationkey").agg(
         F.collect_list("c_custkey").alias("custkeys")
     )
-    block_store.merge(block_agg, combine=_union_custkeys, batch_id=batch_id)
+    block_store.merge(
+        block_agg,
+        combine=_union_custkeys(["pass_idx", "blk", "c_nationkey"]),
+        batch_id=batch_id,
+    )
     attrs_store.merge(side, batch_id=batch_id, insert_only=True)
 
 
@@ -283,6 +291,155 @@ def run_stream_fs_linkage(
             spark, sf_dir, workdir, n_files, max_files_per_trigger
         )
     )
+
+
+def match_batch(
+    block_store: BucketedParquetUpsertStore,
+    names_store: BucketedParquetUpsertStore,
+    pairs_store: BucketedParquetUpsertStore,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    """The DETERMINISTIC-rule sibling of `link_batch`: candidates from
+    the two interleaved-halves block passes (nation + segment as
+    blocking conjuncts, the batch `_candidate_pairs` scheme), VERIFIED
+    lev<=1 pairs kept — the streaming form of the
+    `entity_match_clusters` match graph."""
+    from ..queries.entity_resolution import (
+        _EVEN_POS,
+        _LEV_MAX,
+        _ODD_POS,
+        _interleaved_key,
+    )
+
+    side = batch.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    batch_keys = side.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.posexplode(
+            F.array(
+                _interleaved_key("c_name", _ODD_POS),
+                _interleaved_key("c_name", _EVEN_POS),
+            )
+        ).alias("pass_idx", "blk"),
+    )
+    key_cols = ["pass_idx", "blk", "c_nationkey", "c_mktsegment"]
+
+    prior = block_store.current_for_keys(batch_keys)
+    cand_prior = None
+    if prior is not None:
+        cand_prior = batch_keys.join(prior, key_cols).select(
+            F.explode("custkeys").alias("id_a"),
+            F.col("c_custkey").alias("id_b"),
+        )
+    left = batch_keys.alias("l")
+    right = batch_keys.alias("r")
+    cand_batch = left.join(
+        right,
+        (F.col("l.pass_idx") == F.col("r.pass_idx"))
+        & (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.c_nationkey") == F.col("r.c_nationkey"))
+        & (F.col("l.c_mktsegment") == F.col("r.c_mktsegment"))
+        & (F.col("l.c_custkey") < F.col("r.c_custkey")),
+    ).select(
+        F.col("l.c_custkey").alias("id_a"),
+        F.col("r.c_custkey").alias("id_b"),
+    )
+    cands = (
+        cand_batch
+        if cand_prior is None
+        else cand_prior.unionByName(cand_batch)
+    ).select(
+        F.least("id_a", "id_b").alias("src"),
+        F.greatest("id_a", "id_b").alias("dst"),
+    ).filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"])
+
+    names = side.select("c_custkey", "c_name")
+    prior_names = names_store.current_for_keys(
+        cands.select(F.col("src").alias("c_custkey"))
+    )
+    if prior_names is not None:
+        names = names.unionByName(prior_names.select("c_custkey", "c_name"))
+    a = names.alias("a")
+    b = names.alias("b")
+    matched = (
+        cands.join(a, F.col("src") == F.col("a.c_custkey"))
+        .join(b, F.col("dst") == F.col("b.c_custkey"))
+        .filter(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= _LEV_MAX
+        )
+        .select("src", "dst")
+    )
+    pairs_store.merge(matched, batch_id=batch_id, insert_only=True)
+
+    block_agg = batch_keys.groupBy(*key_cols).agg(
+        F.collect_list("c_custkey").alias("custkeys")
+    )
+    block_store.merge(
+        block_agg, combine=_union_custkeys(key_cols), batch_id=batch_id
+    )
+    names_store.merge(
+        side.select("c_custkey", "c_name"),
+        batch_id=batch_id,
+        insert_only=True,
+    )
+
+
+def run_stream_entity_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming twin of ``entity_match_clusters``: the verified
+    match-pair graph maintained incrementally (each pair discovered
+    exactly once, when its later record arrives), clustered at readout
+    by the shared ``cluster_report`` kernel (connected components +
+    largest-clusters rollup) — the batch oracle oracles the stream."""
+    from ..queries.entity_resolution import cluster_report
+
+    staging = stage_customers(
+        spark, sf_dir, os.path.join(workdir, "staging_cust"), n_files
+    )
+    block_store = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(workdir, "block_index"),
+        key_cols=["pass_idx", "blk", "c_nationkey", "c_mktsegment"],
+    )
+    names_store = BucketedParquetUpsertStore(
+        spark, os.path.join(workdir, "names"), key_cols=["c_custkey"]
+    )
+    pairs_store = BucketedParquetUpsertStore(
+        spark, os.path.join(workdir, "pairs"), key_cols=["src", "dst"]
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        match_batch(block_store, names_store, pairs_store, batch, batch_id)
+
+    reader = spark.readStream.schema(CUST_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    query = (
+        reader.parquet(staging)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(workdir, "ckpt_er_clusters")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    pairs = pairs_store.current()
+    if pairs is None:
+        pairs = spark.createDataFrame([], "src long, dst long")
+    return cluster_report(pairs.select("src", "dst"))
 
 
 def run_stream_fs_em(

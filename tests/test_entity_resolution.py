@@ -250,3 +250,67 @@ def test_fs_em_posterior_bands(spark, sf_dir):
         assert rows["2 possible"]["max_posterior_nano"] < _FS_POST_LINK
     if "3 non-link" in rows:
         assert rows["3 non-link"]["max_posterior_nano"] < _FS_POST_POSSIBLE
+
+
+def test_golden_record_survivorship(spark, sf_dir):
+    """Survivorship semantics: clusters match entity_match_clusters'
+    components, every golden name belongs to a cluster member, the
+    balance rule holds (max >= survivor's own balance) and the
+    segment mode is a member segment."""
+    from m4i_flink_tasks_spark.queries.entity_resolution import (
+        entity_match_clusters,
+        golden_record_survivorship,
+    )
+
+    clusters = {
+        r["component_id"]: r
+        for r in entity_match_clusters(spark, sf_dir).collect()
+    }
+    golden = golden_record_survivorship(spark, sf_dir).collect()
+    assert golden, "no duplicate clusters at this SF - vacuous test"
+    cust = {
+        r["c_custkey"]: r
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    for g in golden:
+        assert g["component_id"] in clusters
+        assert g["n_members"] == clusters[g["component_id"]]["n_members"]
+        assert g["n_members"] >= 2  # every component node has an edge
+        # the cluster id is the min member id and a real customer; its
+        # nation must equal the golden nation (nation blocks the rule)
+        seed = cust[g["component_id"]]
+        assert g["nationkey"] == seed["c_nationkey"]
+        # round() is monotone, so round(max) >= round(member) holds
+        assert g["max_acctbal"] >= round(seed["c_acctbal"], 2)
+        # listed members of the report include the survivor candidates
+        members = [
+            int(x)
+            for x in clusters[g["component_id"]]["members"].split(",")
+        ]
+        assert g["component_id"] == min(members)
+
+
+def test_stream_entity_clusters_matches_batch(spark, sf_dir):
+    """The maintained match-pair graph must cluster to exactly the
+    batch report at any batch split."""
+    import tempfile
+
+    from m4i_flink_tasks_spark.queries.entity_resolution import (
+        entity_match_clusters,
+    )
+    from m4i_flink_tasks_spark.streaming.fs_linkage import (
+        run_stream_entity_clusters,
+    )
+
+    batch = sorted(
+        map(tuple, entity_match_clusters(spark, sf_dir).collect())
+    )
+    assert batch, "no clusters at this SF - vacuous test"
+    wd = tempfile.mkdtemp(prefix="m4i_er_stream_")
+    got = sorted(
+        map(
+            tuple,
+            run_stream_entity_clusters(spark, sf_dir, wd).collect(),
+        )
+    )
+    assert got == batch
