@@ -104,7 +104,13 @@ def main() -> None:
 
     n_candidates = 0
     if "--candidates" in sys.argv:
-        n_candidates = int(sys.argv[sys.argv.index("--candidates") + 1])
+        # bare --candidates (no count) defaults to 10
+        idx = sys.argv.index("--candidates") + 1
+        n_candidates = (
+            int(sys.argv[idx])
+            if idx < len(sys.argv) and sys.argv[idx].isdigit()
+            else 10
+        )
     if n_candidates:
         cands = sorted(
             (
