@@ -179,11 +179,16 @@ def link_batch(
         F.greatest("id_a", "id_b").alias("dst"),
     ).filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"])
 
-    # Scoring attributes: dst is always in this batch; src is either
-    # in-batch or read bucket-pruned from the attribute store.
+    # Scoring attributes: each pair has at least one side in this
+    # batch, but after least/greatest normalization EITHER side may be
+    # the prior record (a prior custkey can exceed an arriving one if
+    # the topic is not key-ordered), so the bucket-pruned store read
+    # covers both columns.
     attrs = side
     prior_attrs = attrs_store.current_for_keys(
-        cands.select(F.col("src").alias("c_custkey"))
+        cands.select(F.col("src").alias("c_custkey")).unionByName(
+            cands.select(F.col("dst").alias("c_custkey"))
+        )
     )
     if prior_attrs is not None:
         attrs = attrs.unionByName(
@@ -357,9 +362,13 @@ def match_batch(
         F.greatest("id_a", "id_b").alias("dst"),
     ).filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"])
 
+    # (same both-sides read as link_batch: either side of a normalized
+    # pair may be the prior record on an unordered topic)
     names = side.select("c_custkey", "c_name")
     prior_names = names_store.current_for_keys(
-        cands.select(F.col("src").alias("c_custkey"))
+        cands.select(F.col("src").alias("c_custkey")).unionByName(
+            cands.select(F.col("dst").alias("c_custkey"))
+        )
     )
     if prior_names is not None:
         names = names.unionByName(prior_names.select("c_custkey", "c_name"))

@@ -314,3 +314,47 @@ def test_stream_entity_clusters_matches_batch(spark, sf_dir):
         )
     )
     assert got == batch
+
+
+def test_fs_linkage_sink_handles_out_of_order_arrival(spark):
+    """A pair whose LOWER-key record arrives AFTER its higher-key
+    partner must still be discovered: after least/greatest
+    normalization the prior record is the dst side, so the store read
+    must cover both pair columns (not just src)."""
+    import os
+    import tempfile
+
+    from m4i_flink_tasks_spark.streaming.fs_linkage import link_batch
+    from m4i_flink_tasks_spark.streaming.store import (
+        BucketedParquetUpsertStore,
+    )
+
+    wd = tempfile.mkdtemp(prefix="m4i_fs_ooo_")
+    block = BucketedParquetUpsertStore(
+        spark,
+        os.path.join(wd, "block_index"),
+        key_cols=["pass_idx", "blk", "c_nationkey"],
+    )
+    attrs = BucketedParquetUpsertStore(
+        spark, os.path.join(wd, "attrs"), key_cols=["c_custkey"]
+    )
+    pairs = BucketedParquetUpsertStore(
+        spark, os.path.join(wd, "pairs"), key_cols=["src", "dst"]
+    )
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_mktsegment string, c_acctbal double"
+    )
+    high_first = spark.createDataFrame(
+        [(2, "Customer#000000002", 7, "BUILDING", 100.0)], schema
+    )
+    low_later = spark.createDataFrame(
+        [(1, "Customer#000000001", 7, "BUILDING", 200.0)], schema
+    )
+    link_batch(block, attrs, pairs, high_first, batch_id=0)
+    link_batch(block, attrs, pairs, low_later, batch_id=1)
+    got = sorted(
+        (r["src"], r["dst"], r["ag_name"])
+        for r in pairs.current().collect()
+    )
+    assert got == [(1, 2, True)]
