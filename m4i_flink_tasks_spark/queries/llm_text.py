@@ -981,3 +981,115 @@ ORDER BY doc_id
 
 QUERIES["intra_doc_span_dedup"] = intra_doc_span_dedup
 ORACLES["intra_doc_span_dedup"] = _intra_doc_dedup_sql()
+
+
+# --------------------------------------------------------------------------
+# Cross-document span scrub — the CROSS-corpus generalization of the
+# intra-document kernel above, i.e. C4's actual dedup rule (Raffel et
+# al. 2020 remove every occurrence of a repeated span but one,
+# CORPUS-wide, not per page): each '. '-delimited span keeps exactly
+# its globally FIRST occurrence (lexicographically smallest
+# (doc_id, position)); every other occurrence — including later
+# repeats inside the same document — is scrubbed, and each document is
+# rebuilt from its surviving spans in original order.
+#
+# Winner selection is integer-exact in both engines: the occurrence
+# key is doc_id * 2^20 + position (documents here are far below 2^20
+# spans; the bound is asserted in tests), so "first occurrence" is one
+# min() over a span-keyed group. Plan: one span-keyed shuffle for the
+# winners, one span-keyed join to filter occurrences (the winner
+# relation is distinct-span-sized — NOT broadcastable at corpus
+# scale, so it stays a shuffle join), one doc-keyed rebuild. Common
+# spans make big groups, but min() is map-side combinable, so skew
+# cost is bounded by combiner output (one row per span per map task).
+# --------------------------------------------------------------------------
+
+_SCRUB_POS_BOUND = 1 << 20
+
+
+def cross_doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document report of the corpus-wide span scrub (module-note
+    above): original span count, surviving span count, scrub ratio,
+    and the poly-hash fingerprint of the rebuilt content (so the
+    cleaned CONTENT is oracle-verified, as in the intra-doc row)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "span"),
+    ).withColumn(
+        "okey",
+        F.col("doc_id") * F.lit(_SCRUB_POS_BOUND) + F.col("pos"),
+    )
+    winners = spans.groupBy("span").agg(F.min("okey").alias("wkey"))
+    kept = spans.join(winners, "span").filter(
+        F.col("okey") == F.col("wkey")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("span")))
+                ),
+                lambda x: x["span"],
+            ),
+            ". ",
+        ).alias("cleaned"),
+    )
+    totals = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                1
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+                / F.col("n_spans"),
+                6,
+            ).alias("scrub_ratio"),
+            T.poly_hash(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
+                "cleaned_fingerprint"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cross_doc_scrub_sql() -> str:
+    from .sketches import _poly_hash_sql
+
+    return rf"""
+WITH spans AS (
+    SELECT doc_id, string_split(text, '. ')[i] AS span, i AS pos,
+           doc_id * {_SCRUB_POS_BOUND} + i AS okey
+    FROM documents,
+         unnest(range(1, len(string_split(text, '. ')) + 1)) AS u(i)
+), winners AS (
+    SELECT span, min(okey) AS wkey FROM spans GROUP BY span
+), kept AS (
+    SELECT s.doc_id, s.pos, s.span
+    FROM spans s JOIN winners w ON s.span = w.span AND s.okey = w.wkey
+), rebuilt AS (
+    SELECT doc_id,
+           count(*) AS n_kept,
+           array_to_string(list(span ORDER BY pos), '. ') AS cleaned
+    FROM kept GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       coalesce(r.n_kept, 0) AS n_kept,
+       round(1 - coalesce(r.n_kept, 0)::DOUBLE / t.n_spans, 6)
+           AS scrub_ratio,
+       {_poly_hash_sql("coalesce(r.cleaned, '')")} AS cleaned_fingerprint
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["cross_doc_span_scrub"] = cross_doc_span_scrub
+ORACLES["cross_doc_span_scrub"] = _cross_doc_scrub_sql()

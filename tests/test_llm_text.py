@@ -130,3 +130,39 @@ def test_markup_extraction_round_trip(spark, sf_dir):
         assert r.n_extracted_chars == len(expected)
         assert 0 < r.link_density < 1
         assert r.n_paragraphs == (len(toks) + 9) // 10 - 1
+
+
+def test_cross_doc_span_scrub_semantics(spark, sf_dir):
+    """Corpus-wide first-keeper rule: every span value survives in
+    EXACTLY one document position across the whole corpus; per doc,
+    kept <= original; the position bound backing the integer winner
+    key holds; and the scrub subsumes intra-doc dedup (kept spans
+    within a doc are unique)."""
+    from pyspark.sql import functions as F
+
+    from m4i_flink_tasks_spark.queries.llm_text import (
+        _SCRUB_POS_BOUND,
+        cross_doc_span_scrub,
+    )
+    from m4i_flink_tasks_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "span"),
+    )
+    max_pos = spans.agg(F.max("pos")).collect()[0][0]
+    assert max_pos < _SCRUB_POS_BOUND
+
+    report = cross_doc_span_scrub(spark, sf_dir).collect()
+    n_span_values = spans.select("span").distinct().count()
+    assert sum(r["n_kept"] for r in report) == n_span_values
+    for r in report:
+        assert 0 <= r["n_kept"] <= r["n_spans"]
+        assert 0.0 <= r["scrub_ratio"] <= 1.0
+    # duplicated corpora scrub more than intra-doc alone: total kept
+    # must be <= the intra-doc unique-span total
+    intra_unique = (
+        spans.select("doc_id", "span").distinct().count()
+    )
+    assert n_span_values <= intra_unique

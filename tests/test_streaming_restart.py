@@ -757,3 +757,45 @@ def test_fs_linkage_matches_batch_at_any_split(spark, sf_dir):
             )
         )
         assert got == batch, f"split {n_files}/{per_trigger} diverged"
+
+
+def test_entity_clusters_mid_stream_restart(spark, sf_dir):
+    """Kill the streaming match-graph maintenance mid-stream and
+    restart: block index, name store, pair store and checkpointed
+    offsets must reproduce the one-shot cluster report."""
+    import glob
+    import shutil
+
+    from m4i_flink_tasks_spark.streaming.fs_linkage import (
+        run_stream_entity_clusters,
+        stage_customers,
+    )
+
+    wd_ref = tempfile.mkdtemp(prefix="m4i_erc_ref_")
+    expected = sorted(
+        map(
+            tuple,
+            run_stream_entity_clusters(spark, sf_dir, wd_ref).collect(),
+        )
+    )
+    assert expected, "no clusters at this SF - vacuous test"
+
+    wd = tempfile.mkdtemp(prefix="m4i_erc_restart_")
+    staging = stage_customers(
+        spark, sf_dir, os.path.join(wd, "staging_cust"), 4
+    )
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    assert len(parts) == 4
+    hidden = tempfile.mkdtemp(prefix="m4i_erc_hidden_")
+    later = parts[1:]
+    mtimes = {p: os.stat(p).st_mtime for p in later}
+    for p in later:
+        shutil.move(p, os.path.join(hidden, os.path.basename(p)))
+
+    run_stream_entity_clusters(spark, sf_dir, wd)
+
+    for p in later:
+        shutil.move(os.path.join(hidden, os.path.basename(p)), p)
+        os.utime(p, (mtimes[p], mtimes[p]))
+    second = run_stream_entity_clusters(spark, sf_dir, wd)
+    assert sorted(map(tuple, second.collect())) == expected
