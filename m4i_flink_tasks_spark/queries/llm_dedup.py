@@ -1268,3 +1268,167 @@ ORDER BY bands
 
 QUERIES["lsh_parameter_planner"] = lsh_parameter_planner
 ORACLES["lsh_parameter_planner"] = _lsh_planner_sql()
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr cut plan — the REMOVAL step the window-flagging queries
+# above stop short of (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better", §4.1 ExactSubstr): every occurrence
+# of a duplicated k-token window EXCEPT the global first is cut; the
+# flagged windows are merged into maximal disjoint token ranges per
+# document (overlapping/adjacent windows coalesce), and each document
+# is reported with its cut ranges, cut ratio, and a fingerprint of the
+# surviving tokens so the cleaned CONTENT — not just the counts — is
+# oracle-verified.
+#
+# "Global first occurrence" is integer-exact in both engines via the
+# same okey = doc_id * 2^20 + pos trick as llm_text's corpus scrub
+# (positions are far below 2^20; asserted in tests). Plan: one
+# window-hash shuffle finds duplicated hashes with their min okey
+# (map-side-combinable min+count), one hash-keyed join flags the
+# non-first occurrences (the repeated-hash relation is
+# duplicate-surface-sized — data-dependent, so it stays a shuffle
+# join and AQE may demote it to broadcast when small), then islands
+# are doc-keyed window functions (partitions stay document-sized) and
+# the rebuild is one doc-keyed join against the token arrays. The
+# kept-text fingerprint is a char-linear interpreted fold — the same
+# cost class as document_fingerprints, measured at the scale
+# rehearsal.
+# --------------------------------------------------------------------------
+
+_ESS_POS_BOUND = 1 << 20
+
+
+def exact_substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ExactSubstr removal plan (module note above):
+    token count, number of maximal cut ranges, tokens cut, cut ratio,
+    and the poly-hash fingerprint of the surviving tokens rejoined
+    with single spaces."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    keyed = _span_windows(docs).withColumn(
+        "okey", F.col("doc_id") * F.lit(_ESS_POS_BOUND) + F.col("pos")
+    )
+    rep = (
+        keyed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("okey").alias("first_okey"))
+        .filter(F.col("n") >= 2)
+        .select("h", "first_okey")
+    )
+    flagged = (
+        keyed.join(rep, "h")
+        .filter(F.col("okey") != F.col("first_okey"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn(
+        "brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= F.lit(SPAN_K), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranges = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("rstart"),
+        (F.max("pos") + F.lit(SPAN_K - 1)).alias("rend"),
+    )
+    per_doc = ranges.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cut_ranges"),
+        F.sum(F.col("rend") - F.col("rstart") + 1).alias("tokens_cut"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rstart", "rend"))),
+                lambda s: F.sequence(s["rstart"], s["rend"]),
+            )
+        ).alias("cut_pos"),
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "cp",
+            F.coalesce("cut_pos", F.expr("CAST(array() AS array<int>)")),
+        )
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.coalesce("n_cut_ranges", F.lit(0)).alias("n_cut_ranges"),
+            F.coalesce("tokens_cut", F.lit(0)).alias("tokens_cut"),
+            F.round(
+                F.coalesce("tokens_cut", F.lit(0)) / F.size("t"), 6
+            ).alias("cut_ratio"),
+            T.poly_hash(
+                F.expr(
+                    "array_join(transform("
+                    "array_except(sequence(1, size(t)), cp), "
+                    "j -> element_at(t, j)), ' ')"
+                )
+            ).alias("kept_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _exact_substr_sql() -> str:
+    return rf"""
+WITH {_SPAN_WINS_SQL}, keyed AS (
+    SELECT doc_id, pos, h, doc_id * {_ESS_POS_BOUND} + pos AS okey
+    FROM wins
+), rep AS (
+    SELECT h, min(okey) AS first_okey
+    FROM keyed GROUP BY h HAVING count(*) >= 2
+), flagged AS (
+    SELECT k.doc_id, k.pos
+    FROM keyed k JOIN rep r ON k.h = r.h AND k.okey <> r.first_okey
+), brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= {SPAN_K}
+                THEN 0 ELSE 1 END AS brk
+    FROM flagged
+), isl AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM brk
+), ranges AS (
+    SELECT doc_id, island, min(pos) AS rstart,
+           max(pos) + {SPAN_K} - 1 AS rend
+    FROM isl GROUP BY doc_id, island
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_cut_ranges,
+           sum(rend - rstart + 1) AS tokens_cut
+    FROM ranges GROUP BY doc_id
+), cutpos AS (
+    SELECT doc_id, j
+    FROM ranges, unnest(range(rstart, rend + 1)) AS u(j)
+), tokpos AS (
+    SELECT doc_id, j, t[j] AS w
+    FROM toks, unnest(range(1, len(t) + 1)) AS u(j)
+), kept AS (
+    SELECT tp.doc_id,
+           array_to_string(list(tp.w ORDER BY tp.j), ' ') AS kept_text
+    FROM tokpos tp
+    LEFT JOIN cutpos c ON tp.doc_id = c.doc_id AND tp.j = c.j
+    WHERE c.doc_id IS NULL
+    GROUP BY tp.doc_id
+), totals AS (
+    SELECT doc_id, len(t) AS n_tokens FROM toks
+)
+SELECT tt.doc_id, tt.n_tokens,
+       coalesce(p.n_cut_ranges, 0) AS n_cut_ranges,
+       coalesce(p.tokens_cut, 0)::BIGINT AS tokens_cut,
+       round(coalesce(p.tokens_cut, 0)::DOUBLE / tt.n_tokens, 6)
+           AS cut_ratio,
+       {_poly_hash_sql("coalesce(k.kept_text, '')")} AS kept_fingerprint
+FROM totals tt
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+ORDER BY tt.doc_id
+"""
+
+
+QUERIES["exact_substr_cut_plan"] = exact_substr_cut_plan
+ORACLES["exact_substr_cut_plan"] = _exact_substr_sql()
