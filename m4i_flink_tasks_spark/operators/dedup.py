@@ -97,42 +97,100 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_bands_batch(texts, n: int, k: int, bands: int, rows: int):
-    """Per-document shingle hashes + LSH band keys, plain-int arithmetic
-    identical to the column-expression form (and the DuckDB oracle)."""
-    out_sh: list[list[int] | None] = []
-    out_bands: list[list[int] | None] = []
+def _gather_shingles(texts, n: int):
+    """Flatten every doc's DISTINCT n-gram shingle strings into one
+    list, remembering per-doc [start, end) slices (None for null docs).
+    Insertion order per doc matches the reference loop (dict keeps
+    first-seen order)."""
+    all_shingles: list[str] = []
+    doc_slices: list[tuple[int, int] | None] = []
     for text in texts:
         if text is None:
-            out_sh.append(None)
-            out_bands.append(None)
+            doc_slices.append(None)
             continue
         toks = text.strip().split()
         seen: dict[str, None] = {}
         for i in range(max(len(toks) - (n - 1), 0)):
             seen.setdefault(" ".join(toks[i : i + n]), None)
-        sh: list[int] = []
-        for s in seen:
-            acc = 0
-            for ch in s:
-                acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
-            sh.append(acc)
-        if not sh:
+        start = len(all_shingles)
+        all_shingles.extend(seen)
+        doc_slices.append((start, len(all_shingles)))
+    return all_shingles, doc_slices
+
+
+def _poly_hash_strs(strs: list[str]):
+    """Vectorized polynomial hash of many strings at once: Horner over
+    a padded codepoint matrix — O(max_len) NumPy passes instead of a
+    per-character Python loop (~10x on shingle-sized strings; exact
+    same (acc*31 + codepoint) % HASH_MOD integer arithmetic, so values
+    are bit-identical to the reference loop and the DuckDB oracle)."""
+    import numpy as np
+
+    if not strs:
+        return np.empty(0, dtype=np.int64)
+    maxlen = max(len(s) for s in strs)
+    if maxlen == 0:
+        return np.zeros(len(strs), dtype=np.int64)
+    mat = (
+        np.array(strs, dtype=f"U{maxlen}")
+        .view(np.uint32)
+        .reshape(len(strs), maxlen)
+        .astype(np.int64)
+    )
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    acc = np.zeros(len(strs), dtype=np.int64)
+    for j in range(maxlen):
+        # acc*31 + codepoint stays < 2^63 (acc < 1e9+7, cp < 2^21)
+        step = (acc * HASH_BASE + mat[:, j]) % HASH_MOD
+        np.copyto(acc, step, where=lens > j)
+    return acc
+
+
+def _minhash_bands_batch(texts, n: int, k: int, bands: int, rows: int):
+    """Per-document shingle hashes + LSH band keys, plain-int arithmetic
+    identical to the column-expression form (and the DuckDB oracle).
+
+    Vectorized (guide §4.2): shingle strings are gathered per doc in
+    Python, but the polynomial char hash, the k affine permutations +
+    per-doc min, and the band folds all run as whole-batch NumPy int64
+    array ops — same values, ~4x less Python-side CPU than the
+    per-row/per-char loops this replaces (the expression forms remain
+    the semantic reference, pinned by tests)."""
+    import numpy as np
+
+    all_shingles, doc_slices = _gather_shingles(texts, n)
+    h = _poly_hash_strs(all_shingles)
+    nonempty = [sl for sl in doc_slices if sl is not None and sl[0] < sl[1]]
+    keys_list: list[list[int]] = []
+    if nonempty:
+        a = np.array(MINHASH_A[:k], dtype=np.int64)[:, None]
+        b = np.array(MINHASH_B[:k], dtype=np.int64)[:, None]
+        # k x N permuted hashes; max intermediate A_max*h < 2^63
+        perm = (a * h[None, :] + b) % HASH_MOD
+        starts = np.array([s for s, _ in nonempty], dtype=np.int64)
+        sig = np.minimum.reduceat(perm, starts, axis=1)  # k x n_docs
+        keys = np.empty((bands, sig.shape[1]), dtype=np.int64)
+        for bi in range(bands):
+            acc = np.zeros(sig.shape[1], dtype=np.int64)
+            for r in range(rows):
+                acc = (acc * 31 + sig[bi * rows + r]) % HASH_MOD
+            keys[bi] = acc
+        keys_list = keys.T.tolist()
+    hlist = h.tolist()
+    out_sh: list[list[int] | None] = []
+    out_bands: list[list[int] | None] = []
+    di = 0
+    for sl in doc_slices:
+        if sl is None:
+            out_sh.append(None)
+            out_bands.append(None)
+        elif sl[0] == sl[1]:
             out_sh.append([])
             out_bands.append([])
-            continue
-        sig = [
-            min((MINHASH_A[j] * h + MINHASH_B[j]) % HASH_MOD for h in sh)
-            for j in range(k)
-        ]
-        keys: list[int] = []
-        for b in range(bands):
-            acc = 0
-            for v in sig[b * rows : (b + 1) * rows]:
-                acc = (acc * 31 + v) % HASH_MOD
-            keys.append(acc)
-        out_sh.append(sh)
-        out_bands.append(keys)
+        else:
+            out_sh.append(hlist[sl[0] : sl[1]])
+            out_bands.append(keys_list[di])
+            di += 1
     return out_sh, out_bands
 
 
@@ -176,31 +234,31 @@ def signature_partitions(df: DataFrame, rows_hint: int | None = None) -> int:
 def _signatures_batch(texts, n: int, k: int):
     """Full k-component MinHash signatures — plain-int arithmetic
     identical to the ``minhash_signature`` expression form (and the
-    DuckDB oracles that restate it)."""
+    DuckDB oracles that restate it). Vectorized the same way as
+    ``_minhash_bands_batch`` (shared gather + NumPy Horner hash +
+    reduceat min)."""
+    import numpy as np
+
+    all_shingles, doc_slices = _gather_shingles(texts, n)
+    h = _poly_hash_strs(all_shingles)
+    nonempty = [sl for sl in doc_slices if sl is not None and sl[0] < sl[1]]
+    sig_list: list[list[int]] = []
+    if nonempty:
+        a = np.array(MINHASH_A[:k], dtype=np.int64)[:, None]
+        b = np.array(MINHASH_B[:k], dtype=np.int64)[:, None]
+        perm = (a * h[None, :] + b) % HASH_MOD
+        starts = np.array([s for s, _ in nonempty], dtype=np.int64)
+        sig_list = np.minimum.reduceat(perm, starts, axis=1).T.tolist()
     out: list[list[int] | None] = []
-    for text in texts:
-        if text is None:
+    di = 0
+    for sl in doc_slices:
+        if sl is None:
             out.append(None)
-            continue
-        toks = text.strip().split()
-        seen: dict[str, None] = {}
-        for i in range(max(len(toks) - (n - 1), 0)):
-            seen.setdefault(" ".join(toks[i : i + n]), None)
-        sh: list[int] = []
-        for s in seen:
-            acc = 0
-            for ch in s:
-                acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
-            sh.append(acc)
-        if not sh:
+        elif sl[0] == sl[1]:
             out.append([])
-            continue
-        out.append(
-            [
-                min((MINHASH_A[j] * h + MINHASH_B[j]) % HASH_MOD for h in sh)
-                for j in range(k)
-            ]
-        )
+        else:
+            out.append(sig_list[di])
+            di += 1
     return out
 
 

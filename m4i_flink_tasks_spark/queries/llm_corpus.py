@@ -37,7 +37,7 @@ them) so Spark and DuckDB agree bit-for-bit after round(…, 6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -267,19 +267,18 @@ _VAL_UPPER = 90    # 80 <= bucket < 90  -> val    (10%)
 #                   bucket >= 90        -> test   (10%)
 
 
-def corpus_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic split assignment + stratified downsampling.
+def sampling_split_exprs() -> tuple[Column, Column, Column, Column]:
+    """The split/sampling gate as COLUMN EXPRESSIONS over a documents
+    row: ``(split_bucket, sample_bucket, keep_rate, split)``.
 
-    Both gates hash a salted key with the cross-engine polynomial hash:
-    the split bucket hashes ``split:<doc_id>`` and the sampling bucket
-    hashes ``sample:<lang>:<doc_id>`` — independent salts so sampling
-    does not bias the split. Hash-gating (not ``sampleBy``/rand) means
-    the selection is a pure function of the row: stable under
-    re-partitioning, re-runs, cluster resizes, and reproducible by the
-    SQL oracle. Narrow projection + filter only — no shuffle at all;
-    the orderBy exists solely for the deterministic driver hash.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+    Both gates are pure functions of (doc_id, lang), so consumers that
+    only need the split label of a document can compute it inline on
+    their own scan instead of joining ``corpus_sampling_splits`` back
+    to the corpus — that join costs a corpus-wide exchange AND splits
+    the consumer's projection across two codegen stages, defeating
+    codegen subexpression elimination of expensive per-row work (the
+    r10 cross_split_leakage plan computed the shingle transform twice
+    per row because of exactly this)."""
     split_bucket = T.poly_hash(
         F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
     ) % 100
@@ -294,6 +293,28 @@ def corpus_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(_DEFAULT_RATE)
     for lang, r in sorted(_SAMPLE_RATES.items()):
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    split = (
+        F.when(split_bucket < _TRAIN_UPPER, "train")
+        .when(split_bucket < _VAL_UPPER, "val")
+        .otherwise("test")
+    )
+    return split_bucket, sample_bucket, rate, split
+
+
+def corpus_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split assignment + stratified downsampling.
+
+    Both gates hash a salted key with the cross-engine polynomial hash:
+    the split bucket hashes ``split:<doc_id>`` and the sampling bucket
+    hashes ``sample:<lang>:<doc_id>`` — independent salts so sampling
+    does not bias the split. Hash-gating (not ``sampleBy``/rand) means
+    the selection is a pure function of the row: stable under
+    re-partitioning, re-runs, cluster resizes, and reproducible by the
+    SQL oracle. Narrow projection + filter only — no shuffle at all;
+    the orderBy exists solely for the deterministic driver hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split_bucket, sample_bucket, rate, _ = sampling_split_exprs()
     return (
         docs.select(
             "doc_id",

@@ -315,19 +315,44 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators import dedup as D
-    from .llm_corpus import corpus_sampling_splits
+    from .llm_corpus import sampling_split_exprs
 
-    splits = corpus_sampling_splits(spark, sf_dir).select("doc_id", "split")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", D.shingles(F.col("text")).alias("sh")
+    # Split assignment is a pure function of (doc_id, lang) — compute
+    # it INLINE on the corpus scan instead of joining
+    # corpus_sampling_splits back by doc_id. The join form cost a
+    # corpus exchange and, worse, placed the shingle projection in a
+    # different codegen stage from the explode-inferred
+    # size(shingles)>0 filter, so the whole shingle transform ran
+    # TWICE per row (measured: toks pass 5.9 s join form vs 2.6 s
+    # fused, sf0.1). Guide §2.4 (remove shuffles outright).
+    _, sample_bucket, rate, split = sampling_split_exprs()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(sample_bucket < rate)
+        .select(
+            "doc_id",
+            split.alias("split"),
+            D.shingles(F.col("text")).alias("sh"),
+        )
     )
     toks = (
-        docs.join(splits, "doc_id")
-        .select("doc_id", "split", F.explode("sh").alias("tok"))
+        docs.select("doc_id", "split", F.explode("sh").alias("tok"))
+        # The exploded token relation feeds FIVE consumers keyed three
+        # different ways (doc_id for sizes/prefix, tok for df/cand,
+        # (id, tok) twice for the overlap count) — Catalyst has no
+        # cross-branch subtree reuse, so without materialization the
+        # scan + shingle explode executes five times (measured: 5
+        # duplicate subtrees in the r10 before-plan). localCheckpoint
+        # materializes it ONCE per invocation — eager, inside the
+        # timed region, recomputed on every run (no cross-run cache;
+        # guide §5 "cheaper way to cut lineage"). At cluster scale the
+        # same role is played by persisting or writing out the
+        # tokenized relation before the pair join.
+        .localCheckpoint()
     )
     sizes = toks.groupBy("doc_id").agg(
         F.first("split").alias("split"), F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint()
     # Global canonical order over BOTH sides: shingle df is
     # near-linear in corpus size — aggregated, never broadcast.
     df_rel = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -346,6 +371,9 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         )
         .select("doc_id", "split", "tok", "n")
+        # Two consumers (the train and eval sides of the candidate
+        # join) — materialize so the df-join + window run once.
+        .localCheckpoint()
     )
     pa = prefix.filter(F.col("split") == "train").alias("pa")
     pb = prefix.filter(F.col("split") != "train").alias("pb")

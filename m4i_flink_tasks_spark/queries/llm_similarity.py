@@ -1705,17 +1705,6 @@ def _pca_cov_and_mu(
     shared by the loading query and the projection query."""
     d = _PCA_DIM
     emb = load_table(spark, sf_dir, "embeddings")
-    sums_row = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(
-                f"s{i}"
-            )
-            for i in range(d)
-        ],
-    ).collect()[0]
-    n = float(sums_row["n"])
-    mu = [sums_row[f"s{i}"] / n for i in range(d)]
 
     # Per-partition BLAS Gram (X^T X) via Arrow — the vectorized form
     # of RowMatrix.computeGramianMatrix's treeAggregate. Measured at
@@ -1725,6 +1714,13 @@ def _pca_cov_and_mu(
     # dgemm does the same flops in microseconds. spread_for_compute
     # keeps a few-split scan from pinning all Arrow batches on one
     # worker (no-op when the scan already has enough splits).
+    #
+    # The count and the column sums ride the SAME pass (positions
+    # d^2..d^2+d-1 hold the sums, d^2+d the count): the r10 before
+    # shape ran a separate d-column JVM aggregate first, i.e. two full
+    # scans of the embedding table for one covariance (guide §1.2 —
+    # remove unnecessary passes). The per-partition partials are summed
+    # in float64 either way.
     from ..operators.spread import spread_for_compute
 
     def _gram_parts(it):
@@ -1732,17 +1728,24 @@ def _pca_cov_and_mu(
         import pandas as pd
 
         acc = None
+        s1 = None
+        n_rows = 0
         for pdf in it:
             if not len(pdf):
                 continue
             X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             g = X.T @ X
             acc = g if acc is None else acc + g
+            cs = X.sum(axis=0)
+            s1 = cs if s1 is None else s1 + cs
+            n_rows += len(X)
         if acc is not None:
             yield pd.DataFrame(
                 {
-                    "pos": np.arange(acc.size, dtype=np.int64),
-                    "s": acc.ravel(),
+                    "pos": np.arange(acc.size + len(s1) + 1, dtype=np.int64),
+                    "s": np.concatenate(
+                        [acc.ravel(), s1, np.array([float(n_rows)])]
+                    ),
                 }
             )
 
@@ -1754,8 +1757,17 @@ def _pca_cov_and_mu(
         .collect()
     )
     S2 = [[0.0] * d for _ in range(d)]
+    S1 = [0.0] * d
+    n = 0.0
     for r in mom_rows:
-        S2[r["pos"] // d][r["pos"] % d] = r["s"]
+        pos = r["pos"]
+        if pos < d * d:
+            S2[pos // d][pos % d] = r["s"]
+        elif pos < d * d + d:
+            S1[pos - d * d] = r["s"]
+        else:
+            n = r["s"]
+    mu = [s / n for s in S1]
 
     G = [
         [round(S2[i][j] / n - mu[i] * mu[j], 6) for j in range(d)]

@@ -117,8 +117,17 @@ def dedup_batch(
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     ).select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
     cands = (
-        cand_batch if cand_prior is None else cand_prior.unionByName(cand_batch)
-    ).dropDuplicates(["id_a", "id_b"])
+        (
+            cand_batch
+            if cand_prior is None
+            else cand_prior.unionByName(cand_batch)
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        # Two consumers (the signature-store bucket probe collects it,
+        # the verify join re-reads it) — without this the band
+        # self-join + dedup shuffle runs twice per micro-batch.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # Verify signatures: id_b is always in this batch; id_a is either
     # in-batch or read bucket-pruned from the signature store.
@@ -153,14 +162,46 @@ def dedup_batch(
         .fillna(0, subset=["n_shingles"])
         .join(F.broadcast(dropped), "doc_id", "left_anti")
     )
-    out_store.merge(accepted, batch_id=batch_id, insert_only=True)
     band_agg = batch_bands.groupBy("band_idx", "band_key").agg(
         F.collect_list("doc_id").alias("doc_ids")
     )
-    band_store.merge(band_agg, combine=_union_doc_ids, batch_id=batch_id)
-    sig_store.merge(
-        mh.select("doc_id", "sh"), batch_id=batch_id, insert_only=True
-    )
+    # The three store merges are independent (separate directories,
+    # separate pointers; every input DataFrame reads either the
+    # persisted mh or parquet segment paths pinned before any write
+    # starts) — submit them from a small thread pool so the next
+    # merge's tasks back-fill executors freed by the previous one's
+    # tail (guide §2.6: actions are only sequential because driver
+    # code calls them sequentially). Each merge is a small job over
+    # batch-sized data; overlapping them removes two job-tail waits
+    # per micro-batch.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        jobs = [
+            pool.submit(
+                inheritable_thread_target(out_store.merge),
+                accepted,
+                batch_id=batch_id,
+                insert_only=True,
+            ),
+            pool.submit(
+                inheritable_thread_target(band_store.merge),
+                band_agg,
+                combine=_union_doc_ids,
+                batch_id=batch_id,
+            ),
+            pool.submit(
+                inheritable_thread_target(sig_store.merge),
+                mh.select("doc_id", "sh"),
+                batch_id=batch_id,
+                insert_only=True,
+            ),
+        ]
+        for j in jobs:
+            j.result()
+    cands.unpersist()
     mh.unpersist()
 
 

@@ -76,13 +76,42 @@ def spans_batch(
     batch: DataFrame,
     batch_id: int,
 ) -> None:
-    wins = _span_windows(batch)
+    # The window explode + per-token hash is the expensive part of the
+    # batch and BOTH aggregations consume it — persist so it runs once
+    # per micro-batch instead of once per merge (no cross-run cache:
+    # the micro-batch frame is unique to this batch).
+    from pyspark.storagelevel import StorageLevel
+
+    wins = _span_windows(batch).persist(StorageLevel.MEMORY_AND_DISK)
     per_key = wins.groupBy("h", "doc_id").agg(
         F.count(F.lit(1)).alias("n"), F.min("pos").alias("min_pos")
     )
-    count_store.merge(per_key, combine=_add_counts, batch_id=batch_id)
     totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    total_store.merge(totals, batch_id=batch_id, insert_only=True)
+    # Independent stores (separate directories/pointers): overlap the
+    # two merge jobs so the second's tasks back-fill the first's tail
+    # (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        jobs = [
+            pool.submit(
+                inheritable_thread_target(count_store.merge),
+                per_key,
+                combine=_add_counts,
+                batch_id=batch_id,
+            ),
+            pool.submit(
+                inheritable_thread_target(total_store.merge),
+                totals,
+                batch_id=batch_id,
+                insert_only=True,
+            ),
+        ]
+        for j in jobs:
+            j.result()
+    wins.unpersist()
 
 
 def span_stats_readout(
