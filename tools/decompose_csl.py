@@ -1,4 +1,9 @@
-"""Decompose cross_split_leakage stage costs at sf0.1 (throwaway probe)."""
+"""Decompose cross_split_leakage stage costs at sf0.1 (throwaway probe).
+
+Matches the CURRENT fused implementation in queries/llm_decontam.py:
+inline split exprs + localCheckpoint materialization points. Timing
+each checkpoint gives the per-phase cost the bench total is made of.
+"""
 import os
 import sys
 import time
@@ -9,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from m4i_flink_tasks_spark.operators import dedup as D
-from m4i_flink_tasks_spark.queries.llm_corpus import corpus_sampling_splits
+from m4i_flink_tasks_spark.queries.llm_corpus import sampling_split_exprs
 from m4i_flink_tasks_spark.session import get_spark
 from m4i_flink_tasks_spark.sources import load_table
 
@@ -31,15 +36,15 @@ def timed(label, fn):
     return r
 
 
-for trial in range(2):
+for trial in range(3):
     print(f"--- trial {trial}")
-    splits = corpus_sampling_splits(spark, sf_dir).select("doc_id", "split")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", D.shingles(F.col("text")).alias("sh")
+    _, sample_bucket, rate, split = sampling_split_exprs()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(sample_bucket < rate)
+        .select("doc_id", split.alias("split"), D.shingles(F.col("text")).alias("sh"))
     )
-    toks_lazy = docs.join(splits, "doc_id").select(
-        "doc_id", "split", F.explode("sh").alias("tok")
-    )
+    toks_lazy = docs.select("doc_id", "split", F.explode("sh").alias("tok"))
     toks = timed("toks localCheckpoint", lambda: toks_lazy.localCheckpoint())
     sizes_l = toks.groupBy("doc_id").agg(
         F.first("split").alias("split"), F.count(F.lit(1)).alias("n")
@@ -73,7 +78,6 @@ for trial in range(2):
         )
         .distinct()
     )
-    cand = timed("cand localCheckpoint", lambda: cand.localCheckpoint())
     co = (
         cand.join(
             toks.select(F.col("doc_id").alias("id_train"), "tok"), "id_train"
@@ -85,6 +89,6 @@ for trial in range(2):
         .groupBy("id_train", "id_eval")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    timed("co noop", lambda: noop(co))
+    timed("co+final noop", lambda: noop(co))
 
 spark.stop()
