@@ -40,8 +40,10 @@ _CHECKPOINT_EVERY = 4
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One corpus pass: whitespace words → (word, freq), symbols =
     characters plus the end-of-word marker (the classic formulation)."""
+    # outer: null rows fail != '' below; avoids the Generate guard
+    # re-splitting the text per row.
     words = docs.select(
-        F.explode(
+        F.explode_outer(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("word")
     ).filter(F.col("word") != "")
@@ -156,9 +158,10 @@ def bpe_token_counts(
             "word", F.size("symbols").alias("n_subwords")
         )
     )
+    # outer: see word_frequencies comment.
     words = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("word"),
     ).filter(F.col("word") != "")

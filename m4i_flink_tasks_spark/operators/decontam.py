@@ -57,8 +57,14 @@ def benchmark_ngram_set(bench: DataFrame, text_col: str, n: int) -> DataFrame:
     One column ``ng``. Distinct is a shuffle of the BENCHMARK side only,
     which is bounded by eval-set size, not corpus size.
     """
+    # outer + isNotNull: avoids the inner-Generate size(...)>0 guard
+    # re-computing the n-gram transform per row; ngram strings are
+    # never null.
     return (
-        bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ng"))
+        bench.select(
+            F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng")
+        )
+        .filter(F.col("ng").isNotNull())
         .distinct()
     )
 
@@ -87,8 +93,11 @@ def contamination_counts(
         F.size(word_ngrams(F.col(text_col), n)).alias("n_ngrams"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
+    # outer: a null ng row can never match the inner broadcast join
+    # below, so the relation is unchanged; avoids the Generate guard
+    # re-computing the collapsed word_ngrams projection per row.
     exploded = with_grams.select(
-        id_col, "n_ngrams", F.explode("grams").alias("ng")
+        id_col, "n_ngrams", F.explode_outer("grams").alias("ng")
     )
     hits = exploded.join(F.broadcast(bench_ngrams), "ng")
     return (

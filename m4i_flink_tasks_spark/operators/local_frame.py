@@ -1,0 +1,48 @@
+"""LocalRelation construction for KB-sized frozen frames.
+
+``spark.createDataFrame(list_of_rows, schema)`` plans as a ``LogicalRDD``
+parallelized over ``defaultParallelism`` slices, so every downstream
+stage that scans the tiny frame schedules a full width of (mostly
+empty) tasks — on local[32] that is 32 tasks per stage for a
+32-row centroid table, and the frozen-index serving path of
+``ivfpq_adc_topk`` crosses such frames several times per query
+(measured: ~0.4-0.5 s of pure task-scheduling overhead per serve).
+
+Routing the same rows through a pandas DataFrame makes the Arrow
+conversion path produce a ``LocalRelation`` instead: plan-time local
+data, no RDD, no per-stage empty tasks, and broadcast builds read it
+driver-side. Values round-trip exactly (Arrow float64/int64 preserve
+IEEE doubles and 64-bit ints bit-for-bit; array<double> cells travel
+as Arrow lists) — the ivfpq A/B pinned identical collected results.
+
+Constraints (documented, asserted by use sites' oracles): rows must be
+flat tuples/Rows of ints / floats / strings / array-of-primitive in
+schema field order; None is only safe in non-integer columns (pandas
+would coerce an int column with None to float).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def local_frame(
+    spark: SparkSession, rows: Sequence, schema: StructType | str
+) -> DataFrame:
+    """``createDataFrame`` that plans as a ``LocalRelation`` (falls back
+    to the classic row path only for empty input, where the plan shape
+    is irrelevant)."""
+    schema_t = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    if not rows:
+        return spark.createDataFrame([], schema_t)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=[f.name for f in schema_t.fields]
+    )
+    return spark.createDataFrame(pdf, schema_t)

@@ -41,14 +41,16 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
     )
     unigrams = toks.select(
-        F.explode("toks").alias("w")
+        F.explode_outer("toks").alias("w")
     ).filter(F.col("w") != "")
     uni_counts = unigrams.groupBy("w").agg(
         F.count(F.lit(1)).alias("c_w")
     )
     n_uni = unigrams.agg(F.count(F.lit(1)).alias("n_uni"))
+    # outer explode: null structs (empty arrays) fail the != ''
+    # filters; avoids the Generate guard re-computing the transform.
     bigrams = toks.select(
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "transform(sequence(1, size(toks) - 1), "
                 "i -> struct(element_at(toks, i) AS w1, "

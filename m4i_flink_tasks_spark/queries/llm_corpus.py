@@ -95,7 +95,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array (sequence(1, 0) would count DOWN, not produce empty).
     bigrams = toks.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "CASE WHEN size(t) >= 2 THEN "
                 "transform(sequence(1, size(t) - 1), "
@@ -103,7 +103,11 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE array() END"
             )
         ).alias("bigram"),
-    )
+        # outer + isNotNull: avoids the inner-Generate size(...)>0
+        # guard re-computing the bigram transform per row; bigram
+        # strings are never null, so this drops exactly the
+        # empty-array docs the inner explode dropped.
+    ).filter(F.col("bigram").isNotNull())
     bg_stats = (
         bigrams.groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
@@ -196,9 +200,12 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table_num_rows(sf_dir, "documents")
     if n_docs is None:  # non-local path: one count job, still exact
         n_docs = docs.count()
+    # outer+notnull: avoid the inner-Generate guard re-computing the
+    # tokenize per row (split elements are never null).
     tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
-    )
+        "doc_id",
+        F.explode_outer(T.tokens(F.lower(F.col("text")))).alias("token"),
+    ).filter(F.col("token").isNotNull())
     dfreq = (
         tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
     )
@@ -902,9 +909,12 @@ def bpe_corpus_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _merges, vocab = train_bpe(spark, docs, n_merges=12)
     counts = bpe_token_counts(docs, vocab)
+    # outer explode: null word rows (empty arrays) fail word != ''
+    # exactly like the inner form's dropped rows; avoids the Generate
+    # guard re-computing the split per row.
     words = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("word"),
     ).filter(F.col("word") != "")

@@ -326,17 +326,33 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TWICE per row (measured: toks pass 5.9 s join form vs 2.6 s
     # fused, sf0.1). Guide §2.4 (remove shuffles outright).
     _, sample_bucket, rate, split = sampling_split_exprs()
-    docs = (
+    # The compact testdata plans the documents scan as ONE split, so
+    # the CPU-dense shingle transform would serialize on a single core
+    # (measured: toks pass 3.8-5.2 s on 1 of 32 tasks). Spread the RAW
+    # text rows (post-filter, pre-shingle — only doc_id/lang/text cross
+    # the narrow exchange) so the shingle+explode stage fans out;
+    # no-op on a well-laid-out table (guide §2.5 input skew).
+    from ..operators.spread import spread_for_compute
+
+    docs = spread_for_compute(
         load_table(spark, sf_dir, "documents")
         .filter(sample_bucket < rate)
-        .select(
-            "doc_id",
-            split.alias("split"),
-            D.shingles(F.col("text")).alias("sh"),
-        )
+        .select("doc_id", "lang", "text")
+    ).select(
+        "doc_id",
+        split.alias("split"),
+        D.shingles(F.col("text")).alias("sh"),
     )
     toks = (
-        docs.select("doc_id", "split", F.explode("sh").alias("tok"))
+        # explode_outer + isNotNull instead of inner explode: Catalyst
+        # guards an inner Generate with a size(sh)>0 filter that
+        # re-evaluates the WHOLE shingle HOF per row in a separate
+        # operator (measured 2.4-4.2 s vs 0.4-0.6 s for the outer form
+        # at sf0.1 — identical 186,755 output rows; the null-filter on
+        # the generated column replaces the empty-array drop exactly:
+        # shingle strings are never null).
+        docs.select("doc_id", "split", F.explode_outer("sh").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         # The exploded token relation feeds FIVE consumers keyed three
         # different ways (doc_id for sizes/prefix, tok for df/cand,
         # (id, tok) twice for the overlap count) — Catalyst has no

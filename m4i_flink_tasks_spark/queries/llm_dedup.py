@@ -289,11 +289,15 @@ def _span_windows(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= k)
     th = F.transform(F.col("t"), lambda w: T.poly_hash(w))
+    # explode_outer + isNotNull instead of inner explode: Catalyst
+    # guards an inner Generate with a size(...)>0 filter that re-runs
+    # the whole window-hash transform per row in a separate operator
+    # (~7x on the csl shingle explode); win structs are never null.
     return (
         toks.withColumn("th", th)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(1, size(t) - {k} + 1), "
                     f"i -> struct(i AS pos, "
@@ -303,6 +307,7 @@ def _span_windows(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
                 )
             ).alias("win"),
         )
+        .filter(F.col("win").isNotNull())
         .select("doc_id", "win.pos", "win.h")
     )
 
@@ -764,8 +769,11 @@ def ppjoin_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", D.shingles(F.col("text")).alias("sh")
     )
     toks = docs.select(
-        "doc_id", F.explode("sh").alias("tok")
-    )  # shingles() already dedups per doc
+        "doc_id", F.explode_outer("sh").alias("tok")
+    ).filter(
+        F.col("tok").isNotNull()
+    )  # shingles() already dedups per doc; outer+notnull avoids the
+    #    Generate guard re-computing the shingle transform per row
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # SHINGLE vocabulary is near-linear in corpus size (unlike a word
     # vocabulary) — it must NOT broadcast. The df aggregate and the

@@ -948,11 +948,18 @@ def _ivfpq_index(
     labeled = codes.join(emb.select("vec_id", "label"), "vec_id").select(
         "vec_id", "label", "s", "code"
     )
-    coarse_f = spark.createDataFrame(
-        coarse.collect(), "label int, ccent array<double>"
+    # local_frame -> LocalRelation: the serving path crosses these
+    # KB-sized frames several times per query; the RDD-backed
+    # createDataFrame form scheduled 32 near-empty tasks per stage
+    # (measured ~0.4-0.5 s/serve of scheduling overhead, A/B identical
+    # results).
+    from ..operators.local_frame import local_frame
+
+    coarse_f = local_frame(
+        spark, coarse.collect(), "label int, ccent array<double>"
     )
-    final_f = spark.createDataFrame(
-        final.collect(), "s int, code int, cent array<double>"
+    final_f = local_frame(
+        spark, final.collect(), "s int, code int, cent array<double>"
     )
     labeled = labeled.persist()
     labeled.count()

@@ -698,7 +698,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     freqs = (
         docs.select(
-            F.explode(
+            F.explode_outer(
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+")
             ).alias("tok")
         )
@@ -920,10 +920,14 @@ def span_dedup_report(docs: DataFrame) -> DataFrame:
     (``stream_intra_doc_dedup``): every shuffle is doc-keyed, so the
     per-batch fold equals the batch answer for any batching of whole
     documents."""
+    # posexplode_outer + isNotNull: the inner Generate's size(...)>0
+    # guard re-evaluates the full-text split per row in a separate
+    # operator; split never yields an empty array and spans are only
+    # null for null text, which the inner form dropped too.
     spans = docs.select(
         "doc_id",
-        F.posexplode(F.split("text", r"\. ")).alias("pos", "span"),
-    )
+        F.posexplode_outer(F.split("text", r"\. ")).alias("pos", "span"),
+    ).filter(F.col("span").isNotNull())
     firsts = spans.groupBy("doc_id", "span").agg(
         F.min("pos").alias("p"),
         F.count(F.lit(1)).alias("occurrences"),
@@ -1013,10 +1017,11 @@ def cross_doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the poly-hash fingerprint of the rebuilt content (so the
     cleaned CONTENT is oracle-verified, as in the intra-doc row)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # outer + isNotNull: see span_dedup_report comment.
     spans = docs.select(
         "doc_id",
-        F.posexplode(F.split("text", r"\. ")).alias("pos", "span"),
-    ).withColumn(
+        F.posexplode_outer(F.split("text", r"\. ")).alias("pos", "span"),
+    ).filter(F.col("span").isNotNull()).withColumn(
         "okey",
         F.col("doc_id") * F.lit(_SCRUB_POS_BOUND) + F.col("pos"),
     )

@@ -59,19 +59,29 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("t") >= 2)
 
     # corpus bigram occurrences (doc_id kept: pass 2 reuses this frame)
-    occ = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    # explode_outer + isNotNull: an inner Generate gets a Catalyst
+    # size(...)>0 guard that re-evaluates the whole bigram transform
+    # (and the collapsed split) per row in a separate operator; struct
+    # elements are never null, so the null-filter drops exactly the
+    # empty-array rows the inner form dropped.
+    occ = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "b.w1", "b.w2")
+    )
 
     # pass 1: the model (two hash aggregates + one scalar)
     unigrams = (
-        toks.select(F.explode("t").alias("w"))
+        toks.select(F.explode_outer("t").alias("w"))
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
@@ -205,15 +215,24 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 2)
-    occ = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    # explode_outer + isNotNull: an inner Generate gets a Catalyst
+    # size(...)>0 guard that re-evaluates the whole bigram transform
+    # (and the collapsed split) per row in a separate operator; struct
+    # elements are never null, so the null-filter drops exactly the
+    # empty-array rows the inner form dropped.
+    occ = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "b.w1", "b.w2")
+    )
 
     bigrams = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     ctx = occ.groupBy("w1").agg(
@@ -387,20 +406,26 @@ def heldout_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
     ).filter(F.size("t") >= 2)
 
-    occ = toks.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "split", "b.w1", "b.w2")
+    # outer + isNotNull: see ngram_lm_perplexity occ comment.
+    occ = (
+        toks.select(
+            "doc_id",
+            "split",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "split", "b.w1", "b.w2")
+    )
 
     train_toks = toks.filter(F.col("split") == "train")
     unigrams = (
-        train_toks.select(F.explode("t").alias("w"))
+        train_toks.select(F.explode_outer("t").alias("w"))
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
@@ -543,23 +568,29 @@ def selection_ablation_report(
         )
         .filter(F.size("t") >= 2)
     )
-    occ = toks.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i-1] AS w1, t[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "split", "b.w1", "b.w2")
+    # outer + isNotNull: see ngram_lm_perplexity occ comment.
+    occ = (
+        toks.select(
+            "doc_id",
+            "split",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "split", "b.w1", "b.w2")
+    )
     eval_occ = occ.filter(F.col("split") != "train")
 
     curated = corpus_build_manifest(spark, sf_dir).select("doc_id")
 
     def scores(train_toks, train_occ, model: str):
         unigrams = (
-            train_toks.select(F.explode("t").alias("w"))
+            train_toks.select(F.explode_outer("t").alias("w"))
+        .filter(F.col("w").isNotNull())
             .groupBy("w")
             .agg(F.count(F.lit(1)).alias("cu"))
         )

@@ -90,8 +90,16 @@ def _features(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
         f"* {T.MIX_MULT}) % {T.HASH_MOD}) "
         f"ELSE array() END)"
     )
-    return hashed.select("doc_id", F.explode(feats).alias("f")).select(
-        "doc_id", (F.col("f") % n_buckets).alias("bucket")
+    # explode_outer + isNotNull: an inner Generate gets a Catalyst
+    # size(...)>0 guard that re-evaluates the whole unigram+bigram hash
+    # expression per row in a separate operator (the csl explode
+    # measured ~7x slower that way). Feature hashes are never null and
+    # docs with empty feature arrays produce one null row that the
+    # filter drops — identical relation.
+    return (
+        hashed.select("doc_id", F.explode_outer(feats).alias("f"))
+        .filter(F.col("f").isNotNull())
+        .select("doc_id", (F.col("f") % n_buckets).alias("bucket"))
     )
 
 
@@ -232,25 +240,46 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt_ids = (
         docs.filter(F.col("source").isin(*_DSIR_TARGET)).select("doc_id")
     )
-    tgt_feats = feats.join(F.broadcast(tgt_ids), "doc_id")
-
-    cq = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    cp = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
-    nq = cq.agg(F.sum("cq").cast("double").alias("nq"))
-    np_ = cp.agg(F.sum("cp").cast("double").alias("np"))
+    # ONE aggregation produces BOTH distributions: a broadcast left
+    # join marks target-doc features, count(_t) counts only them.
+    # The previous two-relation form (cq, cp, then nq/np as aggregates
+    # OVER them feeding lam via broadcast crossJoins) executed each
+    # count subtree twice — once inside the nq/np broadcast builds and
+    # once in the lam join (measured: the mid-query checkpoint phase at
+    # 1.2-1.4 s warm, half of it duplicate aggregation). cp=0 rows here
+    # are exactly the buckets the old left join left NULL —
+    # coalesce(cp,0)+1 == cp+1, identical doubles into the identical
+    # log/division expression.
+    grouped = (
+        feats.join(
+            F.broadcast(tgt_ids.withColumn("_t", F.lit(1))), "doc_id", "left"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cq"),
+            F.count("_t").alias("cp"),
+        )
+        # <= 2^12 rows by construction; materialize so the scalar-total
+        # readout and the lam projection reuse one tiny relation.
+        .localCheckpoint()
+    )
+    # Scalar totals as literals (bounded 1-row readout, the admitted
+    # collect class): exact integer sums < 2^53, so float() is exact
+    # and (nq + b) / (np + b) are the same IEEE doubles the broadcast
+    # crossJoin form computed.
+    totals = grouped.agg(
+        F.sum("cq").alias("nq"), F.sum("cp").alias("np")
+    ).first()
+    nq_lit = float(totals["nq"])
+    np_lit = float(totals["np"])
 
     b = float(N_DSIR_BUCKETS)
-    lam = (
-        cq.join(cp, "bucket", "left")
-        .crossJoin(F.broadcast(nq))
-        .crossJoin(F.broadcast(np_))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("cp"), F.lit(0)) + 1) / (F.col("np") + b))
-                - F.log((F.col("cq") + 1) / (F.col("nq") + b))
-            ).alias("lam"),
-        )
+    lam = grouped.select(
+        "bucket",
+        (
+            F.log((F.col("cp") + 1) / F.lit(np_lit + b))
+            - F.log((F.col("cq") + 1) / F.lit(nq_lit + b))
+        ).alias("lam"),
     )
 
     scored = (

@@ -49,9 +49,11 @@ def _term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # outer explode: see llm_corpus words comment (null rows fail the
+    # != '' filter; avoids the Generate guard re-computing the split).
     tokens = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("term"),
     ).filter(F.col("term") != "")

@@ -46,7 +46,9 @@ def _batch_index_rows(batch: DataFrame, query_terms: tuple[str, ...]):
     the same tokenize + TF expressions as the batch TF pass."""
     tokens = batch.select(
         "doc_id",
-        F.explode(
+        # outer: null rows fail != '' below; avoids the Generate guard
+        # re-splitting the text per row.
+        F.explode_outer(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("term"),
     ).filter(F.col("term") != "")

@@ -57,7 +57,9 @@ def batch_partial(batch: DataFrame) -> DataFrame:
     one (lang, counters map, n_total) row per language."""
     tokens = batch.select(
         "lang",
-        F.explode(
+        # outer: null rows fail != '' below; avoids the Generate guard
+        # re-splitting the text per row.
+        F.explode_outer(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("term"),
     ).filter(F.col("term") != "")

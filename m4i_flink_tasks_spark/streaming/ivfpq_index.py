@@ -92,8 +92,12 @@ def run_stream_ivfpq_index(
         _residual(F.col("embedding"), F.col("ccent")).alias("embedding"),
     )
     final_df, _ = _pq_model(resid, n_vecs=emb.count())
-    coarse = spark.createDataFrame(coarse_df.collect(), coarse_df.schema)
-    final = spark.createDataFrame(final_df.collect(), final_df.schema)
+    # LocalRelation freeze (see operators/local_frame.py): avoids
+    # 32 near-empty tasks per serving stage that scans the codebook.
+    from ..operators.local_frame import local_frame
+
+    coarse = local_frame(spark, coarse_df.collect(), coarse_df.schema)
+    final = local_frame(spark, final_df.collect(), final_df.schema)
 
     store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "ivfpq_codes"), key_cols=["label"]

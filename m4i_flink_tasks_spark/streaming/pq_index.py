@@ -95,7 +95,10 @@ def run_stream_pq_index_store(
     # bounded m*k-row collect.
     emb = load_table(spark, sf_dir, "embeddings")
     final, _codes = _pq_model(emb)
-    codebook = spark.createDataFrame(final.collect(), final.schema)
+    # LocalRelation freeze (see operators/local_frame.py).
+    from ..operators.local_frame import local_frame
+
+    codebook = local_frame(spark, final.collect(), final.schema)
 
     store = BucketedParquetUpsertStore(
         spark, os.path.join(workdir, "pq_codes"), key_cols=["vec_id"]

@@ -34,7 +34,9 @@ DOC_STREAM_SCHEMA = (
 def _batch_token_counts(batch: DataFrame) -> DataFrame:
     return (
         batch.select(
-            F.explode(
+            # outer: null rows fail != '' below; avoids the Generate
+            # guard re-splitting the text per row.
+            F.explode_outer(
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+")
             ).alias("tok")
         )

@@ -39,11 +39,13 @@ def timed(label, fn):
 for trial in range(3):
     print(f"--- trial {trial}")
     _, sample_bucket, rate, split = sampling_split_exprs()
-    docs = (
+    from m4i_flink_tasks_spark.operators.spread import spread_for_compute
+
+    docs = spread_for_compute(
         load_table(spark, sf_dir, "documents")
         .filter(sample_bucket < rate)
-        .select("doc_id", split.alias("split"), D.shingles(F.col("text")).alias("sh"))
-    )
+        .select("doc_id", "lang", "text")
+    ).select("doc_id", split.alias("split"), D.shingles(F.col("text")).alias("sh"))
     toks_lazy = docs.select("doc_id", "split", F.explode("sh").alias("tok"))
     toks = timed("toks localCheckpoint", lambda: toks_lazy.localCheckpoint())
     sizes_l = toks.groupBy("doc_id").agg(
