@@ -1810,8 +1810,13 @@ def pca_readout(spark: SparkSession, G: list[list[float]]) -> DataFrame:
     ] + [
         (2, i + 1, v2[i], lam2) for i in range(d)
     ]
-    return spark.createDataFrame(
-        rows, "component int, pos int, loading double, eigenvalue double"
+    # LocalRelation freeze (operators/local_frame.py): the 2d-row
+    # readout as a 32-slice RDD frame paid a full-width range exchange
+    # for the orderBy.
+    from ..operators.local_frame import local_frame
+
+    return local_frame(
+        spark, rows, "component int, pos int, loading double, eigenvalue double"
     ).orderBy("component", "pos")
 
 
@@ -2179,7 +2184,10 @@ def mmr_rerank(
         out_rows.append(
             (len(picks), c, rel[c], round(score, 7))
         )
-    return spark.createDataFrame(
+    from ..operators.local_frame import local_frame
+
+    return local_frame(
+        spark,
         out_rows,
         "mmr_rank int, vec_id long, rel_sim double, mmr_score double",
     ).orderBy("mmr_rank")

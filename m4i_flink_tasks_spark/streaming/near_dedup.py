@@ -97,8 +97,20 @@ def dedup_batch(
     )
 
     # Prior candidates: bucket-pruned read of only the band-index
-    # buckets this batch's keys touch.
-    prior = band_store.current_for_keys(batch_bands)
+    # buckets this batch's keys touch. The touched-bucket list is
+    # computed ONCE and reused by the band-store merge below — the
+    # read and the merge share the same key set, so without this each
+    # ran its own distinct+collect job per micro-batch.
+    band_touched = (
+        band_store.touched_buckets(batch_bands)
+        if band_store.has_state()
+        else None
+    )
+    prior = (
+        band_store.current_for_buckets(band_touched)
+        if band_touched is not None
+        else None
+    )
     cand_prior = None
     if prior is not None:
         cand_prior = (
@@ -191,6 +203,9 @@ def dedup_batch(
                 band_agg,
                 combine=_union_doc_ids,
                 batch_id=batch_id,
+                # band_agg groups batch_bands by key, so its key set is
+                # exactly the one band_touched was computed from.
+                touched_buckets=band_touched,
             ),
             pool.submit(
                 inheritable_thread_target(sig_store.merge),

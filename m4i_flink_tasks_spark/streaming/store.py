@@ -361,6 +361,29 @@ class BucketedParquetUpsertStore:
         touched = self._touched_buckets(keys.select(*self.key_cols))
         return self._touched_current(state, touched)
 
+    def has_state(self) -> bool:
+        """True once a first merge has committed — lets callers skip
+        touched-bucket computation for reads that would return None."""
+        return self._state() is not None
+
+    def touched_buckets(self, keys: DataFrame) -> list[int]:
+        """Public form of the touched-bucket computation (one
+        <= n_buckets-row collect). A caller that reads AND merges the
+        same key set in one micro-batch can compute this once and pass
+        it to both ``current_for_buckets`` and ``merge`` — without it,
+        the read and the merge each run their own distinct+collect job
+        over the batch keys (one redundant driver round trip per store
+        per micro-batch)."""
+        return self._touched_buckets(keys.select(*self.key_cols))
+
+    def current_for_buckets(self, touched: list[int]) -> DataFrame | None:
+        """Snapshot restricted to precomputed ``touched`` buckets —
+        pair with ``touched_buckets``."""
+        state = self._state()
+        if state is None:
+            return None
+        return self._touched_current(state, touched)
+
     def _touched_current(self, state: dict, touched: list[int]) -> DataFrame | None:
         paths = [
             self._bucket_path(v, b)
@@ -419,10 +442,18 @@ class BucketedParquetUpsertStore:
         batch_id: int | None = None,
         insert_only: bool = False,
         touch_keys: DataFrame | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> None:
         """Keyed upsert rewriting only buckets containing batch keys —
         or, with ``insert_only``, appending one O(batch) segment and
-        rewriting nothing at all."""
+        rewriting nothing at all.
+
+        ``touched_buckets``: precomputed result of
+        ``touched_buckets(batch-and-touch-keys)`` — skips this merge's
+        own distinct+collect when the caller already ran it for the
+        paired read. The caller must pass the buckets of exactly the
+        batch (plus touch_keys) key set; a superset only widens the
+        rewrite, a subset would corrupt the store."""
         if insert_only and (combine is not None or touch_keys is not None):
             raise ValueError("insert_only excludes combine/touch_keys")
         if batch_id is not None:
@@ -465,10 +496,13 @@ class BucketedParquetUpsertStore:
                 version = cver
             self._commit(buckets, version, batch_id)
             return
-        keyed = batch.select(*self.key_cols)
-        if touch_keys is not None:
-            keyed = keyed.unionByName(touch_keys.select(*self.key_cols))
-        touched = self._touched_buckets(keyed)
+        if touched_buckets is not None:
+            touched = touched_buckets
+        else:
+            keyed = batch.select(*self.key_cols)
+            if touch_keys is not None:
+                keyed = keyed.unionByName(touch_keys.select(*self.key_cols))
+            touched = self._touched_buckets(keyed)
         cur = self._touched_current(state, touched)
         if cur is None:
             new_data = batch

@@ -46,7 +46,9 @@ for trial in range(3):
         .filter(sample_bucket < rate)
         .select("doc_id", "lang", "text")
     ).select("doc_id", split.alias("split"), D.shingles(F.col("text")).alias("sh"))
-    toks_lazy = docs.select("doc_id", "split", F.explode("sh").alias("tok"))
+    toks_lazy = docs.select(
+        "doc_id", "split", F.explode_outer("sh").alias("tok")
+    ).filter(F.col("tok").isNotNull())
     toks = timed("toks localCheckpoint", lambda: toks_lazy.localCheckpoint())
     sizes_l = toks.groupBy("doc_id").agg(
         F.first("split").alias("split"), F.count(F.lit(1)).alias("n")
