@@ -23,10 +23,13 @@ would coerce an int column with None to float).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import IntegralType, StructType
+
+_ARROW_CONF = "spark.sql.execution.arrow.pyspark.enabled"
 
 
 def local_frame(
@@ -34,15 +37,41 @@ def local_frame(
 ) -> DataFrame:
     """``createDataFrame`` that plans as a ``LocalRelation`` (falls back
     to the classic row path only for empty input, where the plan shape
-    is irrelevant)."""
+    is irrelevant).
+
+    The LocalRelation shape only materializes when the Arrow conversion
+    path is on; with Arrow off the pandas input would silently degrade
+    back to the 32-slice RDD plan. Sessions built by ``session.py`` set
+    the conf; for foreign sessions it is a runtime-mutable SQL conf, so
+    enable it here (with a warning) rather than losing the plan shape
+    silently.
+    """
     schema_t = (
         StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
     if not rows:
         return spark.createDataFrame([], schema_t)
+    if spark.conf.get(_ARROW_CONF, "false").lower() != "true":
+        warnings.warn(
+            f"local_frame: enabling {_ARROW_CONF} on this session — "
+            "without it the frozen frame would plan as a sliced RDD "
+            "instead of a LocalRelation",
+            stacklevel=2,
+        )
+        spark.conf.set(_ARROW_CONF, "true")
     import pandas as pd
 
     pdf = pd.DataFrame(
         [tuple(r) for r in rows], columns=[f.name for f in schema_t.fields]
     )
+    # pandas coerces an int column containing None to float, which the
+    # Arrow cast would then truncate silently — make misuse loud (the
+    # documented constraint; current call sites collect aggregate rows
+    # that are never NULL in integer columns).
+    for i, f in enumerate(schema_t.fields):
+        if isinstance(f.dataType, IntegralType):
+            assert not pdf.iloc[:, i].isna().any(), (
+                f"local_frame: None in integer column {f.name!r} — pandas "
+                "would coerce the column to float"
+            )
     return spark.createDataFrame(pdf, schema_t)

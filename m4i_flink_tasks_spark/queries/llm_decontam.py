@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize
+
 from ..operators import decontam as DC
 from ..operators import text as T
 from ..sources import load_table
@@ -358,17 +360,18 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (id, tok) twice for the overlap count) — Catalyst has no
         # cross-branch subtree reuse, so without materialization the
         # scan + shingle explode executes five times (measured: 5
-        # duplicate subtrees in the r10 before-plan). localCheckpoint
-        # materializes it ONCE per invocation — eager, inside the
+        # duplicate subtrees in the r10 before-plan). materialize()
+        # computes it ONCE per invocation — eager, inside the
         # timed region, recomputed on every run (no cross-run cache;
-        # guide §5 "cheaper way to cut lineage"). At cluster scale the
-        # same role is played by persisting or writing out the
-        # tokenized relation before the pair join.
-        .localCheckpoint()
+        # guide §5 "cheaper way to cut lineage"). The strategy is
+        # config-gated (spark.m4i.materialize.strategy): localCheckpoint
+        # locally, persist/reliable checkpoint on clusters where
+        # non-replicated checkpoint blocks are a liability.
+        .transform(materialize)
     )
     sizes = toks.groupBy("doc_id").agg(
         F.first("split").alias("split"), F.count(F.lit(1)).alias("n")
-    ).localCheckpoint()
+    ).transform(materialize)
     # Global canonical order over BOTH sides: shingle df is
     # near-linear in corpus size — aggregated, never broadcast.
     df_rel = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -389,7 +392,7 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split", "tok", "n")
         # Two consumers (the train and eval sides of the candidate
         # join) — materialize so the df-join + window run once.
-        .localCheckpoint()
+        .transform(materialize)
     )
     pa = prefix.filter(F.col("split") == "train").alias("pa")
     pb = prefix.filter(F.col("split") != "train").alias("pb")

@@ -1116,9 +1116,28 @@ def synchronize_rel_cascades(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # synchronize_batch references ``docs`` ~20x (every branch joins or
+    # anti-joins the snapshot) and the message relation ~6x; both are
+    # unions of expression-heavy subtrees over ``events``, so inlining
+    # them multiplied the physical plan to 57,869 lines (r10 dump) —
+    # pure driver-side planning cost at scale (guide §3.3 "very wide
+    # unions produce enormous plans; materialise an intermediate").
+    # materialize() (config-gated localCheckpoint) computes each ONCE
+    # per invocation — eager, inside the timed region, recomputed every
+    # run — and every branch plans against a flat scan.
+    from ..operators.materialize import materialize
+
+    docs = materialize(docs)
+    msgs = materialize(link_msgs.unionByName(del_msgs))
     upserts, deletes = synchronize_batch(
-        link_msgs.unionByName(del_msgs), docs, supertype_closure_df(spark)
+        msgs, docs, supertype_closure_df(spark)
     )
+    # ``final`` consumes upserts twice (anti-join key set + union rows)
+    # and deletes once more after the in-batch anti-join — materialize
+    # the batch-sized outputs so the 12-branch union + D9 collapse
+    # executes once, not per consumer.
+    upserts = materialize(upserts)
+    deletes = materialize(deletes)
     final = (
         docs.join(F.broadcast(upserts.select("guid")), "guid", "left_anti")
         .unionByName(upserts.select(docs.columns))

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize
+
 from ..operators import text as T
 from ..sources import load_table
 
@@ -227,13 +229,14 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target counts, per-doc scoring) and Catalyst has no cross-branch
     # subtree reuse, so without materialization the tokenize + per-token
     # hash + explode pipeline executes once per consumer (the r10
-    # before-plan shows the duplicated subtrees). localCheckpoint
-    # materializes the (doc_id, bucket) relation — two ints per feature,
+    # before-plan shows the duplicated subtrees). materialize()
+    # computes the (doc_id, bucket) relation — two ints per feature,
     # far narrower than the text — once per invocation, eager, inside
-    # the timed region (recomputed every run; no cross-run cache). At
-    # cluster scale the same role is played by persisting the featurized
-    # relation for the duration of the job.
-    feats = _features(docs, N_DSIR_BUCKETS).localCheckpoint()
+    # the timed region (recomputed every run; no cross-run cache). The
+    # strategy is config-gated (spark.m4i.materialize.strategy):
+    # localCheckpoint locally, persist/reliable checkpoint on clusters
+    # where non-replicated checkpoint blocks are a liability.
+    feats = _features(docs, N_DSIR_BUCKETS).transform(materialize)
     # Target features = the featurize output restricted to target docs
     # (featurization is row-local, so filtering after equals featurizing
     # the filtered corpus — the oracle's cp CTE states it this way too).
@@ -261,7 +264,7 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # <= 2^12 rows by construction; materialize so the scalar-total
         # readout and the lam projection reuse one tiny relation.
-        .localCheckpoint()
+        .transform(materialize)
     )
     # Scalar totals as literals (bounded 1-row readout, the admitted
     # collect class): exact integer sums < 2^53, so float() is exact
@@ -301,7 +304,7 @@ def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Three consumers (top-k, Gumbel top-k, final projection) —
         # materialize the corpus-cardinality scored relation once
         # instead of recomputing the join + aggregation per consumer.
-        .localCheckpoint()
+        .transform(materialize)
     )
     topk = (
         out.orderBy(F.desc("log_w"), "doc_id")

@@ -180,42 +180,40 @@ def dedup_batch(
     # The three store merges are independent (separate directories,
     # separate pointers; every input DataFrame reads either the
     # persisted mh or parquet segment paths pinned before any write
-    # starts) — submit them from a small thread pool so the next
-    # merge's tasks back-fill executors freed by the previous one's
-    # tail (guide §2.6: actions are only sequential because driver
-    # code calls them sequentially). Each merge is a small job over
-    # batch-sized data; overlapping them removes two job-tail waits
-    # per micro-batch.
-    from concurrent.futures import ThreadPoolExecutor
+    # starts). r10 overlapped the three write jobs from a thread pool
+    # (guide §2.6); merge_many goes further and makes them ONE write
+    # job — the three new-data relations are tagged, unioned and
+    # written once partitioned by (store, bucket), so the micro-batch
+    # pays one job tail and one commit protocol instead of three
+    # (guide §2.4/§2.6: fewer jobs beats overlapped jobs). Batch-id
+    # fencing and per-store pointer swaps are unchanged.
+    from .store import merge_many
 
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        jobs = [
-            pool.submit(
-                inheritable_thread_target(out_store.merge),
-                accepted,
-                batch_id=batch_id,
-                insert_only=True,
-            ),
-            pool.submit(
-                inheritable_thread_target(band_store.merge),
-                band_agg,
-                combine=_union_doc_ids,
-                batch_id=batch_id,
+    merge_many(
+        [
+            {
+                "store": out_store,
+                "batch": accepted,
+                "batch_id": batch_id,
+                "insert_only": True,
+            },
+            {
+                "store": band_store,
+                "batch": band_agg,
+                "combine": _union_doc_ids,
+                "batch_id": batch_id,
                 # band_agg groups batch_bands by key, so its key set is
                 # exactly the one band_touched was computed from.
-                touched_buckets=band_touched,
-            ),
-            pool.submit(
-                inheritable_thread_target(sig_store.merge),
-                mh.select("doc_id", "sh"),
-                batch_id=batch_id,
-                insert_only=True,
-            ),
+                "touched_buckets": band_touched,
+            },
+            {
+                "store": sig_store,
+                "batch": mh.select("doc_id", "sh"),
+                "batch_id": batch_id,
+                "insert_only": True,
+            },
         ]
-        for j in jobs:
-            j.result()
+    )
     cands.unpersist()
     mh.unpersist()
 

@@ -87,30 +87,28 @@ def spans_batch(
         F.count(F.lit(1)).alias("n"), F.min("pos").alias("min_pos")
     )
     totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    # Independent stores (separate directories/pointers): overlap the
-    # two merge jobs so the second's tasks back-fill the first's tail
-    # (guide §2.6).
-    from concurrent.futures import ThreadPoolExecutor
+    # Independent stores (separate directories/pointers): r10 overlapped
+    # the two merge jobs from a thread pool (guide §2.6); merge_many
+    # folds them into ONE write job + one commit each — one job tail and
+    # one commit protocol per micro-batch instead of two.
+    from .store import merge_many
 
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        jobs = [
-            pool.submit(
-                inheritable_thread_target(count_store.merge),
-                per_key,
-                combine=_add_counts,
-                batch_id=batch_id,
-            ),
-            pool.submit(
-                inheritable_thread_target(total_store.merge),
-                totals,
-                batch_id=batch_id,
-                insert_only=True,
-            ),
+    merge_many(
+        [
+            {
+                "store": count_store,
+                "batch": per_key,
+                "combine": _add_counts,
+                "batch_id": batch_id,
+            },
+            {
+                "store": total_store,
+                "batch": totals,
+                "batch_id": batch_id,
+                "insert_only": True,
+            },
         ]
-        for j in jobs:
-            j.result()
+    )
     wins.unpersist()
 
 

@@ -239,9 +239,21 @@ class BucketedParquetUpsertStore:
         ).cast("int")
 
     def _commit(
-        self, buckets: dict[str, int], version: int, batch_id: int | None
+        self,
+        buckets: dict[str, int],
+        version: int,
+        batch_id: int | None,
+        schema_json: str | None = None,
     ) -> None:
         state = {"version": version, "batch_id": batch_id, "buckets": buckets}
+        if schema_json is not None:
+            # The store's logical column set, recorded at commit time so
+            # reads clip segments to exactly these columns — required
+            # once `merge_many` writes several stores' rows into one
+            # job's files (other stores' columns travel as all-null
+            # parquet columns in shared files and must not leak into
+            # snapshots).
+            state["schema"] = schema_json
         # Immutable per-version snapshot BEFORE the pointer swap (the
         # Delta transaction-log shape: one JSON per commit). A crash
         # between the two writes leaves a snapshot whose version is
@@ -273,7 +285,20 @@ class BucketedParquetUpsertStore:
         ]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self._read_segments(state, paths)
+
+    def _read_segments(self, state: dict, paths: list[str]) -> DataFrame:
+        """Read segment dirs, clipped to the store's recorded logical
+        schema when one is present (``merge_many`` segments physically
+        carry sibling stores' columns as all-null padding; the explicit
+        read schema projects them away at the scan)."""
+        schema_json = state.get("schema")
+        reader = self.spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*paths)
 
     # -- time travel (the Delta DESCRIBE HISTORY / VERSION AS OF /
     # VACUUM trio over the same snapshot-per-commit log) ---------------
@@ -392,7 +417,7 @@ class BucketedParquetUpsertStore:
         ]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self._read_segments(state, paths)
 
     def _touched_buckets(self, keyed: DataFrame) -> list[int]:
         """Distinct buckets hit by ``keyed``'s key columns — a
@@ -435,6 +460,29 @@ class BucketedParquetUpsertStore:
                 written[name.split("=", 1)[1]] = version
         return written
 
+    def _compact_overflow(
+        self, buckets: dict[str, list[int]], version: int, schema_json: str
+    ) -> tuple[int, dict[str, list[int]]]:
+        """Fold buckets whose segment list exceeds ``max_segments`` into
+        one segment each (the LSM amortization of the append path)."""
+        overflow = [
+            b for b, segs in buckets.items() if len(segs) > self.max_segments
+        ]
+        if not overflow:
+            return version, buckets
+        cver = version + 1
+        paths = [
+            self._bucket_path(v, int(b)) for b in overflow for v in buckets[b]
+        ]
+        compacted = self._write_buckets(
+            self._read_segments({"schema": schema_json}, paths), cver
+        )
+        for b in overflow:
+            buckets.pop(b, None)
+        for b in compacted:
+            buckets[b] = [cver]
+        return cver, buckets
+
     def merge(
         self,
         batch: DataFrame,
@@ -454,49 +502,102 @@ class BucketedParquetUpsertStore:
         paired read. The caller must pass the buckets of exactly the
         batch (plus touch_keys) key set; a superset only widens the
         rewrite, a subset would corrupt the store."""
-        if insert_only and (combine is not None or touch_keys is not None):
-            raise ValueError("insert_only excludes combine/touch_keys")
-        if batch_id is not None:
-            last = self.last_batch_id()
-            if last is not None and batch_id <= last:
-                return
-        state = self._state()
+        planned = self._plan_merge(
+            batch, combine, batch_id, insert_only, touch_keys, touched_buckets
+        )
+        if planned is None:
+            return
+        state, new_data, touched = planned
+        schema_json = new_data.schema.json()
         if state is None:
-            buckets = {b: [0] for b in self._write_buckets(batch, 0)}
-            self._commit(buckets, 0, batch_id)
+            buckets = {b: [0] for b in self._write_buckets(new_data, 0)}
+            self._commit(buckets, 0, batch_id, schema_json)
             return
         version = state["version"] + 1
-        if insert_only:
+        written = self._write_buckets(new_data, version)
+        self._commit_written(
+            state, written, version, touched, batch_id, schema_json
+        )
+
+    def _commit_written(
+        self,
+        state: dict,
+        written: dict[str, int],
+        version: int,
+        touched: list[int] | None,
+        batch_id: int | None,
+        schema_json: str,
+    ) -> None:
+        """Bucket-map bookkeeping + pointer commit for a non-initial
+        merge whose segments are already written. ``touched`` None means
+        the append path (segment lists grow, overflow compacts);
+        otherwise the touched buckets' lists are replaced."""
+        buckets = {b: list(v) for b, v in state["buckets"].items()}
+        if touched is None:
             # Append path: caller guarantees batch keys are not in the
             # store, so no read, no rewrite — new segments only. Buckets
             # whose segment list overflows max_segments are folded into
             # one segment (amortized: each row is rewritten once per
             # max_segments appends).
-            written = self._write_buckets(batch, version)
-            buckets = {b: list(v) for b, v in state["buckets"].items()}
             for b in written:
                 buckets.setdefault(b, []).append(version)
-            overflow = [
-                b for b, segs in buckets.items() if len(segs) > self.max_segments
-            ]
-            if overflow:
-                cver = version + 1
-                paths = [
-                    self._bucket_path(v, int(b))
-                    for b in overflow
-                    for v in buckets[b]
-                ]
-                compacted = self._write_buckets(
-                    self.spark.read.parquet(*paths), cver
-                )
-                for b in overflow:
-                    buckets.pop(b, None)
-                for b in compacted:
-                    buckets[b] = [cver]
-                version = cver
-            self._commit(buckets, version, batch_id)
-            return
+            version, buckets = self._compact_overflow(
+                buckets, version, schema_json
+            )
+        else:
+            for b in touched:
+                buckets.pop(str(b), None)  # emptied buckets leave the map
+            for b in written:
+                buckets[b] = [version]  # compacted: one segment again
+        self._commit(buckets, version, batch_id, schema_json)
+
+    def _plan_merge(
+        self,
+        batch: DataFrame,
+        combine: Callable[[DataFrame, DataFrame], DataFrame] | None,
+        batch_id: int | None,
+        insert_only: bool,
+        touch_keys: DataFrame | None,
+        touched_buckets: list[int] | None,
+    ) -> tuple[dict | None, DataFrame, list[int] | None] | None:
+        """Everything :meth:`merge` does BEFORE its write job: batch-id
+        screening and new-data construction. Returns ``(state, new_data,
+        touched)`` (``touched`` is None on append/first-commit paths), or
+        None when the batch id is already applied. Shared by ``merge``
+        and its sibling :func:`merge_many`, which substitutes one
+        combined write for the per-store writes."""
+        if insert_only and (combine is not None or touch_keys is not None):
+            raise ValueError("insert_only excludes combine/touch_keys")
+        if batch_id is not None:
+            last = self.last_batch_id()
+            if last is not None and batch_id <= last:
+                return None
+        state = self._state()
+        if state is None or insert_only:
+            return state, batch, None
         if touched_buckets is not None:
+            # A caller-supplied subset would silently drop stale bucket
+            # rows from the map — keep the cheap shape check always on,
+            # and the (one extra job) subset re-check behind a debug conf.
+            assert touched_buckets == sorted(touched_buckets) and all(
+                isinstance(b, int) and 0 <= b < self.n_buckets
+                for b in touched_buckets
+            ), "touched_buckets must be sorted bucket ints"
+            if (
+                self.spark.conf.get(
+                    "spark.m4i.store.validateTouchedBuckets", "false"
+                ).lower()
+                == "true"
+            ):
+                keyed = batch.select(*self.key_cols)
+                if touch_keys is not None:
+                    keyed = keyed.unionByName(touch_keys.select(*self.key_cols))
+                actual = set(self._touched_buckets(keyed))
+                assert actual <= set(touched_buckets), (
+                    f"touched_buckets misses buckets "
+                    f"{sorted(actual - set(touched_buckets))} actually hit "
+                    "by the batch — the merge would corrupt the store"
+                )
             touched = touched_buckets
         else:
             keyed = batch.select(*self.key_cols)
@@ -515,13 +616,7 @@ class BucketedParquetUpsertStore:
                 how="left_anti",
             )
             new_data = kept.unionByName(batch)
-        written = self._write_buckets(new_data, version)
-        buckets = {b: list(v) for b, v in state["buckets"].items()}
-        for b in touched:
-            buckets.pop(str(b), None)  # emptied buckets leave the map
-        for b in written:
-            buckets[b] = [version]  # compacted: one segment again
-        self._commit(buckets, version, batch_id)
+        return state, new_data, touched
 
     def delete(self, keys: DataFrame, batch_id: int | None = None) -> None:
         """Drop matching keys, rewriting only their buckets."""
@@ -546,4 +641,127 @@ class BucketedParquetUpsertStore:
             buckets.pop(str(b), None)
         for b in written:
             buckets[b] = [version]
-        self._commit(buckets, version, batch_id)
+        self._commit(buckets, version, batch_id, remaining.schema.json())
+
+
+def merge_many(merges: Sequence[dict]) -> None:
+    """Apply several INDEPENDENT stores' micro-batch merges with ONE
+    Spark write job and one pointer commit per store.
+
+    A ``foreachBatch`` sink that maintains K bucketed stores pays K
+    write jobs per micro-batch even when the jobs are overlapped from a
+    thread pool (guide §2.6) — each job still schedules, shuffles and
+    commits on its own. Here the per-store ``new_data`` relations are
+    tagged and unioned into ONE frame (missing columns padded with
+    typed nulls — parquet null columns cost only the definition
+    levels), written once partitioned by ``(_store, _bucket)``, and the
+    resulting bucket directories are renamed into each store's version
+    directory — after which every store runs exactly the bucket-map
+    bookkeeping and atomic pointer swap ``merge`` would have run. Reads
+    clip shared-file segments back to the store's own columns via the
+    schema recorded in the commit (see ``_read_segments``).
+
+    Each entry is a dict of :meth:`BucketedParquetUpsertStore.merge`
+    kwargs plus the store itself::
+
+        merge_many([
+            {"store": out,  "batch": accepted, "batch_id": bid,
+             "insert_only": True},
+            {"store": band, "batch": band_agg, "batch_id": bid,
+             "combine": union_ids, "touched_buckets": touched},
+        ])
+
+    Semantics are identical to calling the merges sequentially:
+    batch-id fencing stays per store (a replayed batch re-runs only the
+    stores that had not committed), commit order is irrelevant because
+    the stores are independent by contract (separate roots — asserted).
+    Columns shared by several stores must agree on type.
+    """
+    plans = []
+    for m in merges:
+        store: BucketedParquetUpsertStore = m["store"]
+        planned = store._plan_merge(
+            m["batch"],
+            m.get("combine"),
+            m.get("batch_id"),
+            m.get("insert_only", False),
+            m.get("touch_keys"),
+            m.get("touched_buckets"),
+        )
+        if planned is not None:
+            state, new_data, touched = planned
+            plans.append((store, state, new_data, touched, m.get("batch_id")))
+    if not plans:
+        return
+    roots = [p[0].root for p in plans]
+    assert len(set(roots)) == len(roots), "merge_many requires distinct stores"
+    spark = plans[0][0].spark
+
+    # Superset schema: first-appearance column order; shared names must
+    # agree on type (same-name columns land in the same parquet column).
+    fields: dict[str, object] = {}
+    for _, _, new_data, _, _ in plans:
+        for f in new_data.schema.fields:
+            if f.name in fields:
+                assert fields[f.name].simpleString() == f.dataType.simpleString(), (
+                    f"merge_many: column {f.name!r} has conflicting types "
+                    f"{fields[f.name].simpleString()} vs {f.dataType.simpleString()}"
+                )
+            else:
+                fields[f.name] = f.dataType
+    names = list(fields)
+    tagged = None
+    for i, (store, _, new_data, _, _) in enumerate(plans):
+        present = {f.name for f in new_data.schema.fields}
+        part = new_data.select(
+            F.lit(i).alias("_store"),
+            store._bucket_col().alias("_bucket"),
+            *[
+                F.col(n)
+                if n in present
+                else F.lit(None).cast(fields[n]).alias(n)
+                for n in names
+            ],
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    tmp = os.path.join(
+        os.path.dirname(plans[0][0].root.rstrip(os.sep)),
+        f"_multimerge.tmp.{os.getpid()}",
+    )
+    (
+        tagged.repartition(
+            sum(p[0].n_buckets for p in plans), F.col("_store"), F.col("_bucket")
+        )
+        .write.mode("overwrite")
+        .partitionBy("_store", "_bucket")
+        .parquet(tmp)
+    )
+    try:
+        for i, (store, state, new_data, touched, batch_id) in enumerate(plans):
+            schema_json = new_data.schema.json()
+            version = 0 if state is None else state["version"] + 1
+            vpath = store._version_path(version)
+            os.makedirs(vpath, exist_ok=True)
+            written: dict[str, int] = {}
+            src = os.path.join(tmp, f"_store={i}")
+            if os.path.isdir(src):
+                for name in os.listdir(src):
+                    if name.startswith("_bucket="):
+                        os.rename(
+                            os.path.join(src, name), os.path.join(vpath, name)
+                        )
+                        written[name.split("=", 1)[1]] = version
+            if state is None:
+                store._commit(
+                    {b: [version] for b in written}, version, batch_id,
+                    schema_json,
+                )
+            else:
+                store._commit_written(
+                    state, written, version, touched, batch_id, schema_json
+                )
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -25,7 +25,11 @@ import __spark_entry__ as entry  # noqa: E402
 from m4i_flink_tasks_spark.queries import extra_queries  # noqa: E402
 from m4i_flink_tasks_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_TAG", "r11"),
+)
 
 
 def main() -> int:
