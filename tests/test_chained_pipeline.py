@@ -8,6 +8,8 @@ import tempfile
 
 from m4i_flink_tasks_spark.streaming.chained import run_chained_pipeline
 
+from .conftest import full_only
+
 
 def _ids(df, col="event_id"):
     return {r[0] for r in df.select(col).collect()}
@@ -39,6 +41,7 @@ def test_chained_pipeline_invariants(spark, sf_dir):
     assert out["docs"].count() > 0
 
 
+@full_only  # 132 s: full-topology re-run stability; invariants test keeps the default pin
 def test_chained_pipeline_rerun_is_stable(spark, sf_dir):
     """Re-running the chained topology over the same workdir must be a
     no-op end to end (every stage's staging + checkpoint + batch-id

@@ -52,7 +52,12 @@ def make_docs(spark, *rows: dict):
         d.update(row)
         d.setdefault("id", d.get("guid"))
         full.append(tuple(d.get(f.name) for f in APP_SEARCH_DOC.fields))
-    return spark.createDataFrame(full, APP_SEARCH_DOC)
+    # localCheckpoint: synchronize_batch references its doc snapshot
+    # ~20x across branches; without the lineage cut each test pays
+    # Catalyst planning over the full expression frame per reference
+    # (the same 57k-line plan blowup the cascade query had — measured
+    # 14-120 s per test in pure planning).
+    return spark.createDataFrame(full, APP_SEARCH_DOC).localCheckpoint()
 
 
 # -- G5-G8 classification ---------------------------------------------------

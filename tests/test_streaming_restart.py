@@ -17,6 +17,8 @@ import tempfile
 from m4i_flink_tasks_spark.streaming.publish_state import run_publish_state
 from m4i_flink_tasks_spark.streaming.store import ParquetUpsertStore
 
+from .conftest import full_only
+
 
 def test_publish_state_restart_is_noop(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="m4i_restart_")
@@ -149,6 +151,7 @@ def test_determine_change_entities_mid_stream_restart(spark, sf_dir):
     assert sorted(map(tuple, second.collect())) == expected
 
 
+@full_only  # 99 s: the sink's restart bookkeeping stays pinned by test_synchronize_docs_restart_is_noop
 def test_synchronize_docs_mid_stream_restart(spark, sf_dir):
     """Crash the doc-graph dispatcher mid-stream and restart: batch ids
     recorded in the bucketed store plus checkpointed offsets must

@@ -16,6 +16,8 @@ from m4i_flink_tasks_spark.schemas import ENTITY_MESSAGE
 
 from .test_docstore import make_docs
 
+from .conftest import full_only
+
 _MSG_DEFAULTS = dict(
     type_name="m4i_data_entity",
     qualified_name=None,
@@ -52,7 +54,9 @@ def make_messages(spark, *rows: dict):
         d.update(row)
         d.setdefault("qualified_name", f"qn://{d['guid']}")
         full.append(tuple(d[f.name] for f in ENTITY_MESSAGE.fields))
-    return spark.createDataFrame(full, ENTITY_MESSAGE)
+    # localCheckpoint: same planning-cost cut as make_docs — the
+    # dispatcher filters the message frame per event type ~6x.
+    return spark.createDataFrame(full, ENTITY_MESSAGE).localCheckpoint()
 
 
 @pytest.fixture()
@@ -266,6 +270,7 @@ _DISJOINT_MSGS = (
 )
 
 
+@full_only  # 120 s: 17 dispatcher invocations; per-handler outputs stay pinned below
 def test_disjoint_batches_are_split_invariant(spark, seeded_store):
     """For messages whose touched doc sets are disjoint, the dispatcher
     must produce the same final store whether they arrive as one batch
@@ -289,6 +294,7 @@ def test_disjoint_batches_are_split_invariant(spark, seeded_store):
         assert _rows(store) == _rows(one_shot), f"order {[m['guid'] for m in order]}"
 
 
+@full_only  # 30 s: replay idempotency meta-property (store batch-id fencing is pinned in test_store_bucketed)
 def test_relationship_insert_replay_is_idempotent(spark, seeded_store):
     """Replaying the same relationship-insert batch against the already
     -updated store must be a no-op: breadcrumb prefix-insert guards on
@@ -320,23 +326,11 @@ def test_attribute_field_link_and_unlink(spark, seeded_store):
         dict(guid="f1", typename="m4i_field", name="Field1",
              referenceablequalifiedname="qn://f1"),
     )
-    store = seeded_store.unionByName(field_doc)
-    ups, _ = _run(
-        spark,
-        store,
-        dict(
-            guid="a9",
-            type_name="m4i_data_attribute",
-            event_type="EntityRelationshipAudit",
-            inserted_relationships={"fields": [_rel("f1", "m4i_field")]},
-        ),
-    )
-    assert ups["a9"].derivedfieldguid == ["f1"]
-    assert ups["a9"].derivedfield == "Field1"
-    assert ups["f1"].deriveddataattributeguid == ["a9"]
-    assert ups["f1"].deriveddataattribute == "Attr9"
-
-    linked = _apply(store, *synchronize_batch(
+    store = seeded_store.unionByName(field_doc).localCheckpoint()
+    # One dispatcher invocation serves both the assert readout and the
+    # `linked` follow-up store (it used to run twice — ~30 s of pure
+    # plan-construction + execution per invocation on these frames).
+    ins_ups, ins_dels = synchronize_batch(
         make_messages(spark, dict(
             guid="a9",
             type_name="m4i_data_attribute",
@@ -344,7 +338,15 @@ def test_attribute_field_link_and_unlink(spark, seeded_store):
             inserted_relationships={"fields": [_rel("f1", "m4i_field")]},
         )),
         store, supertype_closure_df(spark),
-    ))
+    )
+    ins_ups = ins_ups.localCheckpoint()
+    ups = {r.guid: r for r in ins_ups.collect()}
+    assert ups["a9"].derivedfieldguid == ["f1"]
+    assert ups["a9"].derivedfield == "Field1"
+    assert ups["f1"].deriveddataattributeguid == ["a9"]
+    assert ups["f1"].deriveddataattribute == "Attr9"
+
+    linked = _apply(store, ins_ups, ins_dels)
     ups2, _ = _run(
         spark,
         linked,
@@ -361,6 +363,7 @@ def test_attribute_field_link_and_unlink(spark, seeded_store):
     assert ups2["f1"].deriveddataattribute is None
 
 
+@full_only  # 86 s: fixpoint meta-property; single-pass cascades stay pinned
 def test_three_level_cascade_single_pass_vs_fixpoint(spark):
     """SURVEY §7.5 hard-part 2, both resolutions demonstrated on a
     3-link chain arriving in ONE batch (system -> collection ->
