@@ -104,12 +104,45 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     return closure
 
 
+def _py_closure(edges) -> dict[str, set[str]]:
+    """Driver-side transitive closure of a STATIC type DAG — the same
+    semi-naive fixpoint as :func:`transitive_closure`, in plain Python.
+
+    The type graph is compile-time data (TYPE_EDGES /
+    HIERARCHY_MAPPING, O(10) rows); running the Spark fixpoint loop on
+    it cost ~5-6 s of checkpoint/isEmpty jobs PER CALL — and the
+    dispatcher queries, the streaming synchronize sinks and most
+    docstore tests call it once per batch/invocation. Python computes
+    it in microseconds and `local_frame` ships it as a LocalRelation,
+    so every consumer's broadcast build reads plan-time local data.
+    :func:`transitive_closure` stays as the generic operator for
+    data-derived edge frames.
+    """
+    anc: dict[str, set[str]] = {}
+    for child, parent in edges:
+        anc.setdefault(child, set()).add(parent)
+    changed = True
+    while changed:
+        changed = False
+        for child, parents in anc.items():
+            extra = set()
+            for p in parents:
+                extra |= anc.get(p, set())
+            if not extra <= parents:
+                parents |= extra
+                changed = True
+    return anc
+
+
 def supertype_closure_df(spark: SparkSession) -> DataFrame:
     """(typename, supertypes array<string> sorted) for every type that
     appears as a child in TYPE_EDGES. Broadcast this."""
-    closure = transitive_closure(type_edges_df(spark))
-    return closure.groupBy("typename").agg(
-        F.array_sort(F.collect_set("supertype")).alias("supertypes")
+    from ..operators.local_frame import local_frame
+
+    anc = _py_closure(TYPE_EDGES)
+    rows = [(t, sorted(s)) for t, s in sorted(anc.items())]
+    return local_frame(
+        spark, rows, "typename string, supertypes array<string>"
     )
 
 
@@ -122,26 +155,21 @@ def breadcrumb_paths_df(spark: SparkSession) -> DataFrame:
     own, so sorting each type's ancestors by their own ancestor-count
     (ascending) yields the root→parent path.
     """
-    edges = spark.createDataFrame(
-        [(child, parent) for child, parent in HIERARCHY_MAPPING.items()],
-        "typename string, supertype string",
-    )
-    closure = transitive_closure(edges)
-    own_depth = closure.groupBy("typename").agg(
-        F.count(F.lit(1)).alias("n_own_ancestors")
-    )
-    ranked = closure.alias("c").join(
-        own_depth.alias("d"),
-        F.col("c.supertype") == F.col("d.typename"),
-        "left",
-    ).select(
-        F.col("c.typename").alias("typename"),
-        F.col("c.supertype").alias("ancestor"),
-        F.coalesce(F.col("d.n_own_ancestors"), F.lit(0)).alias("depth"),
-    )
-    return ranked.groupBy("typename").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("depth", "ancestor"))),
-            lambda s: s.ancestor,
-        ).alias("breadcrumbtype")
+    from ..operators.local_frame import local_frame
+
+    anc = _py_closure(HIERARCHY_MAPPING.items())
+    rows = [
+        (
+            t,
+            [
+                a
+                for _, a in sorted(
+                    (len(anc.get(a, ())), a) for a in ancestors
+                )
+            ],
+        )
+        for t, ancestors in sorted(anc.items())
+    ]
+    return local_frame(
+        spark, rows, "typename string, breadcrumbtype array<string>"
     )

@@ -51,29 +51,39 @@ def connected_components(
         .withColumn("component_id", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["a"] == labels["node"])
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component_id").alias("neighbor_min"))
         )
+        # The changed-row count rides the SAME job that materializes the
+        # round's labels (Observation metrics are collected during the
+        # eager localCheckpoint) — previously each round paid a second
+        # action plus a labels-self-join shuffle just to decide
+        # convergence (guide §1.2: don't compute things twice).
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("component_id").alias("_old"),
                 F.least(
                     F.col("component_id"), F.coalesce("neighbor_min", "component_id")
                 ).alias("component_id"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component_id") != F.col("_old"), F.lit(1))
+                ).alias("changed"),
+            )
+            .select("node", "component_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
