@@ -61,8 +61,13 @@ def local_frame(
         spark.conf.set(_ARROW_CONF, "true")
     import pandas as pd
 
+    names = [f.name for f in schema_t.fields]
     pdf = pd.DataFrame(
-        [tuple(r) for r in rows], columns=[f.name for f in schema_t.fields]
+        [
+            tuple(r[n] for n in names) if isinstance(r, dict) else tuple(r)
+            for r in rows
+        ],
+        columns=names,
     )
     # pandas coerces an int column containing None to float, which the
     # Arrow cast would then truncate silently — make misuse loud (the

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.local_frame import local_frame
 from pyspark.sql.window import Window
 
 from ..operators import text as T
@@ -1478,7 +1480,8 @@ def attribution_from_transitions(
                 round(effects[c] / total_eff, 6) if total_eff else 0.0,
             )
         )
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "channel string, base_conv_micro long, removed_conv_micro long, "
         "removal_effect double, attribution_share double",

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.local_frame import local_frame
+
 from ..operators.components import connected_components
 from ..sources import load_table
 
@@ -543,7 +545,8 @@ def fs_em_report(spark: SparkSession, counts: list[int]) -> DataFrame:
         (f, m[f], u[f], p, n_pairs)
         for f in sorted(f for f, _ in _FS_FIELDS)
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out,
         "field string, m_nano long, u_nano long, p_nano long, "
         "n_pairs long",
@@ -769,7 +772,8 @@ def fs_em_posterior_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [
         (b, r[0], r[1], r[2], r[3]) for b, r in sorted(rollup.items())
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out,
         "band string, n_pairs long, min_posterior_nano long, "
         "max_posterior_nano long, n_lev_matches long",

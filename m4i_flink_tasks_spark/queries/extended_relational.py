@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.local_frame import local_frame
+
 from ..operators.asof import asof_join
 from ..sources import load_table
 
@@ -664,7 +666,8 @@ def price_tier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned). Same answer as the naive theta join by construction; the
     oracle runs the naive form.
     """
-    tiers = spark.createDataFrame(
+    tiers = local_frame(
+        spark,
         [
             (name, lo, hi, band)
             for name, lo, hi in _PRICE_TIERS

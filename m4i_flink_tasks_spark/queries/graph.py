@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.local_frame import local_frame
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.hierarchy import (
@@ -155,7 +157,8 @@ def parent_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = F.create_map(
         *[F.lit(x) for pair in HIERARCHY_MAPPING.items() for x in pair]
     )
-    types = spark.createDataFrame(
+    types = local_frame(
+        spark,
         [(t,) for t in sorted(set(HIERARCHY_MAPPING) | set(HIERARCHY_MAPPING.values()))],
         "typename string",
     )
@@ -194,7 +197,8 @@ def type_hierarchy_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = F.create_map(
         *[F.lit(x) for pair in HIERARCHY_MAPPING.items() for x in pair]
     )
-    types = spark.createDataFrame(
+    types = local_frame(
+        spark,
         [(t,) for t in sorted(set(HIERARCHY_MAPPING) | set(HIERARCHY_MAPPING.values()))],
         "typename string",
     )

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.local_frame import local_frame
+
 from ..operators import text as T
 from ..sources import load_table
 from ..sources.tables import table_num_rows
@@ -611,8 +613,8 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _vocab = train_bpe(spark, docs, n_merges=12)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count bigint"
+    return local_frame(
+        spark, merges, "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
 
 
@@ -1102,8 +1104,8 @@ def split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(_PSI_BUCKETS)
         .select(F.col("id").cast("int").alias("bucket"))
         .crossJoin(
-            spark.createDataFrame(
-                [("train",), ("val",), ("test",)], "split string"
+            local_frame(
+                spark, [("train",), ("val",), ("test",)], "split string"
             )
         )
     )

@@ -195,10 +195,18 @@ def sampled_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _SAMPLE_DENOM
         == 0
     )
-    tok = F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    # explode_outer + null-filter on the GENERATED column: the inner
+    # Generate's size()>0 guard re-evaluates the whole tokenize
+    # expression per row in a separate Filter operator (the r10 explode
+    # sweep's mechanism — this was its one deferred site). split()
+    # elements are never NULL, so dropping the outer form's NULL token
+    # row restores the inner relation exactly; ''-tokens (from
+    # empty-string text) are preserved by both forms.
+    tok = F.explode_outer(T.tokens(F.lower(F.col("text")))).alias("token")
     sampled = (
         docs.filter(gate)
         .select(tok)
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("sampled_count"))
         .withColumn(
@@ -209,6 +217,7 @@ def sampled_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         docs.select(tok)
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )

@@ -134,7 +134,10 @@ def probe_topk(
     read touches only the store buckets holding that key
     (``current_for_keys``) — no corpus scan. Same output shape (and
     pinned same answer) as the batch ``lsh_bucketed_topk``."""
-    qrow = spark.createDataFrame(
+    from ..operators.local_frame import local_frame
+
+    qrow = local_frame(
+        spark,
         [(query_vec_id, query_embedding)],
         "vec_id bigint, query_emb array<float>",
     ).select(

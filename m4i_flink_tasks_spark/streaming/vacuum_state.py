@@ -214,7 +214,7 @@ def run_stream_vacuum_plan(
         # because no SQL oracle can restate the bucket map).
         assert os.path.isdir(store._version_path(v)) == (not expired), v
 
-    rows = [
+    dicts = [
         {
             **facts[h["version"]],
             "expired": h["version"] <= current_version - _VACUUM_RETAIN,
@@ -223,9 +223,16 @@ def run_stream_vacuum_plan(
         }
         for h in history
     ]
-    return spark.createDataFrame(
-        rows,
-        schema=(
+    cols = (
+        "version", "batch_id", "n_keys", "total_orders", "total_cents",
+        "expired", "retained", "current_version",
+    )
+    from ..operators.local_frame import local_frame
+
+    return local_frame(
+        spark,
+        [tuple(d[c] for c in cols) for d in dicts],
+        (
             "version int, batch_id int, n_keys bigint, total_orders bigint,"
             " total_cents bigint, expired boolean, retained boolean,"
             " current_version int"
