@@ -43,7 +43,13 @@ def materialize(df: DataFrame) -> DataFrame:
         return out
     if strategy == "checkpoint":
         return df.checkpoint()
+    if strategy == "none":
+        # Plan-dump/debug only: materialization disabled so
+        # explain() shows the full pre-checkpoint plan end-to-end
+        # (checkpointed queries otherwise explain as `Scan
+        # ExistingRDD` tails, hiding the Exchange accounting).
+        return df
     raise ValueError(
         f"unknown {_CONF}={strategy!r}; expected localCheckpoint | "
-        "persist | checkpoint"
+        "persist | checkpoint | none"
     )

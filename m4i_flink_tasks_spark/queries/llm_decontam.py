@@ -212,20 +212,18 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.select(
             "source",
-            # explode_outer: the inner Generate's size()>0 guard
-            # re-evaluates the whole bigram transform per row in a
-            # separate Filter (the r10 sweep's mechanism — this site was
-            # missed). size(t)>=2 makes the bigram array non-empty and
-            # its concat elements non-null, so the null filter on the
-            # generated column restores the inner relation exactly.
-            F.explode_outer(
+            # Deliberately INNER explode: unlike the r10 sweep sites,
+            # the plan dump (plans/r11/source_vocab_overlap_before.txt)
+            # shows Catalyst does NOT insert a size()>0 guard filter for
+            # this Generate shape, so the outer+null-filter rewrite buys
+            # nothing here (verified by before/after dumps).
+            F.explode(
                 F.expr(
                     "transform(sequence(1, size(t) - 1), "
                     "i -> concat(t[i-1], ' ', t[i]))"
                 )
             ).alias("w"),
         )
-        .filter(F.col("w").isNotNull())
         .distinct()
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))

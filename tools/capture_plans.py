@@ -51,6 +51,13 @@ def main() -> int:
         ]
 
     spark = get_spark("plan-capture")
+    # MATERIALIZE_STRATEGY=none dumps the full pre-checkpoint plan of
+    # materialize()-using queries (r10 verdict: checkpointed queries
+    # explain as `Scan ExistingRDD` tails, so before/after Exchange
+    # accounting needs the unmaterialized shape too).
+    strategy = os.environ.get("MATERIALIZE_STRATEGY")
+    if strategy:
+        spark.conf.set("spark.m4i.materialize.strategy", strategy)
     os.makedirs(OUT_DIR, exist_ok=True)
     for name in names:
         fn = queries[name]
